@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine SparkSession tuning so Verify, Bench, tests, and API
+  * entry points run with identical semantics.
+  *
+  * Scale rationale (local[32] here, 1000 executors in production):
+  *  - shuffle.partitions sized to the runner's parallelism, not Spark's 200
+  *    default; AQE coalesces further at runtime.
+  *  - AQE on: runtime re-plan handles skewed joins and right-sizes reducers —
+  *    the knob that matters most when SF grows 100x.
+  *  - autoBroadcastJoinThreshold left at default (10 MB): dimension tables
+  *    (region/nation/supplier/part at small SF) broadcast automatically; the
+  *    catalog additionally hints `broadcast()` where a side is known-small by
+  *    schema, which stays correct at any SF for region/nation (fixed 5/25 rows).
+  *  - UTC session timezone: oracle (DuckDB) parity for timestamp math.
+  *  - legacy.parquet.nanosAsLong: the events table ships TIMESTAMP(NANOS);
+  *    Tables.events() rebuilds a TimestampType column from the raw longs.
+  */
+object Sessions {
+  def build(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: for each query output
+under OUT_DIR (written by graft.Verify), run the matching oracle SQL from
+oracle_sql.json in DuckDB over the same parquet tables, sort columns by name,
+and compare row counts, schemas (loosely), and values.
+
+Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(f"{pq}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        got = got[sorted(got.columns)]
+        exp = exp[sorted(exp.columns)]
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        mismatch = None
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            if gv != ev:
+                for i, (a, b) in enumerate(zip(gv, ev)):
+                    if a != b and not (a is None and b is None):
+                        mismatch = (c, i, a, b); break
+                if mismatch: break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: col {c} row {i}: spark={a!r} duckdb={b!r}")
+            print(f"  dtypes: spark={got[c].dtype} duckdb={exp[c].dtype}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
