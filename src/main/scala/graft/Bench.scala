@@ -1,19 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one clean JSON
+  * line on stdout (the driver parses it into BENCH_r{N}.json).
+  *
+  * Harness discipline (VERDICT r1 "what's wrong" #1/#2):
+  *  - full materialization through a noop sink — `count()` lets Catalyst
+  *    prune top-level sorts/projections, under-measuring the declared shape;
+  *  - one warmup pass over every query (JVM/codegen warmup is ~3 s and would
+  *    otherwise land on whichever query runs first), then a timed second run;
+  *  - fixed alphabetical query order, so rounds are comparable;
+  *  - stdout stays clean (log4j2 → stderr, sbt OutputStrategy pass-through);
+  *    the JSON is also written to target/bench.json as a durable artifact.
+  */
 object Bench {
+
+  /** Execute the full physical plan (sorts included) without collecting. */
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warmup: run everything once (codegen, parquet footer cache, JIT).
+    queries.foreach { case (_, fn) =>
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => () }
+    }
+
+    // Timed pass.
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sf = sfDir.split('/').last.stripPrefix("sf")
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    println(json)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

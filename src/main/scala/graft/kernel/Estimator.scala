@@ -36,9 +36,23 @@ object Estimator {
   val ThroughputBufferK = 1.4
   val TmVcpus = 4
 
-  /** Python round(x, n): correctly-rounded decimal half-even on the double. */
+  /** Python round(x, n): correctly-rounded decimal half-even on the double.
+    * Uses the exact binary expansion of x (new java.math.BigDecimal), not the
+    * shortest-string repr (BigDecimal.valueOf) — Python rounds the exact
+    * binary value, e.g. round(2.675, 2) == 2.67 because 2.675 is stored as
+    * 2.67499999..., and valueOf would wrongly give 2.68. */
   def roundHalfEven(x: Double, scale: Int): Double =
-    BigDecimal.valueOf(x).setScale(scale, RoundingMode.HALF_EVEN).toDouble
+    new java.math.BigDecimal(x).setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  /** ceil to Int, failing loudly on overflow instead of silently saturating
+    * at Int.MaxValue (the reference's Python ints are unbounded; an input
+    * large enough to overflow here cannot be sized on real hardware, so an
+    * explicit error beats a silently-divergent result — ADVICE r1). */
+  private def ceilToInt(x: Double, what: String): Int = {
+    val c = math.ceil(x)
+    if (c > Int.MaxValue) throw new ArithmeticException(s"$what overflows Int: $c")
+    c.toInt
+  }
 
   /** estimation.py:126-137. */
   def managedMemoryPercentByLatency(lat: Double): Double =
@@ -81,7 +95,7 @@ object Estimator {
     val throughTerm = thrPerTm * ThroughputBufferK * recScale * pressure
     val inFlightTerm = InFlightToBuffer * inFlightPerTm
     val extra = 256.0 * (1.0 + 0.01 * pipe.toDouble)
-    math.max(0, math.ceil(throughTerm + inFlightTerm + extra).toInt)
+    math.max(0, ceilToInt(throughTerm + inFlightTerm + extra, "network buffer MB"))
   }
 
   /** estimation.py:194-202 — per-TM process-memory ceiling. */
@@ -163,7 +177,7 @@ object Estimator {
       if (totalFree < required) {
         val perNode = ctx.in.worker_node_memory_mb - OsMemMb
         val deficit = required - totalFree
-        ctx.nbWorkerNodes += math.max(1, math.ceil(deficit / perNode).toInt)
+        ctx.nbWorkerNodes += math.max(1, ceilToInt(deficit / perNode, "node growth"))
       } else {
         val (alloc, _, ok, _) =
           greedyPackTaskmanagers(free.toIndexedSeq, nbTaskmanagers, tmMemMb)
@@ -180,7 +194,7 @@ object Estimator {
       : Either[String, (Long, Int, Array[Int], Double)] = {
     val raw = stateFlinkProcessMemoryMb(ctx.in)
     val totalFlink = math.max(TmMemMb.toDouble, raw)
-    val nbTaskmanagers = math.max(1, math.ceil(totalFlink / tmMemMb).toInt)
+    val nbTaskmanagers = math.max(1, ceilToInt(totalFlink / tmMemMb, "state TM count"))
     placeTaskmanagersWithNodeGrowth(ctx, jmMemory, nbTaskmanagers, tmMemMb).map {
       case (totalMem, alloc) => (totalMem, nbTaskmanagers, alloc, raw)
     }
@@ -201,17 +215,20 @@ object Estimator {
     val sum = cpuNeeds(SimpleRps, in.simple_statements) +
       cpuNeeds(MediumRps, in.medium_statements) +
       cpuNeeds(ComplexRps, in.complex_statements)
-    val totalCpuNeeds =
-      math.ceil(sum * latencyCpuFactor(in.expected_latency_seconds) + jmCpu).toInt *
+    val totalCpuNeedsL =
+      math.ceil(sum * latencyCpuFactor(in.expected_latency_seconds) + jmCpu).toLong *
         in.number_flink_applications
+    if (totalCpuNeedsL > Int.MaxValue)
+      throw new ArithmeticException(s"total CPU needs overflows Int: $totalCpuNeedsL")
+    val totalCpuNeeds = totalCpuNeedsL.toInt
     val coresPerNode =
       if (in.worker_node_type == "VM" && in.worker_node_t_size.isDefined)
         Validation.VmTshirtMbCpu(in.worker_node_t_size.get)._2
       else in.worker_node_cpu_max
     var nbWorkerNodes = ctx.nbWorkerNodes
     if (nbWorkerNodes.toLong * coresPerNode < totalCpuNeeds)
-      nbWorkerNodes = math.ceil(totalCpuNeeds.toDouble / coresPerNode).toInt
-    val nbTaskManagers = math.ceil((totalCpuNeeds - jmCpu).toDouble / TmVcpus).toInt
+      nbWorkerNodes = ceilToInt(totalCpuNeeds.toDouble / coresPerNode, "worker nodes")
+    val nbTaskManagers = ceilToInt((totalCpuNeeds - jmCpu).toDouble / TmVcpus, "CPU TM count")
     (nbTaskManagers, totalCpuNeeds, nbWorkerNodes)
   }
 
@@ -222,16 +239,16 @@ object Estimator {
       ctx: Ctx, totalThroughputMbPerSec: Double, rawFlinkProcessMb: Double,
       nbTmState: Int, nbTmCpu: Int): (Int, Int) = {
     val cap = perTmCapMb(ctx.in.worker_node_memory_mb)
-    val perTmState =
-      math.ceil(math.max(TmMemMb.toDouble, rawFlinkProcessMb) / math.max(1, nbTmState)).toInt
+    val perTmState = ceilToInt(
+      math.max(TmMemMb.toDouble, rawFlinkProcessMb) / math.max(1, nbTmState), "per-TM state MB")
     var p = TmMemMb
     var n = math.max(nbTmState, nbTmCpu)
     var i = 0
     while (i < 12) {
       val bufferMb = networkBufferMinProcessMemoryMb(ctx.in, totalThroughputMbPerSec, n)
       val pNew = math.min(math.max(TmMemMb, math.max(perTmState, bufferMb)), cap)
-      val nS2 = math.max(1,
-        math.ceil(math.max(TmMemMb.toDouble, rawFlinkProcessMb) / pNew).toInt)
+      val nS2 = math.max(1, ceilToInt(
+        math.max(TmMemMb.toDouble, rawFlinkProcessMb) / pNew, "fixpoint TM count"))
       val nNew = math.max(nS2, nbTmCpu)
       if (pNew == p && nNew == n) return (pNew, nNew)
       p = pNew; n = nNew
@@ -253,10 +270,10 @@ object Estimator {
       case "medium" =>
         val rec = math.min(totalCpuCores.toLong,
           math.max((totalCpuCores / 2).toLong, keys / 2000L)).toInt
-        (math.max(1, totalCpuCores / 2), rec, totalCpuCores * 2,
+        (math.max(1, totalCpuCores / 2), rec, Math.multiplyExact(totalCpuCores, 2),
           math.min(60000, math.max(5000, 10000 + processingLoad * 1000)))
       case _ =>
-        (math.max(1, totalCpuCores / 2), totalCpuCores, totalCpuCores * 2,
+        (math.max(1, totalCpuCores / 2), totalCpuCores, Math.multiplyExact(totalCpuCores, 2),
           math.min(60000, math.max(5000, 8000 + processingLoad * 1000)))
     }
     val ckpt =
@@ -265,8 +282,8 @@ object Estimator {
       else if (in.expected_latency_seconds <= 5.0) math.min(baseCkpt, 20000)
       else baseCkpt
     if (in.expected_latency_seconds <= 1.0) {
-      val boost = math.max(1, (2.0 / in.expected_latency_seconds).toInt)
-      recPar = math.min(maxPar, recPar * boost)
+      val boost = math.max(1L, (2.0 / in.expected_latency_seconds).toLong)
+      recPar = math.min(maxPar.toLong, recPar.toLong * boost).toInt
     }
     ScalingRecommendations(minPar, recPar, maxPar, ckpt)
   }
@@ -276,7 +293,11 @@ object Estimator {
     * then reads; the final placement may grow it further, and input_summary
     * reports the grown value while total_worker_node_needed floors against
     * the throughput pass's count (quirk Q1). */
-  def estimate(inputRaw: EstimationInput): Either[String, EstimationResult] = {
+  def estimate(inputRaw: EstimationInput): Either[String, EstimationResult] =
+    try estimateOrThrow(inputRaw)
+    catch { case e: ArithmeticException => Left(s"sizing overflow: ${e.getMessage}") }
+
+  private def estimateOrThrow(inputRaw: EstimationInput): Either[String, EstimationResult] = {
     val in = Validation.applyTshirt(inputRaw) // _defaulting_input_params (A17)
     val ctx = new Ctx(in)
     val totalThroughputMbPerSec = in.total_throughput_mb_per_sec

@@ -90,12 +90,13 @@ object RelationalQueries {
 
   /** Q8 — equi + theta (range) join: the equi conjunct keeps it a hash join
     * with the range as a post-join residual — NOT a nested-loop join, which
-    * is the difference between hours and seconds at 100 TB. part is the
-    * smaller side → broadcast. */
+    * is the difference between hours and seconds at 100 TB. No broadcast
+    * hint: part grows linearly with SF (~20M rows at sf100), so the choice
+    * between broadcast and shuffle join belongs to AQE/CBO at runtime. */
   def q8RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    l.join(broadcast(p),
+    l.join(p,
         $"l_partkey" === $"p_partkey" && $"l_quantity" > $"p_size".cast("double"),
         "inner")
       .groupBy($"p_partkey").agg(count(lit(1)).as("n"))

@@ -29,13 +29,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Sessions set spark.sql.legacy.parquet.nanosAsLong=true (see
     * [[Sessions.tune]]); here the raw nanos come back as LongType and are
-    * truncated to micros (integer DIV — a double division would lose
-    * precision above 2^53 ns) to rebuild a TimestampType column. DuckDB
-    * truncates ns->us identically on CAST, so oracles stay aligned. */
+    * floor-divided to micros (integer arithmetic — a double division would
+    * lose precision above 2^53 ns; DIV alone truncates toward zero, which
+    * for pre-epoch negative nanos would round UP while DuckDB's
+    * TIMESTAMP_NS->TIMESTAMP cast floors — ADVICE r1) to rebuild a
+    * TimestampType column aligned with the oracle. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
       case _        => df
     }
   }

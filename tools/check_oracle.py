@@ -6,7 +6,7 @@ and compare row counts, schemas (loosely), and values.
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
 """
-import json, sys, glob, os
+import json, sys, glob, os, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -34,12 +34,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        def eq(a, b):
+            if a is None and b is None:
+                return True
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    return True
+                # SQL NULL in a float column comes back as NaN from fetchdf;
+                # tight relative tolerance for residual doubles (ADVICE r1).
+                return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+            return a == b
         mismatch = None
         for c in got.columns:
             gv, ev = got[c].tolist(), exp[c].tolist()
             if gv != ev:
                 for i, (a, b) in enumerate(zip(gv, ev)):
-                    if a != b and not (a is None and b is None):
+                    if not eq(a, b):
                         mismatch = (c, i, a, b); break
                 if mismatch: break
         if mismatch:
