@@ -1,0 +1,104 @@
+package graft.engine
+
+import graft.SparkTestSession
+import graft.core._
+import graft.kernel.Estimator
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The kernel on Spark: sweep semantics (N rows == N single-row results),
+  * reject routing, and the SQL struct UDF — SURVEY.md §3 lifecycle mapping.
+  */
+class EngineSpec extends AnyFunSuite with SparkTestSession {
+
+  private def grid = Engine.demoGrid
+
+  test("sweep of N scenarios equals N single-row kernel results") {
+    import spark.implicits._
+    val ds = spark.createDataset(grid)
+    val swept = Engine.sweep(ds).collect().map(o => o.input.project_name -> o).toMap
+    assert(swept.size == grid.size)
+    grid.foreach { in =>
+      val local = Engine.estimateOne(in)
+      val dist = swept(in.project_name)
+      assert(dist.result == local.result, s"result mismatch for ${in.project_name}")
+      assert(dist.error == local.error, s"error mismatch for ${in.project_name}")
+    }
+  }
+
+  test("sweep is a narrow plan: no shuffle exchange") {
+    import spark.implicits._
+    val plan = Engine.sweep(spark.createDataset(grid))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sweep plan must not shuffle:\n$plan")
+  }
+
+  test("valid and invalid rows route to results and rejects exactly") {
+    import spark.implicits._
+    val good = grid.take(10)
+    val bad = Seq(
+      EstimationInput(project_name = "   "),
+      EstimationInput(project_name = "neg", messages_per_second = -1),
+      EstimationInput(project_name = "vm no size", worker_node_type = "VM"))
+    val ds = spark.createDataset(scala.util.Random.shuffle(good ++ bad))
+    val results = Engine.sweepResults(ds).collect()
+    val rejects = Engine.sweepRejects(ds).collect()
+    assert(results.length == good.size)
+    assert(rejects.length == bad.size)
+    assert(rejects.map(_._1.project_name).toSet == Set("   ", "neg", "vm no size"))
+  }
+
+  test("flink_estimate UDF returns the golden struct in SQL") {
+    Engine.registerUdfs(spark)
+    import spark.implicits._
+    val df = spark.createDataset(Seq(
+      EstimationInput(project_name = "VM Test",
+        worker_node_type = "VM", worker_node_t_size = Some("S"))))
+    df.createOrReplaceTempView("scenarios")
+    val row = spark.sql(
+      """SELECT flink_estimate(struct(s.*)) AS r FROM scenarios s""")
+      .select(
+        col("r.resource_estimates.total_memory_mb"),
+        col("r.resource_estimates.total_cpus"),
+        col("r.cluster_recommendations.taskmanagers.count"))
+      .head()
+    // The 6144/4/1-TM golden (test_basic_estimation.py:290-301).
+    assert(row.getLong(0) == 6144L)
+    assert(row.getInt(1) == 4)
+    assert(row.getInt(2) == 1)
+  }
+
+  test("flink_estimate_error UDF surfaces the reject reason in SQL") {
+    Engine.registerUdfs(spark)
+    import spark.implicits._
+    val df = spark.createDataset(Seq(EstimationInput(project_name = "   ")))
+    df.createOrReplaceTempView("bad_scenarios")
+    val err = spark.sql(
+      """SELECT flink_estimate_error(struct(s.*)) AS e,
+        |       flink_estimate(struct(s.*)) AS r
+        |FROM bad_scenarios s""".stripMargin).head()
+    assert(err.getString(0).contains("Project name cannot be empty"))
+    assert(err.isNullAt(1))
+  }
+
+  test("sweepQuery produces one row per grid scenario") {
+    val df = Engine.sweepQuery(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == grid.size)
+    // every row either succeeded (tm_count set) or carries an error
+    rows.foreach { r =>
+      val hasResult = !r.isNullAt(r.fieldIndex("tm_count"))
+      val hasError = !r.isNullAt(r.fieldIndex("error"))
+      assert(hasResult ^ hasError, s"row must have exactly one of result/error: $r")
+    }
+  }
+
+  test("distributed sweep matches the reference golden across the grid (spot)") {
+    // VM-S default row computed through Spark must equal the direct kernel call.
+    val in = EstimationInput(project_name = "VM Test",
+      worker_node_type = "VM", worker_node_t_size = Some("S"))
+    import spark.implicits._
+    val viaSpark = Engine.sweepResults(spark.createDataset(Seq(in))).head()
+    assert(Right(viaSpark) == Estimator.estimate(in))
+  }
+}
