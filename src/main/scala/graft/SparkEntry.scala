@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Engine
-import graft.operators.RelationalQueries
+import graft.operators.{DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all.toMap +
+    (RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      TextQueries.all).toMap +
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
       ("q21_estimator_sweep" -> (Engine.sweepQuery _))
@@ -27,5 +28,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ DedupQueries.oracle ++
+      SimilarityQueries.oracle ++ TextQueries.oracle
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType), 64
+  * dims): brute-force exact top-k as the verifiable baseline, and a
+  * random-hyperplane-LSH bucketed variant as the 100 TB path.
+  *
+  * Oracle-stability design: float arithmetic differs in the last ulp between
+  * engines, so the *declared* similarity is a quantized integer dot product
+  * — embeddings scaled by 1000 and rounded to BIGINT (a float×1000 can never
+  * land exactly on .5, so HALF_UP rounding agrees everywhere), making every
+  * score exact, order-independent, and hash-identical in Spark and DuckDB.
+  * The LSH variant additionally exposes true float cosine (ScalaTest-pinned,
+  * not oracle-pinned).
+  */
+object SimilarityQueries {
+
+  val QueryCount = 20
+  val TopK = 5
+
+  /** Quantized vector column: BIGINT per dim, exact in both engines. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).withColumn("qv", expr(
+      "transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+
+  /** Q26 — exact brute-force top-k by quantized dot product: the 20 query
+    * vectors broadcast against the full corpus (the fact side never moves
+    * for the join — at 100 TB the corpus streams once past the broadcast).
+    * The per-query top-k is a rank window; Spark inserts WindowGroupLimit,
+    * so each map partition keeps only k rows per query before the shuffle —
+    * the reducer sees 20 x k x partitions rows, not the corpus. */
+  def q26KnnExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"), "inner")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+  }
+
+  val LshBits = 4
+
+  /** Deterministic pseudo-random hyperplane sign for (plane p, dim i):
+    * +1/-1 from the first md5 hex digit of "p:i". Derivable identically on
+    * any executor with no broadcast state. */
+  private val planeSignSql =
+    "CASE WHEN conv(substring(md5(concat(cast(p AS STRING), ':', cast(i AS STRING))), 1, 1), 16, 10) < 8 THEN -1.0D ELSE 1.0D END"
+
+  /** Signed projection of an embedding onto pseudo-random hyperplane p. */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", expr(
+      s"""aggregate(sequence(0, $LshBits - 1), 0,
+         |  (acc, p) -> acc * 2 + (CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0.0D,
+         |    (s, i) -> s + cast(embedding[i] AS DOUBLE) * $planeSignSql) > 0 THEN 1 ELSE 0 END))""".stripMargin))
+
+  /** Q27 — bucketed ANN: sign-LSH into 2^4 buckets, multi-probe (exact
+    * bucket + all Hamming-1 neighbors), exact quantized dot inside buckets
+    * only. The candidate join is an equi-join on the bucket id; candidate
+    * count per query = corpus/2^bits x (bits+1) in expectation, tunable by
+    * LshBits — at 100 TB raise bits so buckets stay executor-sized, and the
+    * plan shape is unchanged. Rows-only correctness (recall and determinism
+    * are ScalaTest-pinned against q26). */
+  def q27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withBucket(quantized(spark, dir))
+    // queries probe their own bucket plus each single-bit flip
+    val probes = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), explode(expr(
+        s"array_union(array(bucket), transform(sequence(0, $LshBits - 1), b -> bucket ^ shiftleft(1, b)))"))
+        .as("probe"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("bucket"))
+    val scored = corpus
+      .join(probes.hint("broadcast"), col("probe") === col("bucket") &&
+        col("query_id") =!= col("neighbor_id"), "inner")
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+  }
+
+  /** Q28 — true float cosine similarity, double-precision left fold, for the
+    * label-neighborhood census: average cosine within vs across labels.
+    * Aggregated to per-label stats so the result is small and stable; the
+    * underlying per-pair cosine is ScalaTest-pinned. Demonstrates
+    * functions-not-UDFs vector math (zip_with/aggregate are codegen'd). */
+  def q28CosineLabelStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0.0D, (s, x) -> s + x * x))"))
+      .filter(col("vec_id") < 100) // bounded demo pair set
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("norm").as("na"), col("label").as("label_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("norm").as("nb"), col("label").as("label_b"))
+    a.join(b, col("id_a") < col("id_b"), "inner")
+      .withColumn("cos", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (s, x) -> s + x) / (na * nb)"))
+      .groupBy((col("label_a") === col("label_b")).as("same_label"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 3).as("avg_cos"))
+      .orderBy(col("same_label").asc)
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q26_knn_exact" -> (q26KnnExact _),
+    "q27_ann_lsh" -> (q27AnnLsh _),
+    "q28_cosine_label_stats" -> (q28CosineLabelStats _),
+  )
+
+  /** Oracles: q26 is fully hash-checkable (integer math); q27/q28 are
+    * rows-only (LSH parameters and float folds are Spark-side semantics,
+    * pinned by SimilaritySpec). */
+  val oracle: Map[String, String] = Map(
+    "q26_knn_exact" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |j AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |        CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
+         |      FROM q a JOIN q b ON a.vec_id < $QueryCount AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM j)
+         |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
+         |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
+  )
+}

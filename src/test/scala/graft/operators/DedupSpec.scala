@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup-family semantics beyond what the DuckDB oracle pins: LSH candidate
+  * structure, Jaccard bounds, simhash vs an independent plain-Scala
+  * reference implementation, and the no-cartesian-product plan property.
+  */
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup census is internally consistent") {
+    val r = DedupQueries.q22ExactDedup(spark, dir).head()
+    val (n, unique, dup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == unique + dup)
+    assert(unique > 0)
+  }
+
+  test("LSH candidates are ordered unique pairs") {
+    val pairs = DedupQueries.q23MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  test("LSH plan contains no cartesian product or nested-loop join") {
+    val plan = DedupQueries.q23MinhashLsh(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("candidate pairs have higher Jaccard than random pairs") {
+    val j = DedupQueries.q24JaccardVerify(spark, dir).collect()
+      .map(_.getDouble(2))
+    assert(j.forall(x => x >= 0.0 && x <= 1.0))
+    // banded minhash (4 bands of r=2) selects for similarity; the candidate
+    // mean must clearly beat the ~0 similarity of random synthetic docs
+    if (j.nonEmpty) assert(j.sum / j.length > 0.05, s"mean jaccard ${j.sum / j.length}")
+  }
+
+  /** Independent reference simhash: same definition, plain Scala. */
+  private def simhashRef(text: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = text.split(" ", -1).toSeq.map(md5hex)
+    (0 until 64).map { j =>
+      val sum = hashes.map { h =>
+        val digit = Integer.parseInt(h.charAt(j / 4).toString, 16)
+        if (((digit >> (3 - j % 4)) & 1) == 1) 1L else -1L
+      }.sum
+      if (sum > 0) '1' else '0'
+    }.mkString
+  }
+
+  test("simhash matches the plain-Scala reference on sampled docs") {
+    val rows = DedupQueries.q25SimHash(spark, dir).limit(25).collect()
+    val texts = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, got) = (r.getLong(0), r.getString(1))
+      assert(got.length == 64)
+      assert(got == simhashRef(texts(id)), s"simhash mismatch for doc $id")
+    }
+  }
+
+  test("near-identical docs collide in LSH; dissimilar docs mostly don't") {
+    import spark.implicits._
+    // a corpus of two near-duplicate docs + unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 1-word diff
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "red orange yellow green blue indigo violet pink brown black"),
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = DedupQueries.q23MinhashLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dups must be candidates, got $pairs")
+    assert(!pairs.contains((3L, 4L)), s"unrelated docs with zero shared shingles must not pair: $pairs")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Similarity-search semantics not covered by the DuckDB oracle: exact KNN
+  * vs an independent Scala brute force, ANN recall against exact, and the
+  * cosine fold's numeric agreement with plain-Scala double math.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  test("q26 exact KNN matches plain-Scala brute force") {
+    val vs = vectors
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000))
+    val expected = (for {
+      q <- vs.keys.filter(_ < SimilarityQueries.QueryCount).toSeq
+      qa = quant(vs(q))
+      top = vs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val qb = quant(v)
+          (id, qa.zip(qb).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (id, dot) => (-dot, id) }
+        .take(SimilarityQueries.TopK)
+      (id, dot) <- top
+    } yield (q, id, dot)).toSet
+    val got = SimilarityQueries.q26KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q27 ANN achieves useful recall against exact top-k") {
+    val exact = SimilarityQueries.q26KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityQueries.q27AnnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // 4-bit multi-probe LSH on 64-dim synthetic data: ~0.4 observed; the
+    // floor guards against the bucketing silently degenerating.
+    assert(recall >= 0.2, s"recall@${SimilarityQueries.TopK} = $recall")
+  }
+
+  test("q27 ANN scores are true dot products (subset of exact scoring)") {
+    val vs = vectors
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000))
+    SimilarityQueries.q27AnnLsh(spark, dir).collect().foreach { r =>
+      val (q, id, dot) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = quant(vs(q)).zip(quant(vs(id))).map { case (a, b) => a * b }.sum
+      assert(dot == expect, s"ANN dot mismatch for ($q, $id)")
+    }
+  }
+
+  test("cosine fold agrees with plain-Scala double math") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
+      .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0.0D, (s, x) -> s + x * x))"))
+      .select("vec_id", "norm").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vs = vectors
+    df.foreach { case (id, got) =>
+      val v = vs(id).map(_.toDouble)
+      val expect = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+      assert(got == expect, s"norm fold mismatch for $id: $got vs $expect")
+    }
+  }
+
+  test("label-neighborhood census: same-label pairs are more similar on average") {
+    val rows = SimilarityQueries.q28CosineLabelStats(spark, dir).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+    assert(rows.keySet == Set(true, false))
+    assert(rows(true) > rows(false),
+      s"same-label avg cosine ${rows(true)} must exceed cross-label ${rows(false)}")
+  }
+}
