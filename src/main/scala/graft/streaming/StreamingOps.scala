@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators for the priced Flink workload classes
+  * (SURVEY.md §2.C streaming rows; reference estimation.html:225,239-240,
+  * considerations.html:31-32): tumble/hop/session windows with watermarks,
+  * dedup-within-watermark, stream-stream left join, and stateful pattern
+  * matching via flatMapGroupsWithState.
+  *
+  * Every transform takes a DataFrame and works identically on a batch or a
+  * streaming frame (the micro-batch model's core promise) — the batch
+  * catalog's q19 is literally [[tumble]] over a batch scan. State scale
+  * notes per op; all state is keyed, so a 1000-executor cluster partitions
+  * it by key hash with no driver involvement.
+  */
+object StreamingOps {
+
+  private val dec = DecimalType(18, 2)
+
+  /** Tumbling event-time window + per-type aggregate. State: one row per
+    * (window, type) until the watermark closes the window. */
+  def tumble(events: DataFrame, width: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec)).cast("double").as("sv"))
+      .select(col("w.start").as("h"), col("event_type"), col("cnt"), col("sv"))
+
+  /** Hopping (sliding) window: each event lands in width/slide windows —
+    * state grows by that factor; slide must divide width for Flink HOP
+    * parity. */
+  def hop(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("cnt"))
+
+  /** Session window with a fixed inactivity gap. Spark merges adjacent
+    * sessions in the state store; emission happens when the watermark
+    * passes session end. */
+  def session(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("user_id"), col("cnt"))
+
+  /** Exactly-once dedup on event_id with bounded state: ids older than the
+    * watermark are evicted (the streaming form of q10's dropDuplicates —
+    * the unbounded-state version is a leak at 100 TB/day). */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream LEFT OUTER join: view-events enriched with purchase
+    * events for the same user within [0, +10 min]. Both sides watermarked;
+    * unmatched left rows emit with nulls only after the watermark proves no
+    * match can still arrive — the Flink "full left join" complex class.
+    * State: both sides buffered inside the join window, keyed by user_id. */
+  def viewPurchaseLeftJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+  }
+
+  // ---- stateful pattern matching (flatMapGroupsWithState) ----
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(count: Long, sumValue: Double, lastTsMs: Long)
+
+  final case class UserSession(user_id: Long, n_events: Long, sum_value: Double,
+      closed_at_ms: Long)
+
+  /** Custom sessionization: per-user event accumulation, session closed and
+    * emitted when the event-time watermark passes last-event + gap (the
+    * "Complex event pattern matching" class, estimation.html:239).
+    * State per live user only — eviction is watermark-driven, so state is
+    * bounded by (active users x gap window) at any scale. */
+  def userSessions(events: Dataset[Ev], gapMs: Long = 5 * 60 * 1000): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, s.count, s.sumValue, s.lastTsMs + gapMs))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            // close the previous session if the gap already elapsed within the batch
+            val (closed, open) = sorted.foldLeft(
+              (Vector.empty[UserSession], prev)) { case ((out, s), e) =>
+              val t = e.ts.getTime
+              if (s.count > 0 && t - s.lastTsMs > gapMs)
+                (out :+ UserSession(userId, s.count, s.sumValue, s.lastTsMs + gapMs),
+                  SessionState(1L, e.value, t))
+              else
+                (out, SessionState(s.count + 1, s.sumValue + e.value, t))
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastTsMs + gapMs)
+            closed.iterator
+          }
+      }
+  }
+}

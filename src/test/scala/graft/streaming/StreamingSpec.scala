@@ -1,0 +1,184 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** MemoryStream event-time tests for the streaming module (SURVEY.md §5.4):
+  * window semantics, watermark late-data handling, dedup-within-watermark,
+  * stream-stream left join nulls-after-watermark, and custom sessionization
+  * — plus batch-vs-streaming-replay equivalence on the tumbling aggregate
+  * (the q19 shape).
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private var qn = 0
+  private def nextName(): String = { qn += 1; s"stream_sink_$qn" }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, user: Long = 1L,
+      tpe: String = "view", value: Double = 1.0): Ev =
+    Ev(id, ts(t), user, tpe, value)
+
+  /** Run a streaming frame into a memory sink, process everything, return
+    * the collected sink table. */
+  private def runToMemory(df: DataFrame, mode: String = "append"): (StreamingQuery, String) = {
+    val name = nextName()
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    (q, name)
+  }
+
+  test("tumble: batch and streaming replay agree on closed windows (q19 equivalence)") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, "2026-01-01 10:05:00", tpe = "view", value = 2.0),
+      ev(2, "2026-01-01 10:55:00", tpe = "view", value = 3.0),
+      ev(3, "2026-01-01 10:30:00", tpe = "click", value = 1.5),
+      ev(4, "2026-01-01 11:10:00", tpe = "view", value = 4.0),
+      ev(5, "2026-01-01 12:20:00", tpe = "click", value = 0.5))
+    val sentinel = ev(99, "2026-01-02 00:00:00", tpe = "sentinel")
+
+    // batch evaluation of the same transform
+    val batch = StreamingOps.tumble(events.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.tumble(stream.toDF()))
+    stream.addData(events)
+    q.processAllAvailable()
+    stream.addData(Seq(sentinel)) // advances watermark past every real window
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 != "sentinel").toSet
+    assert(streamed == batch)
+  }
+
+  test("tumble: late event beyond the watermark is dropped") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.tumble(stream.toDF(), watermark = "10 minutes"))
+    stream.addData(Seq(ev(1, "2026-01-01 10:05:00", value = 1.0)))
+    q.processAllAvailable()
+    // watermark moves to 11:50; the 10:00-11:00 window closes and emits
+    stream.addData(Seq(ev(2, "2026-01-01 12:00:00", value = 1.0)))
+    q.processAllAvailable()
+    // this event is 90 minutes late — inside an already-closed window
+    stream.addData(Seq(ev(3, "2026-01-01 10:10:00", value = 100.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(4, "2026-01-02 00:00:00", value = 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table(name).collect()
+      .filter(_.getTimestamp(0) == ts("2026-01-01 10:00:00"))
+    assert(tenOclock.length == 1)
+    assert(tenOclock.head.getLong(2) == 1, "late event must not be counted")
+  }
+
+  test("hop: one event lands in width/slide windows") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.hop(stream.toDF()))
+    stream.addData(Seq(ev(1, "2026-01-01 10:07:00")))
+    stream.addData(Seq(ev(2, "2026-01-01 11:00:00"))) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table(name).collect()
+      .filter(r => r.getLong(3) > 0 && r.getTimestamp(0).before(ts("2026-01-01 10:30:00")))
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1)))
+    // 10:07 with width 10m / slide 5m belongs to [10:00,10:10) and [10:05,10:15)
+    assert(windows.toSet == Set(
+      (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:10:00")),
+      (ts("2026-01-01 10:05:00"), ts("2026-01-01 10:15:00"))))
+  }
+
+  test("session window: gap splits, adjacency merges") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.session(stream.toDF(), gap = "5 minutes"))
+    stream.addData(Seq(
+      ev(1, "2026-01-01 10:00:00"), ev(2, "2026-01-01 10:03:00"),
+      ev(3, "2026-01-01 10:06:00"), // merges: within 5m of 10:03
+      ev(4, "2026-01-01 10:30:00"))) // new session
+    stream.addData(Seq(ev(9, "2026-01-01 12:00:00"))) // close everything
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table(name).collect()
+      .filter(_.getTimestamp(0).before(ts("2026-01-01 11:00:00")))
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+    assert(sessions.toSet == Set(
+      (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:11:00"), 3L),
+      (ts("2026-01-01 10:30:00"), ts("2026-01-01 10:35:00"), 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.dedupWithinWatermark(stream.toDF()))
+    stream.addData(Seq(
+      ev(1, "2026-01-01 10:00:00", value = 1.0),
+      ev(1, "2026-01-01 10:00:30", value = 1.0), // same id, within watermark
+      ev(2, "2026-01-01 10:01:00", value = 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(1, "2026-01-01 10:02:00", value = 1.0))) // still duplicate
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table(name).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream left join: match joins, no-match emits nulls after watermark") {
+    import spark.implicits._
+    val views = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val joined = StreamingOps.viewPurchaseLeftJoin(views.toDF(), purchases.toDF())
+    val (q, name) = runToMemory(joined)
+    views.addData(Seq(
+      ev(10, "2026-01-01 10:00:00", user = 1),
+      ev(11, "2026-01-01 10:00:00", user = 2)))
+    purchases.addData(Seq(
+      ev(20, "2026-01-01 10:05:00", user = 1, tpe = "purchase", value = 9.99)))
+    q.processAllAvailable()
+    // advance both watermarks far enough to prove view 11 is unmatched
+    views.addData(Seq(ev(12, "2026-01-01 11:00:00", user = 3)))
+    purchases.addData(Seq(ev(21, "2026-01-01 11:00:00", user = 3, tpe = "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(rows.contains((10L, 20L)), s"matched view must join: $rows")
+    assert(rows.contains((11L, -1L)), s"unmatched view must emit nulls after watermark: $rows")
+  }
+
+  test("flatMapGroupsWithState sessionization: gaps close sessions with totals") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val sessions = StreamingOps.userSessions(stream.toDS(), gapMs = 5 * 60 * 1000)
+    val (q, name) = runToMemory(sessions.toDF())
+    stream.addData(Seq(
+      ev(1, "2026-01-01 10:00:00", user = 1, value = 1.0),
+      ev(2, "2026-01-01 10:02:00", user = 1, value = 2.0),
+      ev(3, "2026-01-01 10:20:00", user = 1, value = 4.0), // gap > 5m: new session
+      ev(4, "2026-01-01 10:00:00", user = 2, value = 8.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(9, "2026-01-01 12:00:00", user = 99))) // watermark flush
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 != 99L).toSet
+    assert(got == Set(
+      (1L, 2L, 3.0),  // 10:00+10:02 closed by the 10:20 gap
+      (1L, 1L, 4.0),  // 10:20 closed by timeout
+      (2L, 1L, 8.0)))
+  }
+}
