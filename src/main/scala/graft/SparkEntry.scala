@@ -23,7 +23,10 @@ object SparkEntry {
       TextQueries.all).toMap +
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
-      ("q21_estimator_sweep" -> (Engine.sweepQuery _))
+      ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
+      // B5 list pipeline over a deterministic demo run store (rows-only:
+      // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
+      ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

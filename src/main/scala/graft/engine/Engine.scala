@@ -110,6 +110,18 @@ object Engine {
     )
   }
 
+  /** SparkEntry.queries entry for the B5 list pipeline: save a deterministic
+    * demo corpus into a fresh temp store, then run the real Spark
+    * scan-filter-project-sort over it (rows-only check: size/mtime columns
+    * are machine-dependent by nature; structure is pinned by RunStoreSpec).
+    */
+  def savedRunsListQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    val store = new RunStore(spark, tmp)
+    store.saveDemoRuns(8)
+    store.list()
+  }
+
   /** SparkEntry.queries entry: run the demo grid sweep and flatten headline
     * outputs to scalar columns (driver records a rows-only check — the
     * kernel itself is pinned value-exactly by the ScalaTest parity suite).

@@ -1,0 +1,123 @@
+package graft.engine
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+/** Saved-run persistence: the reference's save/list/download/delete/reload
+  * surface (A19-A20, B4-B8; /root/reference/src/main.py:286-520,
+  * estimation.py:611-656) re-expressed over a Spark-readable store.
+  *
+  * Single-run save/reload are driver-side file ops (one JSON object per
+  * file, the reference's wire format); the LIST endpoint — the reference's
+  * one truly executed scan-filter-project-sort pipeline — runs as a real Spark
+  * plan over the binaryFile source, so at 10^6 saved runs it parallelizes
+  * instead of os.listdir-ing.
+  */
+final class RunStore(spark: SparkSession, val dir: String) {
+  Files.createDirectories(Paths.get(dir)) // mirrors os.makedirs at import
+
+  private val savedSchema = Encoders.product[SavedEstimation].schema
+
+  /** Filename sanitize (estimation.py:645-648): keep alnum / space / dash /
+    * underscore, strip trailing whitespace, spaces to underscores. */
+  def sanitizeProjectName(name: String): String =
+    name.filter(c => c.isLetterOrDigit || c == ' ' || c == '-' || c == '_')
+      .reverse.dropWhile(_.isWhitespace).reverse
+      .replace(' ', '_')
+
+  /** Path-traversal guard (main.py:395-399). */
+  def traversalSafe(filename: String): Boolean =
+    !filename.contains("..") && !filename.contains("/") && !filename.contains("\\")
+
+  private def path(filename: String): Path = Paths.get(dir, filename)
+
+  /** Save a computed run (B4 + A19): uuid-prefix id, ISO timestamp,
+    * `{sanitized}_{yyyyMMdd_HHmmss}_{id}.json`. `now`/`id` injectable for
+    * deterministic tests. Returns the filename. */
+  def save(input: EstimationInput, result: EstimationResult,
+      now: LocalDateTime = LocalDateTime.now(),
+      id: String = java.util.UUID.randomUUID().toString.take(8)): String = {
+    val metadata = EstimationMetadata(
+      estimation_id = id,
+      timestamp = now.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+      project_name = input.project_name,
+      saved_at = now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+    val saved = SavedEstimation(metadata, input, result)
+    val filename =
+      s"${sanitizeProjectName(input.project_name)}_" +
+        s"${now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))}_$id.json"
+    // Spark's JSON codec writes the exact StructType field names (the
+    // reference's snake_case wire shape) — no hand-rolled serializer.
+    import spark.implicits._
+    val json = spark.createDataset(Seq(saved)).toJSON.head()
+    Files.writeString(path(filename), json)
+    filename
+  }
+
+  /** List saved runs (B5): scan dir -> filter *.json -> project {filename,
+    * project_name, saved_at, size_bytes, modified_time} with per-file
+    * 'Unknown' fallback -> sort by modified_time desc. A real Spark plan
+    * over the binaryFile source: predicate (glob) pushed to listing, narrow
+    * JSON-peek projection, one small sort. */
+  def list(): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.json")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "[^/]+$", 0).as("filename"),
+        coalesce(get_json_object(col("content").cast("string"),
+          "$.metadata.project_name"), lit("Unknown")).as("project_name"),
+        coalesce(get_json_object(col("content").cast("string"),
+          "$.metadata.saved_at"), lit("Unknown")).as("saved_at"),
+        col("length").as("size_bytes"),
+        date_format(col("modificationTime"), "yyyy-MM-dd HH:mm:ss").as("modified_time"))
+      .orderBy(col("modified_time").desc, col("filename").asc)
+
+  /** Download (B6): file content, 404-as-Left. */
+  def download(filename: String): Either[String, String] =
+    if (!traversalSafe(filename)) Left("Invalid filename")
+    else if (!Files.exists(path(filename))) Left("File not found")
+    else Right(Files.readString(path(filename)))
+
+  /** Delete (B7): traversal guard (400), missing file (404), then remove. */
+  def delete(filename: String): Either[String, String] =
+    if (!traversalSafe(filename)) Left("Invalid filename")
+    else if (!Files.exists(path(filename))) Left("File not found")
+    else {
+      Files.delete(path(filename))
+      Right(s"Estimation '$filename' deleted successfully")
+    }
+
+  /** Save every successful demo-grid run (a deterministic small corpus for
+    * the list-pipeline query entry). */
+  private[engine] def saveDemoRuns(n: Int): Unit =
+    Engine.demoGrid.take(n).zipWithIndex.foreach { case (in, i) =>
+      Engine.estimateOne(in).result.foreach { r =>
+        save(in, r, now = LocalDateTime.of(2026, 8, 12, 10, i, 0), id = f"$i%08x")
+      }
+    }
+
+  /** Reload (B8): read one file through the schema-validated JSON decode
+    * (SavedEstimation(**data) equivalent), then re-validate the input
+    * parameters like the Pydantic model would. */
+  def reload(filename: String): Either[String, SavedEstimation] =
+    if (!traversalSafe(filename)) Left("Invalid filename")
+    else if (!Files.exists(path(filename))) Left("File not found")
+    else {
+      import spark.implicits._
+      val ds = spark.read.schema(savedSchema).json(path(filename).toString)
+        .as[SavedEstimation]
+      ds.collect().toList match {
+        case saved :: Nil if saved.metadata != null && saved.input_parameters != null =>
+          Validation.validate(saved.input_parameters) match {
+            case Left(errs) => Left(s"Invalid saved input: ${errs.mkString("; ")}")
+            case Right(_)   => Right(saved)
+          }
+        case _ => Left(s"Corrupt saved estimation: $filename")
+      }
+    }
+}
