@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.operators.{FunctionQueries, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UDAF/generator/approx coverage: the typed Aggregator's algebra and its
+  * agreement with a plain-Scala computation, plus the approx-distinct
+  * error bound.
+  */
+class FunctionSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CentroidAggregator algebra: zero/reduce/merge/finish") {
+    val a = CentroidAggregator
+    val v1 = Seq(1.0f, -2.0f)
+    val v2 = Seq(0.5f, 0.5f)
+    val b = a.merge(a.reduce(a.zero, v1), a.reduce(a.zero, v2))
+    assert(b.n == 2)
+    assert(b.sums.toSeq == Seq(1500L, -1500L))
+    assert(a.finish(b) == Seq(750L, -750L))
+    // truncating division on negatives (DuckDB integer // parity: -3//2 = -1)
+    val neg = a.merge(a.reduce(a.zero, Seq(-0.001f)), a.reduce(a.zero, Seq(-0.002f)))
+    assert(a.finish(neg) == Seq(-1L))
+    // merge with zero on either side
+    assert(a.finish(a.merge(a.zero, b)) == a.finish(b))
+    assert(a.finish(a.merge(b, a.zero)) == a.finish(b))
+  }
+
+  test("q35 centroids match a plain-Scala groupBy computation") {
+    val expected: Map[(Int, Int), Long] =
+      Tables.embeddings(spark, dir).select("label", "embedding").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1))
+        .groupBy(_._1)
+        .flatMap { case (label, rows) =>
+          val n = rows.length
+          val dims = rows.head._2.length
+          (0 until dims).map { d =>
+            val s = rows.map(r => math.round(r._2(d).toDouble * 1000)).sum
+            (label, d) -> s / n
+          }
+        }
+    val got = FunctionQueries.q35LabelCentroids(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("q37 approx distinct stays within the declared 5% bound") {
+    val r = FunctionQueries.q37ApproxDistinct(spark, dir).head()
+    assert(r.getBoolean(1), s"approx out of bounds: $r")
+  }
+}
