@@ -26,7 +26,10 @@ object SparkEntry {
       ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
       // B5 list pipeline over a deterministic demo run store (rows-only:
       // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
-      ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _))
+      ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
+      // Multimodal decode census (rows-only: binary plumbing is Spark-side
+      // semantics, pinned by MultimodalSpec).
+      ("q38_media_meta" -> (graft.multimodal.MultimodalOps.q38MediaMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
