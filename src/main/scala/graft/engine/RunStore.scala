@@ -40,23 +40,10 @@ final class RunStore(spark: SparkSession, val dir: String) {
     * deterministic tests. Returns the filename. */
   def save(input: EstimationInput, result: EstimationResult,
       now: LocalDateTime = LocalDateTime.now(),
-      id: String = java.util.UUID.randomUUID().toString.take(8)): String = {
-    val metadata = EstimationMetadata(
-      estimation_id = id,
-      timestamp = now.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME),
-      project_name = input.project_name,
-      saved_at = now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
-    val saved = SavedEstimation(metadata, input, result)
-    val filename =
-      s"${sanitizeProjectName(input.project_name)}_" +
-        s"${now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))}_$id.json"
+      id: String = java.util.UUID.randomUUID().toString.take(8)): String =
     // Spark's JSON codec writes the exact StructType field names (the
     // reference's snake_case wire shape) — no hand-rolled serializer.
-    import spark.implicits._
-    val json = spark.createDataset(Seq(saved)).toJSON.head()
-    Files.writeString(path(filename), json)
-    filename
-  }
+    saveAll(Seq((input, result, now, id))).head
 
   /** List saved runs (B5): scan dir -> filter *.json -> project {filename,
     * project_name, saved_at, size_bytes, modified_time} with per-file
@@ -92,14 +79,38 @@ final class RunStore(spark: SparkSession, val dir: String) {
       Right(s"Estimation '$filename' deleted successfully")
     }
 
+  /** Bulk save: one Spark serialization job for N runs (the per-run save()
+    * launches one tiny job each — fine interactively, wasteful for batch
+    * export). Returns the filenames in input order. */
+  def saveAll(runs: Seq[(EstimationInput, EstimationResult, LocalDateTime, String)]): Seq[String] = {
+    import spark.implicits._
+    val saved = runs.map { case (in, res, now, id) =>
+      SavedEstimation(
+        EstimationMetadata(
+          estimation_id = id,
+          timestamp = now.format(DateTimeFormatter.ISO_LOCAL_DATE_TIME),
+          project_name = in.project_name,
+          saved_at = now.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))),
+        in, res)
+    }
+    val jsons = spark.createDataset(saved).toJSON.collect()
+    runs.zip(jsons).map { case ((in, _, now, id), json) =>
+      val filename =
+        s"${sanitizeProjectName(in.project_name)}_" +
+          s"${now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))}_$id.json"
+      Files.writeString(path(filename), json)
+      filename
+    }
+  }
+
   /** Save every successful demo-grid run (a deterministic small corpus for
     * the list-pipeline query entry). */
   private[engine] def saveDemoRuns(n: Int): Unit =
-    Engine.demoGrid.take(n).zipWithIndex.foreach { case (in, i) =>
-      Engine.estimateOne(in).result.foreach { r =>
-        save(in, r, now = LocalDateTime.of(2026, 8, 12, 10, i, 0), id = f"$i%08x")
+    saveAll(Engine.demoGrid.take(n).zipWithIndex.flatMap { case (in, i) =>
+      Engine.estimateOne(in).result.map { r =>
+        (in, r, LocalDateTime.of(2026, 8, 12, 10, i, 0), f"$i%08x")
       }
-    }
+    })
 
   /** Reload (B8): read one file through the schema-validated JSON decode
     * (SavedEstimation(**data) equivalent), then re-validate the input

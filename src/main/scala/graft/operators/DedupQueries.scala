@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import java.security.MessageDigest
 
 /** Deduplication operators over the `documents` table — the exact/near-dup
   * family a large-scale training-data pipeline needs (BASELINE.json north
@@ -25,19 +26,56 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  /** Tokenize on single spaces (the testdata is single-spaced; a production
-    * corpus would normalize whitespace upstream) and build distinct 3-word
-    * shingles. Narrow, codegen'd projection.
-    */
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-
   val MinhashCount = 8
   val BandRows = 2 // 4 bands of 2 rows => P(candidate) = 1-(1-j^2)^4
+
+  private[operators] def md5hex(md: MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Per-doc distinct 3-word shingles + minhash signature, computed in one
+    * typed mapPartitions: hashing per element is hot-loop JVM code with one
+    * reused MessageDigest per partition. (The expression-tree alternative —
+    * md5 inside transform/aggregate lambdas — runs on Catalyst's
+    * interpreted higher-order path, ~10x slower per element; the narrow
+    * typed map keeps the same no-shuffle plan shape at any scale.) */
+  private def withShinglesAndSignature(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      // hashing is CPU-bound: spread the narrow 2-column projection across
+      // all cores (testdata ships one row group per file, so the scan alone
+      // yields one task; the shuffled payload is only (id, text))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          if (w.length < 3) Iterator.empty
+          else {
+            val shingles = Array.tabulate(w.length - 2)(i =>
+              w(i) + " " + w(i + 1) + " " + w(i + 2)).distinct
+            val mh = Array.tabulate(MinhashCount) { j =>
+              var min: String = null
+              shingles.foreach { s =>
+                val h = md5hex(md, j.toString + ":" + s)
+                if (min == null || h.compareTo(min) < 0) min = h
+              }
+              min
+            }
+            Iterator.single((id, shingles.toSeq, mh.toSeq))
+          }
+        }
+      }
+      .toDF("doc_id", "shingles", "mh")
+  }
 
   /** Q22 — exact-duplicate census: hash aggregate on md5(text). One shuffle
     * over 2 count-distinct buckets; at 100 TB this is the canonical partial
@@ -49,18 +87,10 @@ object DedupQueries {
         countDistinct(md5(col("text"))).as("n_unique"),
         (count(lit(1)) - countDistinct(md5(col("text")))).cast("long").as("n_dup"))
 
-  /** Per-doc minhash signature: mh[j] = min over shingles of md5(j:shingle).
-    * Computed entirely inside one narrow projection with higher-order
-    * functions (no explode => no row blow-up before the bucket join). */
-  private def withSignature(docs: DataFrame): DataFrame =
-    withShingles(docs).withColumn("mh", expr(
-      s"""transform(sequence(0, $MinhashCount - 1),
-         |  j -> array_min(transform(shingles, s -> md5(concat(cast(j AS STRING), ':', s)))))""".stripMargin))
-
   /** LSH bands exploded to (doc_id, band, band-signature) rows — the bucket
     * key for the candidate join. */
-  private def bands(docs: DataFrame): DataFrame =
-    withSignature(docs)
+  private def bands(signed: DataFrame): DataFrame =
+    signed
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, ${MinhashCount / BandRows - 1}), b -> concat(mh[$BandRows*b], '|', mh[$BandRows*b+1]))"))
         .as(Seq("band", "bsig")))
@@ -70,7 +100,7 @@ object DedupQueries {
     * in one reducer; everything upstream is narrow. Zero cartesian products
     * (the 100 TB survival property VERDICT demanded). */
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(Tables.documents(spark, dir))
+    val b = bands(withShinglesAndSignature(spark, Tables.documents(spark, dir)))
     val l = b.select(col("band").as("band_l"), col("bsig").as("bsig_l"), col("doc_id").as("doc_a"))
     val r = b.select(col("band").as("band_r"), col("bsig").as("bsig_r"), col("doc_id").as("doc_b"))
     l.join(r,
@@ -87,7 +117,8 @@ object DedupQueries {
     * shingle table instead of carrying arrays — same plan shape, one more
     * equi-join. Jaccard is one exact int division => engine-stable double. */
   def q24JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables.documents(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sh = withShinglesAndSignature(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"))
     val cand = q23MinhashLsh(spark, dir)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -103,23 +134,33 @@ object DedupQueries {
     * bit string (strings hash identically across engines; a BIGINT would
     * need signed-overflow gymnastics on bit 63). Bit j comes from hex digit
     * j/4 of each word's md5: contribution +1 if the bit is set else -1,
-    * summed over words; sign(sum) is the fingerprint bit. Pure narrow
-    * projection — at 100 TB this is a free-rider on any scan. */
-  def q25SimHash(spark: SparkSession, dir: String): DataFrame =
+    * summed over words; sign(sum) is the fingerprint bit. One typed
+    * mapPartitions (hot-loop hashing, reused digest) — narrow, no shuffle,
+    * a free-rider on any scan at 100 TB. */
+  def q25SimHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 1)
-      .withColumn("hashes", expr("transform(w, s -> md5(s))"))
-      .select(
-        col("doc_id"),
-        expr(
-          """concat_ws('', transform(sequence(0, 63), j ->
-            |  CASE WHEN aggregate(hashes, 0L, (acc, h) ->
-            |    acc + CASE WHEN (cast(conv(substring(h, cast(j DIV 4 AS INT) + 1, 1), 16, 10) AS INT)
-            |                     DIV cast(pow(2, 3 - j % 4) AS INT)) % 2 = 1
-            |          THEN 1L ELSE -1L END) > 0
-            |  THEN '1' ELSE '0' END))""".stripMargin).as("simhash"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound stage
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = new Array[Long](64)
+          text.split(" ", -1).foreach { wd =>
+            val h = md5hex(md, wd)
+            var j = 0
+            while (j < 64) {
+              val digit = Character.digit(h.charAt(j / 4), 16)
+              counts(j) += (if (((digit >> (3 - j % 4)) & 1) == 1) 1L else -1L)
+              j += 1
+            }
+          }
+          (id, counts.map(c => if (c > 0) '1' else '0').mkString)
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy(col("doc_id").asc)
+  }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),

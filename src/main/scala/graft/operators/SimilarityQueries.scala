@@ -52,19 +52,31 @@ object SimilarityQueries {
   }
 
   val LshBits = 4
+  val Dims = 64
 
-  /** Deterministic pseudo-random hyperplane sign for (plane p, dim i):
-    * +1/-1 from the first md5 hex digit of "p:i". Derivable identically on
-    * any executor with no broadcast state. */
-  private val planeSignSql =
-    "CASE WHEN conv(substring(md5(concat(cast(p AS STRING), ':', cast(i AS STRING))), 1, 1), 16, 10) < 8 THEN -1.0D ELSE 1.0D END"
+  /** Deterministic pseudo-random hyperplane signs for (plane p, dim i):
+    * +1/-1 from the first md5 hex digit of "p:i" — computed ONCE at plan
+    * time and embedded as literal arrays, so the per-row bucket computation
+    * is pure arithmetic (no per-row hashing). */
+  private lazy val planeSigns: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshBits).map { p =>
+      (0 until Dims).map { i =>
+        if (DedupQueries.md5hex(md, s"$p:$i").charAt(0) < '8') -1.0 else 1.0
+      }
+    }
+  }
 
-  /** Signed projection of an embedding onto pseudo-random hyperplane p. */
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("bucket", expr(
-      s"""aggregate(sequence(0, $LshBits - 1), 0,
-         |  (acc, p) -> acc * 2 + (CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0.0D,
-         |    (s, i) -> s + cast(embedding[i] AS DOUBLE) * $planeSignSql) > 0 THEN 1 ELSE 0 END))""".stripMargin))
+  /** Signed projections of an embedding onto the literal hyperplanes. */
+  private def withBucket(df: DataFrame): DataFrame = {
+    val bucket = planeSigns.foldLeft(lit(0)) { (acc, plane) =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(plane), (x, y) => x.cast("double") * y),
+        lit(0.0), (s, x) => s + x)
+      acc * 2 + when(dot > 0, lit(1)).otherwise(lit(0))
+    }
+    df.withColumn("bucket", bucket)
+  }
 
   /** Q27 — bucketed ANN: sign-LSH into 2^4 buckets, multi-probe (exact
     * bucket + all Hamming-1 neighbors), exact quantized dot inside buckets

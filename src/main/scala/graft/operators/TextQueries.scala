@@ -104,21 +104,34 @@ object TextQueries {
         max(col("p.k")).cast("long").as("max_k"))
       .orderBy(col("event_type").asc)
 
-  /** Q33 — rolling-hash document fingerprint: min-sampled Rabin-Karp over
-    * 8-char grams, expressed as md5 of char-grams with min-sketch (the
-    * winnowing 'keep the minimum' rule). Narrow projection; string output
-    * hashes identically across engines. */
+  /** Q33 — rolling document fingerprint: min-sampled hash over 8-char
+    * grams (the winnowing 'keep the minimum' rule). One typed
+    * mapPartitions — per-gram md5 is hot-loop JVM code with a reused
+    * digest, not an interpreted lambda; narrow, no shuffle. */
   val GramLen = 8
 
-  def q33Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def q33Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= GramLen)
-      .select(
-        col("doc_id"),
-        expr(
-          s"""array_min(transform(sequence(1, length(text) - $GramLen + 1),
-             |  i -> md5(substring(text, i, $GramLen))))""".stripMargin).as("fingerprint"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound stage
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          var min: String = null
+          var i = 0
+          while (i + GramLen <= text.length) {
+            val h = DedupQueries.md5hex(md, text.substring(i, i + GramLen))
+            if (min == null || h.compareTo(min) < 0) min = h
+            i += 1
+          }
+          (id, min)
+        }
+      }
+      .toDF("doc_id", "fingerprint")
       .orderBy(col("doc_id").asc)
+  }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
