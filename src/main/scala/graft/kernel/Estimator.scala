@@ -116,7 +116,10 @@ object Estimator {
     else JmTshirtCpuMb("L")
 
   /** estimation.py:428-457 — best-fit-decreasing-ish packing; ties break to
-    * the lower node index. Returns (alloc, maxOnNode, success, remaining). */
+    * the lower node index. Returns (alloc, maxOnNode, success, remaining).
+    * O(TMs x nodes), faithful to the reference's loop: inputs implying
+    * ~10^5+ TaskManagers (absurd clusters) take correspondingly long —
+    * such scenarios overflow-fail upstream long before this matters. */
   def greedyPackTaskmanagers(
       freeMemPerNode: IndexedSeq[Double], nbTaskmanagers: Int, tmMemMb: Int)
       : (Array[Int], Int, Boolean, Array[Double]) = {

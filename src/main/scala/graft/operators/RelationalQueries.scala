@@ -231,6 +231,44 @@ object RelationalQueries {
       .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
       .orderBy($"o_orderpriority".asc)
 
+  /** Q39 — snowflake dimension chain: customer -> nation -> region, both
+    * dims broadcast (fixed 25/5 rows at any SF — the hint stays correct at
+    * 100 TB, unlike a fact-side hint). One narrow fact scan, zero fact
+    * shuffles before the 5-group aggregate. */
+  def q39RegionJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"c_nationkey" === $"n_nationkey", "inner")
+      .join(broadcast(Tables.region(spark, dir)),
+        $"n_regionkey" === $"r_regionkey", "inner")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("cnt"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name".asc)
+
+  /** Q40 — set-op coverage beyond INTERSECT: both EXCEPT directions glued
+    * with UNION ALL. Each EXCEPT is a distinct-aggregating anti semi-join
+    * (one shuffle per side on the key). */
+  def q40SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select($"c_nationkey".as("k"))
+    val s = Tables.supplier(spark, dir).select($"s_nationkey".as("k"))
+    val onlyCust = c.except(s).select(lit("only_cust").as("src"), $"k")
+    val onlySupp = s.except(c).select(lit("only_supp").as("src"), $"k")
+    onlyCust.unionAll(onlySupp).orderBy($"src".asc, $"k".asc)
+  }
+
+  /** Q41 — batch-equivalent HOP window (width 10 min, slide 5 min): each
+    * event lands in width/slide = 2 windows; Spark's window() expands then
+    * hash-aggregates — the same state shape the streaming variant keeps
+    * (graft.streaming.StreamingOps.hop). */
+  def q41HopWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        window($"ts", "10 minutes", "5 minutes").as("w"),
+        $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select($"w.start".as("ws"), $"event_type", $"cnt")
+      .orderBy($"ws".asc, $"event_type".asc)
+
   // Spark's $-interpolator needs an implicits import per session; for a
   // session-agnostic object, build columns with col() under the hood.
   private implicit class Dollar(val sc: StringContext) {
@@ -259,6 +297,9 @@ object RelationalQueries {
     "q18_math_fns"       -> (q18Math _),
     "q19_tumble_window"  -> (q19Tumble _),
     "q20_fanout_join"    -> (q20FanOut _),
+    "q39_region_join"    -> (q39RegionJoin _),
+    "q40_set_ops"        -> (q40SetOps _),
+    "q41_hop_window"     -> (q41HopWindow _),
   )
 
   /** DuckDB-runnable ANSI oracle SQL, aligned column-for-column with the
@@ -319,5 +360,23 @@ object RelationalQueries {
         "FROM events GROUP BY 1, 2 ORDER BY h NULLS FIRST, event_type NULLS FIRST"),
     "q20_fanout_join" ->
       "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST",
+    "q39_region_join" ->
+      ("SELECT r_name, COUNT(*) AS cnt, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name NULLS FIRST"),
+    "q40_set_ops" ->
+      ("SELECT * FROM (" +
+        "SELECT 'only_cust' AS src, k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier) " +
+        "UNION ALL " +
+        "SELECT 'only_supp' AS src, k FROM (SELECT s_nationkey AS k FROM supplier EXCEPT SELECT c_nationkey AS k FROM customer)" +
+        ") t ORDER BY src NULLS FIRST, k NULLS FIRST"),
+    "q41_hop_window" ->
+      ("""WITH b AS (SELECT CAST(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS t5, """ +
+        """CAST(ts AS TIMESTAMP) AS tts, event_type FROM events), """ +
+        """w AS (SELECT unnest([t5, t5 - INTERVAL '5 minutes']) AS ws, tts, event_type FROM b) """ +
+        """SELECT ws, event_type, COUNT(*) AS cnt FROM w """ +
+        """WHERE tts >= ws AND tts < ws + INTERVAL '10 minutes' """ +
+        """GROUP BY ws, event_type ORDER BY ws NULLS FIRST, event_type NULLS FIRST"""),
   )
 }
