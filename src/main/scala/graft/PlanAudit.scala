@@ -1,0 +1,23 @@
+package graft
+
+/** Plan audit: print the formatted physical plan of every catalog query (or
+  * the ones named in args) so scan pruning, pushed filters, join strategies,
+  * and window limits can be eyeballed against each query's scaladoc claims.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir] [queryName...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1).toSet
+    val spark = Sessions.build("local[4]", 8, "graft-plan-audit")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+      .foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        try fn(spark, sfDir).explain("formatted")
+        catch { case e: Throwable => println(s"explain failed: $e") }
+      }
+    spark.stop()
+  }
+}
