@@ -35,15 +35,17 @@ object FunctionQueries {
 
   /** Q37 — approx_count_distinct with its error bound checked INSIDE the
     * gate: emits the exact distinct count plus a boolean `within_bounds`
-    * (|approx-exact|/exact <= 5%, HLL++ default rsd 0.05); the oracle pins
-    * the exact count and literal TRUE, so an approx drift fails the hash
-    * compare. At 100 TB approx-distinct is the only affordable cardinality
-    * estimator — this query is the engine's contract that it stays honest. */
+    * (|approx-exact|/exact <= 5% at rsd 0.01 — a 5-sigma envelope; the
+    * default rsd 0.05 makes 5% a one-sigma coin flip and failed at sf0.1);
+    * the oracle pins the exact count and literal TRUE, so an approx drift
+    * fails the hash compare. At 100 TB approx-distinct is the only
+    * affordable cardinality estimator — this query is the engine's
+    * contract that it stays honest. */
   def q37ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id")).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users")).cast("double") /
