@@ -23,6 +23,9 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // native expressions (SparkSessionExtensions is the public seam for
+      // injecting codegen'd functions — SURVEY §4 custom-operator ladder)
+      .withExtensions(_.injectFunction(graft.functions.DotProductLong.registration))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -39,8 +39,10 @@ object SimilarityQueries {
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"), "inner")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      // native codegen'd expression — the innermost loop of the KNN join;
+      // the higher-order aggregate(zip_with(...)) equivalent runs its
+      // lambda interpreted per element (graft.functions.DotProductLong)
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored
@@ -96,8 +98,7 @@ object SimilarityQueries {
     val scored = corpus
       .join(probes.hint("broadcast"), col("probe") === col("bucket") &&
         col("query_id") =!= col("neighbor_id"), "inner")
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored
