@@ -29,6 +29,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size-based coalescing: the default parallelismFirst=true refuses to
+      // coalesce below the default parallelism, so a 2 MB shuffle still
+      // schedules 32 reducers; advisory-size-first collapses small shuffles
+      // to few tasks and is the recommended setting at scale too
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
