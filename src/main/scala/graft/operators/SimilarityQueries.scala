@@ -131,10 +131,90 @@ object SimilarityQueries {
       .orderBy(col("same_label").asc)
   }
 
+  // ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
+
+  val IvfCells = 8
+  val IvfProbes = 2
+
+  /** Coarse centroids: seed with the first k vectors, then one Lloyd
+    * iteration through [[graft.functions.CentroidAggregator]] — exact
+    * integer math end to end, so training is bit-deterministic (no RNG, no
+    * float drift), and the resulting centroids are a small broadcastable
+    * list. At 100 TB: train on a sample, broadcast the codebook — this
+    * exact shape. */
+  private def ivfCentroids(emb: DataFrame): Array[(Int, Array[Long])] = {
+    val spark = emb.sparkSession
+    val seeds = emb.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast("int").as("cell"), col("qv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val bSeeds = spark.sparkContext.broadcast(seeds)
+    val assignOnce = emb.withColumn("cell", nearestCellExpr(bSeeds.value))
+    val centroid = udaf(graft.functions.CentroidAggregator)
+    assignOnce.groupBy(col("cell"))
+      .agg(centroid(col("embedding")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Nearest cell by exact integer L2 distance to each centroid, as a fold
+    * of when() comparisons over the (tiny) codebook — pure codegen'd
+    * arithmetic, no UDF. ||v - c||^2 = ||v||^2 - 2<v,c> + ||c||^2; ranking
+    * per row only needs argmin over (||c||^2 - 2<v,c>). */
+  private def nearestCellExpr(centroids: Array[(Int, Array[Long])]): org.apache.spark.sql.Column = {
+    import graft.functions.DotProductLong
+    val scored = centroids.map { case (cell, c) =>
+      val cNorm = c.map(x => x * x).sum
+      (cell, lit(cNorm) - lit(2L) * DotProductLong(col("qv"), typedLit(c.toSeq)))
+    }
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestCell, bestScore), (cell, score)) =>
+        (when(score < bestScore, lit(cell)).otherwise(bestCell),
+          when(score < bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Q42 — IVF ANN: assign corpus to coarse cells, probe the query's
+    * IvfProbes nearest cells, exact top-k inside the probed cells only.
+    * The candidate join is an equi-join on the cell id (same bucket-join
+    * shape as LSH — never all-pairs); cells per query bound the work to
+    * probes/cells of the corpus. Rows-only (pinned vs q26 by
+    * SimilaritySpec recall). */
+  def q42IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    val centroids = ivfCentroids(emb)
+    val assigned = emb.withColumn("cell", nearestCellExpr(centroids))
+    val corpus = assigned.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("qb"), col("cell"))
+    // probe list per query: cells ranked by the same distance expression
+    val probeCols = centroids.map { case (cell, c) =>
+      val cNorm = c.map(x => x * x).sum
+      struct((lit(cNorm) - lit(2L) * graft.functions.DotProductLong(col("qv"), typedLit(c.toSeq))).as("d"),
+        lit(cell).as("cell"))
+    }
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        explode(slice(sort_array(array(probeCols: _*)), 1, IvfProbes)).as("probe"))
+      .select(col("query_id"), col("qa"), col("probe.cell").as("probe_cell"))
+    val scored = corpus
+      .join(queries.hint("broadcast"), col("probe_cell") === col("cell") &&
+        col("query_id") =!= col("neighbor_id"), "inner")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q26_knn_exact" -> (q26KnnExact _),
     "q27_ann_lsh" -> (q27AnnLsh _),
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
+    "q42_ann_ivf" -> (q42IvfAnn _),
   )
 
   /** Oracles: q26 is fully hash-checkable (integer math); q27/q28 are

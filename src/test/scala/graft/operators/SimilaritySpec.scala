@@ -58,6 +58,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q42 IVF ANN: useful recall, exact scores, deterministic") {
+    val exact = SimilarityQueries.q26KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = SimilarityQueries.q42IvfAnn(spark, dir).collect()
+    val ivf2 = SimilarityQueries.q42IvfAnn(spark, dir).collect()
+    assert(ivf1.map(_.toString).toSeq == ivf2.map(_.toString).toSeq,
+      "IVF training + search must be deterministic")
+    val got = ivf1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall@${SimilarityQueries.TopK} = $recall")
+    // every reported dot is the true quantized dot product
+    val vs = vectors
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000))
+    ivf1.foreach { r =>
+      val (q, id, dot) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = quant(vs(q)).zip(quant(vs(id))).map { case (a, b) => a * b }.sum
+      assert(dot == expect, s"IVF dot mismatch for ($q, $id)")
+    }
+  }
+
   test("cosine fold agrees with plain-Scala double math") {
     import org.apache.spark.sql.functions._
     val df = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
