@@ -33,8 +33,8 @@ object Engine {
     * (main.py:274-283): validation failures come back as the error channel,
     * estimation failures (impossible placement, overflow) likewise.
     */
-  def estimateOne(in: EstimationInput): EstimationOutcome =
-    Validation.validate(in) match {
+  def estimateOne(in: EstimationInput): EstimationOutcome = {
+    val outcome = Validation.validate(in) match {
       case Left(errs) => EstimationOutcome(in, None, Some(errs.mkString("; ")))
       case Right(normalized) =>
         Estimator.estimate(normalized) match {
@@ -42,6 +42,11 @@ object Engine {
           case Right(res) => EstimationOutcome(in, Some(res), None)
         }
     }
+    // A22 parity: FLINK_ESTIMATOR_DEBUG dumps each outcome (reference
+    // estimation.py:400-403); stderr so driver JSON parsing stays clean.
+    if (sys.env.contains("FLINK_ESTIMATOR_DEBUG")) System.err.println(outcome)
+    outcome
+  }
 
   /** The scenario sweep: Dataset in, Dataset of outcomes out. Narrow map,
     * no shuffle; scales linearly with executor count.

@@ -99,8 +99,10 @@ object DedupQueries {
     * the self-equi-join on (band, bsig): docs sharing a band signature meet
     * in one reducer; everything upstream is narrow. Zero cartesian products
     * (the 100 TB survival property VERDICT demanded). */
-  def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(withShinglesAndSignature(spark, Tables.documents(spark, dir)))
+  def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+
+  private def candidatePairs(b: DataFrame): DataFrame = {
     val l = b.select(col("band").as("band_l"), col("bsig").as("bsig_l"), col("doc_id").as("doc_a"))
     val r = b.select(col("band").as("band_r"), col("bsig").as("bsig_r"), col("doc_id").as("doc_b"))
     l.join(r,
@@ -117,9 +119,13 @@ object DedupQueries {
     * shingle table instead of carrying arrays — same plan shape, one more
     * equi-join. Jaccard is one exact int division => engine-stable double. */
   def q24JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShinglesAndSignature(spark, Tables.documents(spark, dir))
-      .select(col("doc_id"), col("shingles"))
-    val cand = q23MinhashLsh(spark, dir)
+    // one definition feeds both the candidate join and the shingle lookup;
+    // ReuseExchange dedups the scan+shuffle below the hash map, which still
+    // evaluates once per branch — a production pipeline persists the
+    // signature table instead of recomputing it per consumer
+    val signed = withShinglesAndSignature(spark, Tables.documents(spark, dir))
+    val sh = signed.select(col("doc_id"), col("shingles"))
+    val cand = candidatePairs(bands(signed))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
