@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, ValueState, TTLConfig}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming operators for the priced Flink workload classes
@@ -95,6 +96,63 @@ object StreamingOps {
 
   final case class UserSession(user_id: Long, n_events: Long, sum_value: Double,
       closed_at_ms: Long)
+
+  // ---- transformWithState (Spark 4 arbitrary-state API) ----
+
+  /** Per-user running totals through the Spark 4 transformWithState API:
+    * ValueState keyed by user, an event-time timer re-armed on every batch,
+    * totals emitted (and state dropped) when the watermark passes
+    * last-event + gap. Functionally the TWS twin of [[userSessions]] —
+    * kept side by side because TWS is the forward-looking state API
+    * (RocksDB-backed, per-state TTL, multiple typed state variables) while
+    * flatMapGroupsWithState remains the stable classic one. */
+  final class UserTotalsProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, UserSession] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+        timers: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      val prev = Option(state.get()).getOrElse(SessionState(0L, 0.0, Long.MinValue))
+      val (closed, open) = sorted.foldLeft(
+        (Vector.empty[UserSession], prev)) { case ((out, s), e) =>
+        val t = e.ts.getTime
+        if (s.count > 0 && t - s.lastTsMs > gapMs)
+          (out :+ UserSession(user, s.count, s.sumValue, s.lastTsMs + gapMs),
+            SessionState(1L, e.value, t))
+        else
+          (out, SessionState(s.count + 1, s.sumValue + e.value, t))
+      }
+      state.update(open)
+      getHandle.registerTimer(open.lastTsMs + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] =
+      Option(state.get()) match {
+        case Some(s) if expired.getExpiryTimeInMs >= s.lastTsMs + gapMs =>
+          state.clear()
+          Iterator.single(UserSession(user, s.count, s.sumValue, s.lastTsMs + gapMs))
+        case _ => Iterator.empty // stale timer from a superseded session
+      }
+  }
+
+  /** [[userSessions]] through transformWithState (requires the RocksDB
+    * state store provider — see StreamingSpec for the config). */
+  def userSessionsTws(events: Dataset[Ev], gapMs: Long = 5 * 60 * 1000): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Custom sessionization: per-user event accumulation, session closed and
     * emitted when the event-time watermark passes last-event + gap (the

@@ -159,6 +159,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.contains((11L, -1L)), s"unmatched view must emit nulls after watermark: $rows")
   }
 
+  test("transformWithState sessionization matches the flatMapGroupsWithState twin") {
+    import spark.implicits._
+    // TWS requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev](spark)
+      val sessions = StreamingOps.userSessionsTws(stream.toDS(), gapMs = 5 * 60 * 1000)
+      val (q, name) = runToMemory(sessions.toDF())
+      stream.addData(Seq(
+        ev(1, "2026-01-01 10:00:00", user = 1, value = 1.0),
+        ev(2, "2026-01-01 10:02:00", user = 1, value = 2.0),
+        ev(3, "2026-01-01 10:20:00", user = 1, value = 4.0),
+        ev(4, "2026-01-01 10:00:00", user = 2, value = 8.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(ev(9, "2026-01-01 12:00:00", user = 99)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 != 99L).toSet
+      assert(got == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("flatMapGroupsWithState sessionization: gaps close sessions with totals") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark)
