@@ -23,9 +23,12 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
-      // native expressions (SparkSessionExtensions is the public seam for
-      // injecting codegen'd functions — SURVEY §4 custom-operator ladder)
-      .withExtensions(_.injectFunction(graft.functions.DotProductLong.registration))
+      // native expressions + optimizer rules (SparkSessionExtensions is the
+      // public seam for both — SURVEY §4 custom-operator ladder)
+      .withExtensions { e =>
+        e.injectFunction(graft.functions.DotProductLong.registration)
+        graft.plans.RewriteDotProduct.inject(e)
+      }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -157,22 +157,21 @@ object SimilarityQueries {
       .sortBy(_._1)
   }
 
-  /** Nearest cell by exact integer L2 distance to each centroid, as a fold
-    * of when() comparisons over the (tiny) codebook — pure codegen'd
-    * arithmetic, no UDF. ||v - c||^2 = ||v||^2 - 2<v,c> + ||c||^2; ranking
-    * per row only needs argmin over (||c||^2 - 2<v,c>). */
-  private def nearestCellExpr(centroids: Array[(Int, Array[Long])]): org.apache.spark.sql.Column = {
-    import graft.functions.DotProductLong
-    val scored = centroids.map { case (cell, c) =>
+  /** Distance-ranked (distance, cell) structs for every centroid — each
+    * dot product evaluated exactly once per row (a when()-fold argmin would
+    * duplicate score subtrees exponentially in codebook size).
+    * ||v - c||^2 ranking only needs (||c||^2 - 2<v,c>). */
+  private def cellScores(centroids: Array[(Int, Array[Long])]): Array[org.apache.spark.sql.Column] =
+    centroids.map { case (cell, c) =>
       val cNorm = c.map(x => x * x).sum
-      (cell, lit(cNorm) - lit(2L) * DotProductLong(col("qv"), typedLit(c.toSeq)))
+      struct(
+        (lit(cNorm) - lit(2L) * graft.functions.DotProductLong(col("qv"), typedLit(c.toSeq))).as("d"),
+        lit(cell).as("cell"))
     }
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestCell, bestScore), (cell, score)) =>
-        (when(score < bestScore, lit(cell)).otherwise(bestCell),
-          when(score < bestScore, score).otherwise(bestScore))
-    }._1
-  }
+
+  /** Nearest cell = head of the distance-sorted score array. */
+  private def nearestCellExpr(centroids: Array[(Int, Array[Long])]): org.apache.spark.sql.Column =
+    element_at(sort_array(array(cellScores(centroids): _*)), 1).getField("cell")
 
   /** Q42 — IVF ANN: assign corpus to coarse cells, probe the query's
     * IvfProbes nearest cells, exact top-k inside the probed cells only.
@@ -187,14 +186,9 @@ object SimilarityQueries {
     val corpus = assigned.select(col("vec_id").as("neighbor_id"),
       col("qv").as("qb"), col("cell"))
     // probe list per query: cells ranked by the same distance expression
-    val probeCols = centroids.map { case (cell, c) =>
-      val cNorm = c.map(x => x * x).sum
-      struct((lit(cNorm) - lit(2L) * graft.functions.DotProductLong(col("qv"), typedLit(c.toSeq))).as("d"),
-        lit(cell).as("cell"))
-    }
     val queries = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
-        explode(slice(sort_array(array(probeCols: _*)), 1, IvfProbes)).as("probe"))
+        explode(slice(sort_array(array(cellScores(centroids): _*)), 1, IvfProbes)).as("probe"))
       .select(col("query_id"), col("qa"), col("probe.cell").as("probe_cell"))
     val scored = corpus
       .join(queries.hint("broadcast"), col("probe_cell") === col("cell") &&

@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.functions.DotProductLong
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+/** Optimizer rule: rewrite the interpreted higher-order dot-product idiom
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)
+  *
+  * into the codegen'd [[graft.functions.DotProductLong]] when both arrays
+  * are ARRAY<BIGINT>. Users (and LLM-generated SQL) write the idiomatic
+  * fold; the engine runs the tight loop — the (c) rung of the
+  * custom-operator ladder scoped to what actually pays: an expression-level
+  * Rule, no custom physical operator needed (SURVEY §4).
+  *
+  * Matching is deliberately narrow: exact Multiply lambda over the zipped
+  * pair, Add accumulator, literal 0L seed, no finish transform — anything
+  * else keeps Catalyst's own evaluation.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+
+  /** ARRAY<BIGINT> with non-null elements: a null element nulls the whole
+    * HOF fold (Add(acc, null) -> null) but contributes 0 in DotProductLong,
+    * so the rewrite only fires when elements are provably non-null. */
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
+            Literal(0L, LongType),
+            LambdaFunction(Add(ax: NamedLambdaVariable, av: NamedLambdaVariable, _),
+              Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
+            finish)
+          if isLongArray(a) && isLongArray(b) &&
+            mx.exprId == zx.exprId && my.exprId == zy.exprId &&
+            ax.exprId == aacc.exprId && av.exprId == ain.exprId &&
+            isIdentityFinish(finish) =>
+        DotProductLong(a, b)
+    }
+
+  private def isIdentityFinish(finish: Expression): Boolean = finish match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      v.exprId == arg.exprId
+    case _ => false
+  }
+
+  /** SparkSessionExtensions hook (used by graft.Sessions.build). */
+  def inject(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+}
