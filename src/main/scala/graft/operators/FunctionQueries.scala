@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.CentroidAggregator
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** UDAF / generator / approx-distinct coverage (SURVEY §2.C rows "UDAF",
   * "UDTF/generator", "Approx distinct"; VERDICT r1 "next round" #9).
@@ -51,10 +52,61 @@ object FunctionQueries {
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.05).as("within_bounds"))
 
+  /** Q43 — exact interpolated percentiles per group (the order-statistics
+    * family of "advanced analytical queries"). Both engines define
+    * percentile/quantile_cont as linear interpolation between order
+    * statistics: a + (b-a)*frac over the same doubles => bit-stable.
+    * Spark's percentile is a sort-based TypedImperativeAggregate — fine for
+    * grouped data; at 100 TB switch to approx_percentile (same plan shape,
+    * bounded memory). */
+  def q43Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc)
+
+  /** Q44 — moment-based statistics with an explicitly engine-stable
+    * formulation: variance/covariance/correlation computed from DECIMAL
+    * power sums (exact, order-independent) rather than the engines' native
+    * streaming implementations (Welford vs two-pass differ in last-ulp).
+    * The identities are var = (n*Sxx - Sx^2) / (n*(n-1)),
+    * corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)) — all
+    * inputs exact decimals cast to double at the last step. */
+  def q44Moments(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(DecimalType(28, 4))
+    val y = col("l_extendedprice").cast(DecimalType(28, 4))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum((x * x).cast(DecimalType(38, 8))).as("sxx"),
+        sum((y * y).cast(DecimalType(38, 8))).as("syy"),
+        sum((x * y).cast(DecimalType(38, 8))).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")), 4)
+          .as("var_qty"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_explode_tokens" -> (q36ExplodeTokens _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
+    "q43_percentiles" -> (q43Percentiles _),
+    "q44_moments" -> (q44Moments _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -74,5 +126,21 @@ object FunctionQueries {
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
     "q37_approx_distinct" ->
       "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds FROM events",
+    "q43_percentiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty, " +
+        "quantile_cont(l_extendedprice, 0.95) AS p95_price, COUNT(*) AS cnt " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"),
+    "q44_moments" ->
+      ("""WITH s AS (SELECT l_returnflag, COUNT(*) AS n, """ +
+        """SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sx, """ +
+        """SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sy, """ +
+        """SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS sxx, """ +
+        """SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS syy, """ +
+        """SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS sxy """ +
+        """FROM lineitem GROUP BY l_returnflag) """ +
+        """SELECT l_returnflag, n, """ +
+        """ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 4) AS var_qty, """ +
+        """ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price """ +
+        """FROM s ORDER BY l_returnflag NULLS FIRST"""),
   )
 }
