@@ -204,17 +204,65 @@ object SimilarityQueries {
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
 
+  /** Q45 — embedding near-duplicate pairs (the embedding-cosine member of
+    * the dedup family): sign-LSH bucketing over the QUANTIZED integer
+    * vectors (exact — a float-dot sign could flip on last-ulp between
+    * engines), bucket equi-join, then keep pairs whose quantized dot
+    * exceeds the threshold. Fully DuckDB-checkable because every step is
+    * integer math and the plane signs are plan-time literals shared with
+    * the oracle SQL. Same no-all-pairs shape as q23/q27. */
+  val NearDupThreshold = 250000L // quantized dot ~ float dot x 10^6; 0.25 here
+
+  private def intBucketCol: org.apache.spark.sql.Column =
+    planeSigns.foldLeft(lit(0)) { (acc, plane) =>
+      val signs = plane.map(_.toLong)
+      val dot = graft.functions.DotProductLong(col("qv"), typedLit(signs))
+      acc * 2 + when(dot > 0, lit(1)).otherwise(lit(0))
+    }
+
+  def q45EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)
+    val l = emb.select(col("bucket").as("bucket_l"), col("vec_id").as("id_a"), col("qv").as("qa"))
+    val r = emb.select(col("bucket").as("bucket_r"), col("vec_id").as("id_b"), col("qv").as("qb"))
+    l.join(r, col("bucket_l") === col("bucket_r") && col("id_a") < col("id_b"), "inner")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+      .filter(col("dot") > NearDupThreshold)
+      .select(col("id_a"), col("id_b"), col("dot"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q26_knn_exact" -> (q26KnnExact _),
     "q27_ann_lsh" -> (q27AnnLsh _),
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
     "q42_ann_ivf" -> (q42IvfAnn _),
+    "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
   )
 
-  /** Oracles: q26 is fully hash-checkable (integer math); q27/q28 are
-    * rows-only (LSH parameters and float folds are Spark-side semantics,
-    * pinned by SimilaritySpec). */
+  /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
+    * oracle buckets identically to the engine (integer math throughout). */
+  private def planeSqlLiterals: Seq[String] =
+    planeSigns.map(p => p.map(_.toLong).mkString("[", ", ", "]"))
+
+  /** Oracles: q26/q45 are fully hash-checkable (integer math end to end);
+    * q27/q28/q42 are rows-only (LSH/IVF parameters and float folds are
+    * Spark-side semantics, pinned by SimilaritySpec). */
   val oracle: Map[String, String] = Map(
+    "q45_dedup_embedding" -> {
+      val bucketTerms = planeSqlLiterals.map { lits =>
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
+      }
+      val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM q)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) > $NearDupThreshold
+         |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+    },
     "q26_knn_exact" ->
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v

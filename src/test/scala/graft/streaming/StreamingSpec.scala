@@ -159,6 +159,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.contains((11L, -1L)), s"unmatched view must emit nulls after watermark: $rows")
   }
 
+  test("checkpoint recovery: a restarted query resumes from committed offsets") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("stream_out").toString
+    val stream = MemoryStream[Ev](spark)
+    def start() = StreamingOps.dedupWithinWatermark(stream.toDF())
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    stream.addData(Seq(
+      ev(1, "2026-01-01 10:00:00"), ev(1, "2026-01-01 10:00:10"), // dup id
+      ev(2, "2026-01-01 10:01:00")))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart against the same checkpoint: already-committed batches must
+    // not replay, state (seen ids) must survive, new data must flow
+    val q2 = start()
+    stream.addData(Seq(
+      ev(2, "2026-01-01 10:02:00"), // dup across restart: state recovered
+      ev(3, "2026-01-01 10:03:00")))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"exactly-once across restart violated: $ids")
+  }
+
   test("transformWithState sessionization matches the flatMapGroupsWithState twin") {
     import spark.implicits._
     // TWS requires the RocksDB state store provider
