@@ -93,6 +93,24 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("bulk sweep throughput: 20k scenarios complete distributed") {
+    import spark.implicits._
+    // deterministic 20k-scenario expansion of the demo grid
+    val scenarios = spark.range(20000).map { n =>
+      val base = Engine.demoGrid((n % Engine.demoGrid.size).toInt)
+      base.copy(project_name = s"bulk $n",
+        num_distinct_keys = 1000L + (n % 1000) * 1000)
+    }
+    val t0 = System.nanoTime()
+    val n = Engine.sweep(scenarios).filter(_.result.isDefined).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-scenario sweep: $secs%.2f s (${20000 / secs}%.0f scenarios/s)")
+    assert(n == 20000L)
+    // generous wall-clock bound: the sweep is a narrow map; anything slow
+    // here means the kernel regressed catastrophically
+    assert(secs < 60.0, s"sweep took $secs s")
+  }
+
   test("distributed sweep matches the reference golden across the grid (spot)") {
     // VM-S default row computed through Spark must equal the direct kernel call.
     val in = EstimationInput(project_name = "VM Test",
