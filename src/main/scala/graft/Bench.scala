@@ -27,12 +27,19 @@ object Bench {
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try materialize(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        // a silently-swallowed failure would masquerade as a FAST query —
+        // record it so the number can't lie
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
 
     // Warmup: run everything once (codegen, parquet footer cache, JIT).
-    queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
-    }
+    queries.foreach { case (name, fn) => runOne(name, fn) }
 
     // Two timed passes, keep the per-query minimum: steady-state local-mode
     // runs still jitter +/-1s on GC/compilation; min-of-2 is the stable
@@ -40,8 +47,7 @@ object Bench {
     // a warmed pass).
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      runOne(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val (p1, p2) = (timedPass(), timedPass())
@@ -53,9 +59,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf = sfDir.split('/').last.stripPrefix("sf")
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))

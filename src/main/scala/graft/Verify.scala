@@ -10,6 +10,9 @@ object Verify {
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is a harness convention (one file per query for the
+      // driver's DuckDB read) — NOT a production sink pattern; real sinks
+      // write partitioned output.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
