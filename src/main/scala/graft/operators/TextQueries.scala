@@ -29,15 +29,22 @@ object TextQueries {
   private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopArray: String = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
-  /** Q29 — per-document token/length/quality stats: token count (whitespace
-    * tokenization), mean token length, stopword ratio, punctuation-free
-    * check. One narrow projection + deterministic sort. */
+  /** Word-or-symbol tokenizer ("BPE-ish" pre-tokenization: words, digits
+    * runs, or single punctuation marks — the usual pre-merge split). Same
+    * RE2/Java-compatible pattern on both engines. */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Q29 — per-document token/length/quality stats: whitespace token count,
+    * regex (BPE-ish) token count, mean token length, stopword ratio. One
+    * narrow projection + deterministic sort. */
   def q29TextStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
         size(col("w")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit(TokenRegex), lit(0)))
+          .cast("long").as("n_tokens_re"),
         length(col("text")).cast("long").as("n_chars_calc"),
         (expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").cast("double") /
           size(col("w")).cast("double")).as("avg_token_len"),
@@ -146,6 +153,7 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,
          |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$TokenRegex')) AS BIGINT) AS n_tokens_re,
          |  CAST(length(text) AS BIGINT) AS n_chars_calc,
          |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len,
          |  CAST(len(list_filter(w, x -> x IN $stopSqlList)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio
