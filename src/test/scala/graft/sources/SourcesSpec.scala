@@ -60,6 +60,33 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(names == batchNames)
   }
 
+  test("streaming estimation persists through foreachBatch into the RunStore (E3 loop)") {
+    import spark.implicits._
+    val store = new graft.engine.RunStore(spark,
+      Files.createTempDirectory("stream_runs").toString)
+    val raw = MemoryStream[Long](spark)
+    val outcomes = Engine.sweep(Sources.scenarioStream(raw.toDF()))
+    val q = outcomes.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[graft.engine.EstimationOutcome], batchId: Long) =>
+        val runs = batch.collect().toSeq.flatMap { o =>
+          o.result.map(r => (o.input, r,
+            java.time.LocalDateTime.of(2026, 8, 12, 12, 0, batchId.toInt),
+            f"b$batchId%02x${o.input.project_name.hashCode & 0xffff}%04x"))
+        }
+        store.saveAll(runs): Unit
+    }.start()
+    raw.addData(0L to 4L)
+    q.processAllAvailable()
+    raw.addData(5L to 7L)
+    q.processAllAvailable()
+    q.stop()
+    // every streamed scenario landed as a reloadable saved run
+    val listed = store.list().collect()
+    assert(listed.length == 8)
+    val reloaded = store.reload(listed.head.getString(0))
+    assert(reloaded.isRight, reloaded)
+  }
+
   test("rate-source scenario stream is well-formed (plan-level)") {
     val ds = Sources.rateScenarios(spark, rowsPerSecond = 5)
     assert(ds.isStreaming)

@@ -119,6 +119,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       (ts("2026-01-01 10:30:00"), ts("2026-01-01 10:35:00"), 1L)))
   }
 
+  test("session windows merge across micro-batches") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.session(stream.toDF(), gap = "5 minutes"))
+    // batch 1: one session at 10:00
+    stream.addData(Seq(ev(1, "2026-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2: within the gap of the open session — must MERGE, not split
+    stream.addData(Seq(ev(2, "2026-01-01 10:04:00")))
+    q.processAllAvailable()
+    stream.addData(Seq(ev(9, "2026-01-01 12:00:00"))) // close everything
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table(name).collect()
+      .filter(_.getTimestamp(0).before(ts("2026-01-01 11:00:00")))
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+    assert(sessions.toSet == Set(
+      (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:09:00"), 2L)),
+      s"cross-batch events within the gap must merge into one session: ${sessions.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark)
