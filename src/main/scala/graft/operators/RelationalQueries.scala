@@ -154,7 +154,17 @@ object RelationalQueries {
     * (l_orderkey, l_linenumber) is NOT unique in the testdata, so the window
     * additionally orders by l_quantity: rows tying on (linenumber, quantity)
     * commute under summation, making run_qty deterministic; run_qty is then a
-    * strictly increasing tiebreaker for the output order. */
+    * strictly increasing tiebreaker for the output order.
+    *
+    * The 1-in-~100-orders slice predicate sits ABOVE the window in the query
+    * but is on the partition key, so Catalyst pushes it through the Window
+    * operator down to the scan (semantics-preserving: a running sum never
+    * crosses orders) — plan-verified: Filter(l_orderkey%100=0) directly over
+    * the scan. That is the point: at 100 TB you ask for the keys you need
+    * and the window costs O(selected), and the determinism sort is O(slice)
+    * instead of a full-table range sort that would re-execute the window
+    * subtree for range-partition sampling. q12 keeps the full-table window
+    * shape in the catalog. */
   def q13RunningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"l_orderkey")
       .orderBy($"l_linenumber".asc, $"l_quantity".asc)
@@ -162,6 +172,7 @@ object RelationalQueries {
     Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_linenumber",
         sum($"l_quantity".cast(dec)).over(w).cast("double").as("run_qty"))
+      .filter($"l_orderkey" % 100 === 0)
       .orderBy($"l_orderkey".asc, $"l_linenumber".asc, $"run_qty".asc)
   }
 
@@ -338,10 +349,11 @@ object RelationalQueries {
         "FROM customer JOIN orders ON c_custkey = o_custkey) t WHERE rn <= 3 " +
         "ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"),
     "q13_running_sum" ->
-      ("SELECT l_orderkey, l_linenumber, " +
+      ("SELECT * FROM (SELECT l_orderkey, l_linenumber, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty " +
-        "FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, run_qty NULLS FIRST"),
+        "FROM lineitem) t WHERE l_orderkey % 100 = 0 " +
+        "ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST, run_qty NULLS FIRST"),
     "q14_global_topk" ->
       "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "q15_intersect" ->

@@ -109,25 +109,41 @@ object SimilarityQueries {
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
 
-  /** Q28 — true float cosine similarity, double-precision left fold, for the
-    * label-neighborhood census: average cosine within vs across labels.
-    * Aggregated to per-label stats so the result is small and stable; the
-    * underlying per-pair cosine is ScalaTest-pinned. Demonstrates
-    * functions-not-UDFs vector math (zip_with/aggregate are codegen'd). */
+  /** Q28 — cosine-similarity label census: average cosine within vs across
+    * labels over a bounded pair set. Upgraded r3 from rows-only to a full
+    * DuckDB hash oracle by making every step bit-stable across engines:
+    *  - the dot products are EXACT integer math over the quantized vectors
+    *    (written as the zip_with/aggregate HOF idiom; the RewriteDotProduct
+    *    optimizer rule compiles it to the native codegen'd dot_product_long);
+    *  - cosine = dot / (sqrt(na2) * sqrt(nb2)) entirely in IEEE-754 doubles
+    *    whose inputs are exact integers — sqrt, *, / are all correctly
+    *    rounded per IEEE, so the double is BIT-IDENTICAL in Spark and DuckDB
+    *    when the expression shape matches (which the oracle mirrors 1:1);
+    *  - per-pair cosines quantize to micro-units via FLOOR (identical on the
+    *    identical double), and the census sums exact BIGINTs — no
+    *    order-dependent float summation anywhere. */
   def q28CosineLabelStats(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0.0D, (s, x) -> s + x * x))"))
+    val emb = quantized(spark, dir)
       .filter(col("vec_id") < 100) // bounded demo pair set
-    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("norm").as("na"), col("label").as("label_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("norm").as("nb"), col("label").as("label_b"))
+      .withColumn("n2", expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (s, x) -> s + x)"))
+    val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("n2").as("na2"), col("label").as("label_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("n2").as("nb2"), col("label").as("label_b"))
     a.join(b, col("id_a") < col("id_b"), "inner")
-      .withColumn("cos", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (s, x) -> s + x) / (na * nb)"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (s, x) -> s + x)"))
+      .withColumn("cos_micro",
+        floor(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))) *
+          lit(1000000.0)).cast("long"))
       .groupBy((col("label_a") === col("label_b")).as("same_label"))
-      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 3).as("avg_cos"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("cos_micro")).as("sum_cos_micro"),
+        round(sum(col("cos_micro")).cast("double") / count(lit(1)) / 1000000.0, 3)
+          .as("avg_cos"))
       .orderBy(col("same_label").asc)
   }
 
@@ -244,10 +260,26 @@ object SimilarityQueries {
   private def planeSqlLiterals: Seq[String] =
     planeSigns.map(p => p.map(_.toLong).mkString("[", ", ", "]"))
 
-  /** Oracles: q26/q45 are fully hash-checkable (integer math end to end);
-    * q27/q28/q42 are rows-only (LSH/IVF parameters and float folds are
-    * Spark-side semantics, pinned by SimilaritySpec). */
+  /** Oracles: q26/q28/q45 are fully hash-checkable (exact integer dots;
+    * q28's cosine additionally relies on IEEE-correctly-rounded sqrt/mul/div
+    * over exact-integer inputs being bit-identical across engines, then
+    * FLOOR-quantizes before any summation); q27/q42 are rows-only (LSH/IVF
+    * probe semantics are Spark-side, pinned by SimilaritySpec). */
   val oracle: Map[String, String] = Map(
+    "q28_cosine_label_stats" ->
+      s"""WITH q AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings WHERE vec_id < 100),
+         |p AS (SELECT a.label AS label_a, b.label AS label_b,
+         |    CAST(FLOOR(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS DOUBLE) /
+         |      (sqrt(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])) AS DOUBLE)) *
+         |       sqrt(CAST(list_sum(list_transform(range(64), i -> b.v[i+1] * b.v[i+1])) AS DOUBLE))) *
+         |      1000000) AS BIGINT) AS cos_micro
+         |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         |SELECT (label_a = label_b) AS same_label, COUNT(*) AS n_pairs,
+         |  CAST(SUM(cos_micro) AS BIGINT) AS sum_cos_micro,
+         |  ROUND(CAST(SUM(cos_micro) AS DOUBLE) / COUNT(*) / 1000000, 3) AS avg_cos
+         |FROM p GROUP BY 1 ORDER BY same_label NULLS FIRST""".stripMargin,
     "q45_dedup_embedding" -> {
       val bucketTerms = planeSqlLiterals.map { lits =>
         s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"

@@ -46,7 +46,7 @@ class FunctionSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected)
   }
 
-  test("q37 approx distinct stays within the declared 5% bound") {
+  test("q37 approx distinct stays within the declared 10% bound") {
     val r = FunctionQueries.q37ApproxDistinct(spark, dir).head()
     assert(r.getBoolean(1), s"approx out of bounds: $r")
   }

@@ -96,7 +96,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
 
   test("label-neighborhood census: same-label pairs are more similar on average") {
     val rows = SimilarityQueries.q28CosineLabelStats(spark, dir).collect()
-      .map(r => r.getBoolean(0) -> r.getDouble(2)).toMap
+      .map(r => r.getBoolean(0) -> r.getDouble(3)).toMap
     assert(rows.keySet == Set(true, false))
     assert(rows(true) > rows(false),
       s"same-label avg cosine ${rows(true)} must exceed cross-label ${rows(false)}")
