@@ -28,6 +28,7 @@ object Sessions {
       .withExtensions { e =>
         e.injectFunction(graft.functions.DotProductLong.registration)
         graft.plans.RewriteDotProduct.inject(e)
+        graft.plans.AsOfJoinStrategy.inject(e)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
