@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Engine
-import graft.operators.{AsOfQueries, DedupQueries, FunctionQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AsOfQueries, DedupQueries, FunctionQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ FunctionQueries.all ++ AsOfQueries.all).toMap +
+      TextQueries.all ++ FunctionQueries.all ++ AsOfQueries.all ++
+      AnalyticsQueries.all).toMap +
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
       ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
@@ -36,5 +37,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++ FunctionQueries.oracle ++
-      AsOfQueries.oracle
+      AsOfQueries.oracle ++ AnalyticsQueries.oracle
 }

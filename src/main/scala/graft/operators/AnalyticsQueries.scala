@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytical shape operators added r3: CUBE, PIVOT, reproducible
+  * (hash-mod) stratified sampling, and MapType column functions — the
+  * remaining grouping/reshaping surface a warehouse user expects, plus the
+  * sampling primitive every training-data pipeline needs.
+  */
+object AnalyticsQueries {
+
+  /** Q48 — CUBE over (status, priority): all four grouping sets in one
+    * pass. Spark expands the cube in a single Expand + HashAggregate plan —
+    * one shuffle regardless of the number of grouping sets (vs 4 separate
+    * GROUP BYs = 4 shuffles). */
+  def q48Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Q49 — PIVOT priorities into columns (explicit value list: at 100 TB an
+    * implicit pivot means a full extra distinct-scan to discover values;
+    * the explicit list keeps it one pass). sum(1) not count(*): a pivot
+    * count yields NULL for absent combinations, and SUM(CASE...) in the
+    * oracle agrees on NULL — count-vs-0 would hash-mismatch. */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(sum(lit(1L)))
+    val renamed = Priorities.zipWithIndex.foldLeft(pivoted) {
+      case (df, (v, i)) => df.withColumnRenamed(v, s"p${i + 1}")
+    }
+    renamed.orderBy(col("o_orderstatus").asc)
+  }
+
+  /** Q50 — reproducible stratified sampling by hash-mod: each row's md5 over
+    * a stable row key, first hex byte compared to a per-stratum threshold
+    * ('A' ~5%, 'N' ~10%, 'R' ~20% of 256). This is the sampling primitive a
+    * 100 TB training pipeline actually uses — unlike rand()/TABLESAMPLE it
+    * is deterministic across engines, runs, partitionings, and retries
+    * (per-row decision, no RNG state), supports per-stratum rebalancing
+    * rates, and pushes through any plan as a plain filter predicate. The
+    * oracle recomputes the identical sample in DuckDB — both engines agree
+    * row-for-row, which IS the reproducibility contract under test. */
+  def q50StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rowKey = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val threshold = when(col("l_returnflag") === "A", "0c")
+      .when(col("l_returnflag") === "N", "19")
+      .otherwise("33")
+    val sampled = substring(md5(rowKey), 1, 2) < threshold
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(sampled, 1)).as("n_sampled"),
+        sum(when(sampled, col("l_quantity").cast(DecimalType(18, 2))))
+          .cast("double").as("sampled_qty"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Q51 — MapType column functions: events.props parsed as MAP<STRING,INT>
+    * (schema-free keys — the from_json(struct) twin is q32), then
+    * map_contains_key / element_at / size(map_keys) over it. */
+  def q51MapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("m", from_json(col("props"), lit("MAP<STRING, INT>")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(map_contains_key(col("m"), "k"), 1)).as("n_with_k"),
+        sum(size(map_keys(col("m")))).as("n_keys"),
+        sum(element_at(col("m"), "k")).cast("long").as("sum_k"))
+      .orderBy(col("event_type").asc)
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q48_cube" -> (q48Cube _),
+    "q49_pivot" -> (q49Pivot _),
+    "q50_stratified_sample" -> (q50StratifiedSample _),
+    "q51_map_fns" -> (q51MapFns _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q48_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"),
+    "q49_pivot" ->
+      ("SELECT o_orderstatus, " +
+        Priorities.zipWithIndex.map { case (v, i) =>
+          s"SUM(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS p${i + 1}"
+        }.mkString(", ") +
+        " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"),
+    "q50_stratified_sample" ->
+      ("""WITH t AS (SELECT l_returnflag, l_quantity,
+        |  substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 1, 2) <
+        |    (CASE WHEN l_returnflag = 'A' THEN '0c'
+        |          WHEN l_returnflag = 'N' THEN '19' ELSE '33' END) AS sampled
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_total,
+        |  COUNT(CASE WHEN sampled THEN 1 END) AS n_sampled,
+        |  CAST(SUM(CASE WHEN sampled THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sampled_qty
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""").stripMargin,
+    "q51_map_fns" ->
+      ("SELECT event_type, COUNT(*) AS n, " +
+        "COUNT(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 END) AS n_with_k, " +
+        "CAST(SUM(len(json_keys(props))) AS BIGINT) AS n_keys, " +
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k " +
+        "FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST"),
+  )
+}
