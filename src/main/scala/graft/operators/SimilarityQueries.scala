@@ -69,26 +69,18 @@ object SimilarityQueries {
     }
   }
 
-  /** Signed projections of an embedding onto the literal hyperplanes. */
-  private def withBucket(df: DataFrame): DataFrame = {
-    val bucket = planeSigns.foldLeft(lit(0)) { (acc, plane) =>
-      val dot = aggregate(
-        zip_with(col("embedding"), typedLit(plane), (x, y) => x.cast("double") * y),
-        lit(0.0), (s, x) => s + x)
-      acc * 2 + when(dot > 0, lit(1)).otherwise(lit(0))
-    }
-    df.withColumn("bucket", bucket)
-  }
-
   /** Q27 — bucketed ANN: sign-LSH into 2^4 buckets, multi-probe (exact
     * bucket + all Hamming-1 neighbors), exact quantized dot inside buckets
     * only. The candidate join is an equi-join on the bucket id; candidate
     * count per query = corpus/2^bits x (bits+1) in expectation, tunable by
     * LshBits — at 100 TB raise bits so buckets stay executor-sized, and the
-    * plan shape is unchanged. Rows-only correctness (recall and determinism
-    * are ScalaTest-pinned against q26). */
+    * plan shape is unchanged. r3: bucketing switched from float-dot signs
+    * to the exact integer projection (same [[intBucketCol]] as q45) — a
+    * float sign can flip on last-ulp between engines, integer signs cannot,
+    * which makes the WHOLE query deterministic integer math and therefore
+    * DuckDB hash-checkable (recall vs q26 stays ScalaTest-pinned). */
   def q27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withBucket(quantized(spark, dir))
+    val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)
     // queries probe their own bucket plus each single-bit flip
     val probes = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), explode(expr(
@@ -193,8 +185,11 @@ object SimilarityQueries {
     * IvfProbes nearest cells, exact top-k inside the probed cells only.
     * The candidate join is an equi-join on the cell id (same bucket-join
     * shape as LSH — never all-pairs); cells per query bound the work to
-    * probes/cells of the corpus. Rows-only (pinned vs q26 by
-    * SimilaritySpec recall). */
+    * probes/cells of the corpus. r3: hash-oracle-checked — the ENTIRE
+    * pipeline (seeding, one Lloyd step, assignment, probe ranking, top-k)
+    * is exact integer math with lexicographic (distance, cell) tie-breaks,
+    * so DuckDB reproduces it CTE-for-stage; recall vs q26 additionally
+    * ScalaTest-pinned. */
   def q42IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
     val centroids = ivfCentroids(emb)
@@ -266,6 +261,57 @@ object SimilarityQueries {
     * FLOOR-quantizes before any summation); q27/q42 are rows-only (LSH/IVF
     * probe semantics are Spark-side, pinned by SimilaritySpec). */
   val oracle: Map[String, String] = Map(
+    "q27_ann_lsh" -> {
+      val bucketTerms = planeSqlLiterals.map { lits =>
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
+      }
+      val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM q),
+         |probes AS (SELECT vec_id AS query_id, v AS qa,
+         |    unnest([bucket] || list_transform(range($LshBits), i -> xor(bucket, 1 << i))) AS probe
+         |  FROM b WHERE vec_id < $QueryCount),
+         |scored AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(64), i -> p.qa[i+1] * c.v[i+1])) AS BIGINT) AS dot
+         |  FROM probes p JOIN b c ON p.probe = c.bucket AND p.query_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
+         |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin
+    },
+    "q42_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |seeds AS (SELECT vec_id AS cell, v FROM q WHERE vec_id < $IvfCells),
+         |a0 AS (SELECT q.vec_id, q.v, s.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (list_sum(list_transform(range($Dims), i -> s.v[i+1] * s.v[i+1])) -
+         |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * s.v[i+1]))) ASC,
+         |      s.cell ASC) AS rn
+         |  FROM q CROSS JOIN seeds s),
+         |assign0 AS (SELECT vec_id, v, cell FROM a0 WHERE rn = 1),
+         |cd AS (SELECT cell, i, CAST(SUM(v[i+1]) // COUNT(*) AS BIGINT) AS c
+         |       FROM assign0 CROSS JOIN (SELECT unnest(range($Dims)) AS i) t GROUP BY cell, i),
+         |centv AS (SELECT cell, list(c ORDER BY i) AS v FROM cd GROUP BY cell),
+         |a1 AS (SELECT q.vec_id, q.v, t.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (list_sum(list_transform(range($Dims), i -> t.v[i+1] * t.v[i+1])) -
+         |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * t.v[i+1]))) ASC,
+         |      t.cell ASC) AS rn
+         |  FROM q CROSS JOIN centv t),
+         |corpus AS (SELECT vec_id AS neighbor_id, v AS qb, cell FROM a1 WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, v AS qa, cell AS probe_cell
+         |           FROM a1 WHERE vec_id < $QueryCount AND rn <= $IvfProbes),
+         |scored AS (SELECT p.query_id, c.neighbor_id,
+         |    CAST(list_sum(list_transform(range($Dims), i -> p.qa[i+1] * c.qb[i+1])) AS BIGINT) AS dot
+         |  FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
+         |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
     "q28_cosine_label_stats" ->
       s"""WITH q AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
