@@ -154,6 +154,56 @@ object StreamingOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming temporal (as-of) join ----
+
+  final case class Attribution(user_id: Long, purchase_id: Long, ts_ms: Long,
+      last_click_id: Option[Long], gap_ms: Option[Long])
+
+  final case class ClickState(click_id: Long, tsMs: Long)
+
+  /** Streaming purchase->last-click attribution: the TEMPORAL JOIN — each
+    * purchase joins the latest click at-or-before it for the same user
+    * (Flink's temporal table join; the batch twins are q46/q47 in
+    * graft.operators.AsOfQueries / graft.plans.AsOfJoin).
+    *
+    * State is ONE row per user (the newest click seen), not a buffered
+    * stream side — the state-size win over the interval-join formulation,
+    * which must buffer both sides across the join window. Within a batch,
+    * events are processed in event-time order (clicks before purchases on
+    * ties, matching the batch <= semantics); ACROSS batches semantics are
+    * Flink-temporal: a purchase joins the newest click ALREADY ARRIVED —
+    * a click arriving later than a purchase it precedes in event time
+    * cannot retro-attribute. Replayed in event-time order (the equivalence
+    * test), the result equals the batch as-of exactly. */
+  def purchaseAttribution(events: Dataset[Ev]): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[ClickState]) =>
+          // event-time order; clicks first on an exact tie (<= semantics)
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type != "click"))
+          var cur = state.getOption
+          val out = Vector.newBuilder[Attribution]
+          sorted.foreach { e =>
+            if (e.event_type == "click") {
+              if (cur.forall(_.tsMs <= e.ts.getTime))
+                cur = Some(ClickState(e.event_id, e.ts.getTime))
+            } else {
+              val t = e.ts.getTime
+              out += Attribution(userId, e.event_id, t,
+                cur.map(_.click_id), cur.map(c => t - c.tsMs))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom sessionization: per-user event accumulation, session closed and
     * emitted when the event-time watermark passes last-event + gap (the
     * "Complex event pattern matching" class, estimation.html:239).

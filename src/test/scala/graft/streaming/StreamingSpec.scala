@@ -262,4 +262,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       (1L, 1L, 4.0),  // 10:20 closed by timeout
       (2L, 1L, 8.0)))
   }
+
+  test("temporal join: purchases attribute to the newest arrived click; " +
+      "event-time replay equals the batch as-of") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.purchaseAttribution(stream.toDS()).toDF())
+    // batch 1: out-of-order WITHIN the batch — the per-batch sort fixes it
+    stream.addData(Seq(
+      ev(2, "2026-01-01 10:05:00", user = 1, tpe = "purchase"), // after c1
+      ev(1, "2026-01-01 10:00:00", user = 1, tpe = "click"),
+      ev(3, "2026-01-01 10:05:00", user = 2, tpe = "purchase"))) // no click ever
+    q.processAllAvailable()
+    // batch 2: tie instant — click at the same ts counts (<= semantics);
+    // state carried the 10:00 click across batches
+    stream.addData(Seq(
+      ev(4, "2026-01-01 10:30:00", user = 1, tpe = "click"),
+      ev(5, "2026-01-01 10:30:00", user = 1, tpe = "purchase"),
+      ev(6, "2026-01-01 10:40:00", user = 1, tpe = "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    assert(got == Set(
+      (2L, Some(1L)),  // in-batch disorder handled
+      (3L, None),      // LEFT semantics: purchase with no click
+      (5L, Some(4L)),  // tie instant attributes to the simultaneous click
+      (6L, Some(4L))))
+
+    // event-time-ordered replay reproduces the batch as-of exactly
+    val events = Seq(
+      ev(1, "2026-01-01 10:00:00", user = 1, tpe = "click"),
+      ev(2, "2026-01-01 10:05:00", user = 1, tpe = "purchase"),
+      ev(3, "2026-01-01 10:05:00", user = 2, tpe = "purchase"),
+      ev(4, "2026-01-01 10:30:00", user = 1, tpe = "click"),
+      ev(5, "2026-01-01 10:30:00", user = 1, tpe = "purchase"),
+      ev(6, "2026-01-01 10:40:00", user = 1, tpe = "purchase"))
+    val replay = MemoryStream[Ev](spark)
+    val (q2, name2) = runToMemory(StreamingOps.purchaseAttribution(replay.toDS()).toDF())
+    events.foreach(e => { replay.addData(Seq(e)); q2.processAllAvailable() })
+    q2.stop()
+    val replayed = spark.table(name2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+    // the batch as-of over the same rows, via the custom physical operator
+    val purchases = events.filter(_.event_type == "purchase").toDS()
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"))
+    val clicks = events.filter(_.event_type == "click").toDS()
+      .select($"user_id", $"ts", $"event_id".as("last_click_id"))
+    // output layout: user_id, ts, purchase_id, user_id_r, ts_r, last_click_id
+    val batch = graft.plans.AsOfJoin.asOf(purchases, clicks, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
+    assert(replayed == batch)
+  }
 }
