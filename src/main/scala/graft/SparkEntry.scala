@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Engine
-import graft.operators.{AnalyticsQueries, AsOfQueries, DedupQueries, FunctionQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AnalyticsQueries, AsOfQueries, CurationPipeline, DedupQueries, FunctionQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,15 +13,17 @@ import graft.operators.{AnalyticsQueries, AsOfQueries, DedupQueries, FunctionQue
   */
 object SparkEntry {
 
-  /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. r3: the corpus
+    * curation pipeline (dedup -> quality gate -> stratified sample -> token
+    * budget in one plan) — the engine's identity piece. */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q9HashAgg(spark, "/root/testdata/sf0.001")
+    CurationPipeline.q52Curation(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ FunctionQueries.all ++ AsOfQueries.all ++
-      AnalyticsQueries.all).toMap +
+      AnalyticsQueries.all ++ CurationPipeline.all).toMap +
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
       ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
@@ -37,5 +39,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++ FunctionQueries.oracle ++
-      AsOfQueries.oracle ++ AnalyticsQueries.oracle
+      AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle
 }
