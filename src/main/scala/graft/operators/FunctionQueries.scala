@@ -72,34 +72,51 @@ object FunctionQueries {
       .orderBy(col("l_returnflag").asc)
 
   /** Q44 — moment-based statistics with an explicitly engine-stable
-    * formulation: variance/covariance/correlation computed from DECIMAL
-    * power sums (exact, order-independent) rather than the engines' native
-    * streaming implementations (Welford vs two-pass differ in last-ulp).
-    * The identities are var = (n*Sxx - Sx^2) / (n*(n-1)),
-    * corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)) — all
-    * inputs exact decimals cast to double at the last step. */
+    * formulation: variance/covariance/correlation computed from EXACT power
+    * sums (order-independent) rather than the engines' native streaming
+    * implementations (Welford vs two-pass differ in last-ulp). The
+    * identities are var = (n*Sxx - Sx^2) / (n*(n-1)),
+    * corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)*(n*Syy - Sy^2)).
+    *
+    * r3 hot-path change: the per-row values quantize to integer CENTS, so
+    * three of the five power sums aggregate as plain LONGs (codegen'd
+    * integer adds — measured ~2x the decimal-sum formulation); Syy
+    * (price^2: ~1e14/row) and Sxy (overflows Long near sf100 — the scale
+    * design point) stay DECIMAL.
+    * The variance/correlation identities then run ONCE PER GROUP in
+    * DECIMAL (exact — a 600k-row sum of cents squares past 2^53, so double
+    * identities would lose bits; sx*sx also rides the Long boundary at
+    * sf1+), cast to double only at the final division. Unit scales cancel:
+    * cents^2 terms appear in both numerator and denominator of corr, and
+    * var divides by 10^4 explicitly. */
   def q44Moments(spark: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity").cast(DecimalType(28, 4))
-    val y = col("l_extendedprice").cast(DecimalType(28, 4))
+    val xc = round(col("l_quantity") * 100).cast("long")
+    val yc = round(col("l_extendedprice") * 100).cast("long")
+    val d38 = DecimalType(38, 0)
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum((x * x).cast(DecimalType(38, 8))).as("sxx"),
-        sum((y * y).cast(DecimalType(38, 8))).as("syy"),
-        sum((x * y).cast(DecimalType(38, 8))).as("sxy"))
+        sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * xc).as("sxx"),
+        sum((yc * yc).cast(d38)).as("syy"),
+        sum((xc * yc).cast(d38)).as("sxy"))
       .select(
         col("l_returnflag"),
         col("n"),
         round(
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-            (col("n").cast("double") * (col("n") - 1).cast("double")), 4)
+          (col("n").cast(d38) * col("sxx").cast(d38) -
+            col("sx").cast(d38) * col("sx").cast(d38)).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double")) / 10000.0, 4)
           .as("var_qty"),
         round(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          (col("n").cast(d38) * col("sxy").cast(d38) -
+            col("sx").cast(d38) * col("sy").cast(d38)).cast("double") /
+            sqrt(
+              (col("n").cast(d38) * col("sxx").cast(d38) -
+                col("sx").cast(d38) * col("sx").cast(d38)).cast("double") *
+              (col("n").cast(d38) * col("syy") -
+                col("sy").cast(d38) * col("sy").cast(d38)).cast("double")), 6)
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag").asc)
   }
@@ -134,15 +151,15 @@ object FunctionQueries {
         "quantile_cont(l_extendedprice, 0.95) AS p95_price, COUNT(*) AS cnt " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"),
     "q44_moments" ->
-      ("""WITH s AS (SELECT l_returnflag, COUNT(*) AS n, """ +
-        """SUM(CAST(l_quantity AS DECIMAL(28,4))) AS sx, """ +
-        """SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS sy, """ +
-        """SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_quantity AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS sxx, """ +
-        """SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS syy, """ +
-        """SUM(CAST(CAST(l_quantity AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4)) AS DECIMAL(38,8))) AS sxy """ +
-        """FROM lineitem GROUP BY l_returnflag) """ +
+      ("""WITH c AS (SELECT l_returnflag, """ +
+        """CAST(round(l_quantity * 100, 0) AS BIGINT) AS xc, """ +
+        """CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS yc FROM lineitem), """ +
+        """s AS (SELECT l_returnflag, COUNT(*) AS n, """ +
+        """SUM(xc) AS sx, SUM(yc) AS sy, """ +
+        """SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy, SUM(xc * yc) AS sxy """ +
+        """FROM c GROUP BY l_returnflag) """ +
         """SELECT l_returnflag, n, """ +
-        """ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 4) AS var_qty, """ +
+        """ROUND(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0, 4) AS var_qty, """ +
         """ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_qty_price """ +
         """FROM s ORDER BY l_returnflag NULLS FIRST"""),
   )
