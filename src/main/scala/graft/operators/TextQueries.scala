@@ -140,15 +140,59 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Search terms for the lexical retrieval demo (plan-time literals; a
+    * real deployment broadcasts the query set). */
+  val SearchTerms: Seq[String] = Seq("spark", "window", "hash")
+  private def termSqlList: String = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Q53 — lexical document search: rational tf-idf top-k. Score of doc d =
+    * sum over query terms t of tf(t,d) * (N * 1000 / df(t)) in EXACT
+    * integer arithmetic (truncating division) — the log in classic idf is
+    * replaced by the rational inverse document frequency because ln() is
+    * not guaranteed bit-identical across engines, and exactness is what
+    * makes the result hash-checkable; the ranking is order-equivalent to
+    * linear-idf scoring. Plan shape: explode -> filter to query terms
+    * (predicate prunes the token stream BEFORE any shuffle) -> tf per
+    * (doc, term) -> broadcast df join -> sum -> TakeOrderedAndProject.
+    * The lexical complement to the vector ANN family (q26/q27/q42). */
+  def q53DocSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // corpus size: one cheap count, a literal in the plan
+    val hits = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isInCollection(SearchTerms))
+    val tf = hits.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = hits.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), "token")
+      .withColumn("w", col("tf") * expr(s"${n * 1000L}L DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).cast("long").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
     "q31_lang_id" -> (q31LangId _),
     "q32_events_json" -> (q32EventsJson _),
     "q33_fingerprint" -> (q33Fingerprint _),
+    "q53_doc_search" -> (q53DocSearch _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q53_doc_search" ->
+      s"""WITH hits AS (SELECT doc_id, token
+         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+         |    WHERE token IN $termSqlList),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+         |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, CAST(SUM(tf * ((n.n * 1000) // df)) AS BIGINT) AS score_milli
+         |FROM tf JOIN dfx USING (token), n
+         |GROUP BY doc_id ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
     "q29_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,
