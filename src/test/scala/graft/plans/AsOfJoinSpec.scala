@@ -85,4 +85,53 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkP
     val got = AsOfJoin.asOf(ev, ev, "k", "t")
     assert(got.count() == 4) // every left row survives
   }
+
+  test("differential property: random data matches a plain-Scala reference") {
+    val rng = new scala.util.Random(20260812L)
+    for (round <- 1 to 3) {
+      // skewed keys + duplicate timestamps + occasional nulls
+      def rows(n: Int): Seq[(Option[Long], Option[Long], Long)] =
+        (0 until n).map { i =>
+          val k = if (rng.nextInt(20) == 0) None else Some(rng.nextInt(8).toLong)
+          val t = if (rng.nextInt(25) == 0) None else Some(rng.nextInt(40).toLong)
+          (k, t, round * 10000L + i)
+        }
+      val lRows = rows(200)
+      val rRows = rows(150)
+      val got = AsOfJoin.asOf(
+          lRows.toDF("k", "t", "lid"), rRows.toDF("k", "t", "rid"), "k", "t")
+        .select($"lid", $"rid")
+        .as[(Long, Option[Long])].collect().toMap
+
+      // reference: for each left row, the right row with max (t, rid) among
+      // same-key rows with t <= left.t (rid is the deterministic tiebreak the
+      // operator inherits from its (key, time, insertion) sort order; Spark's
+      // sort is not stable on ties, so compare only where the match is unique
+      // by (k, t))
+      val expected = lRows.map { case (lk, lt, lid) =>
+        val m = for {
+          k <- lk; t <- lt
+        } yield rRows.filter(r => r._1.contains(k) && r._2.exists(_ <= t))
+          .sortBy(r => (r._2.get, r._3)).lastOption.map(_._3)
+        lid -> m.flatten
+      }.toMap
+      // rows whose matched (k,t) pair is duplicated on the right are
+      // tie-order-dependent; verify the match's (k,t) instead of its rid there
+      val rById = rRows.map(r => r._3 -> r).toMap
+      lRows.foreach { case (lk, lt, lid) =>
+        val exp = expected(lid)
+        val act = got(lid)
+        (exp, act) match {
+          case (None, None) => ()
+          case (Some(e), Some(a)) =>
+            val (ek, et, _) = rById(e)
+            val (ak, at, _) = rById(a)
+            assert(ek == ak && et == at,
+              s"round $round lid=$lid: expected match ($ek,$et) got ($ak,$at)")
+          case other =>
+            fail(s"round $round lid=$lid (k=$lk t=$lt): expected $exp got $act")
+        }
+      }
+    }
+  }
 }
