@@ -83,11 +83,41 @@ object AnalyticsQueries {
         sum(element_at(col("m"), "k")).cast("long").as("sum_k"))
       .orderBy(col("event_type").asc)
 
+  /** Q54 — BATCH session window via gaps-and-islands: a new session starts
+    * where the gap to the previous event exceeds 5 minutes (lag), the
+    * session id is the running count of starts (cumulative sum), then one
+    * aggregate per (user, session). This is the batch twin of
+    * [[graft.streaming.StreamingOps.session]] / userSessions — same
+    * semantics, expressible as two windows + one aggregation, so the
+    * DuckDB gate can hash-check what the streaming tests pin behaviorally.
+    * One shuffle on user_id (both windows and the final group share it). */
+  val SessionGapUs = 300000000L // 5 minutes
+
+  def q54SessionBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+    val wc = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wc))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy(col("user_id").asc, col("sess_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q48_cube" -> (q48Cube _),
     "q49_pivot" -> (q49Pivot _),
     "q50_stratified_sample" -> (q50StratifiedSample _),
     "q51_map_fns" -> (q51MapFns _),
+    "q54_session_batch" -> (q54SessionBatch _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -112,6 +142,22 @@ object AnalyticsQueries {
         |  COUNT(CASE WHEN sampled THEN 1 END) AS n_sampled,
         |  CAST(SUM(CASE WHEN sampled THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sampled_qty
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""").stripMargin,
+    "q54_session_batch" ->
+      s"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+         |m AS (SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts) > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e),
+         |s AS (SELECT user_id, ts, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM m)
+         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS sess_start,
+         |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+         |FROM s GROUP BY user_id, sess_id
+         |ORDER BY user_id NULLS FIRST, sess_id NULLS FIRST""".stripMargin,
     "q51_map_fns" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         "COUNT(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 END) AS n_with_k, " +
