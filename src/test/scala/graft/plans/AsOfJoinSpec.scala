@@ -86,6 +86,24 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkP
     assert(got.count() == 4) // every left row survives
   }
 
+  test("string keys and timestamp times work (non-numeric ordering path)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = Seq(
+      ("alice", ts("2026-01-01 10:05:00"), "p1"),
+      ("bob", ts("2026-01-01 10:05:00"), "p2"),
+      ("zed", ts("2026-01-01 10:05:00"), "p3")
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      ("alice", ts("2026-01-01 10:00:00"), "c1"),
+      ("alice", ts("2026-01-01 10:04:00"), "c2"),
+      ("bob", ts("2026-01-01 10:06:00"), "c3")
+    ).toDF("k", "t", "ctag")
+    val got = AsOfJoin.asOf(l, r, "k", "t")
+      .select($"tag", $"ctag").as[(String, Option[String])].collect().toMap
+    assert(got == Map("p1" -> Some("c2"), "p2" -> None, "p3" -> None))
+  }
+
   test("differential property: random data matches a plain-Scala reference") {
     val rng = new scala.util.Random(20260812L)
     for (round <- 1 to 3) {
