@@ -242,12 +242,40 @@ object SimilarityQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Q55 — int8 embedding quantization census: symmetric per-vector
+    * quantization (q8_i = v_i * 127 / max|v|, the standard rowwise int8
+    * compression a 100 TB embedding store runs to cut memory 4x), with the
+    * reconstruction-error audit a pipeline needs before committing to the
+    * compressed representation. All arithmetic is exact integers over the
+    * milli-quantized vectors (truncating division matches DuckDB `//`), so
+    * the census is hash-checkable; zero vectors are excluded identically on
+    * both sides (division guard). Per label: vector count, total absolute
+    * reconstruction error, and mean relative error in micro units —
+    * rel_err_micro = sum|v - dequant(q8(v))| * 1e6 / sum|v|. */
+  def q55QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .withColumn("max_abs", expr(
+        "aggregate(qv, 0L, (m, x) -> greatest(m, abs(x)))"))
+      .filter(col("max_abs") > 0)
+      .withColumn("abs_err", expr(
+        "aggregate(transform(qv, x -> abs(x - (x * 127L DIV max_abs) * max_abs DIV 127L)), 0L, (s, e) -> s + e)"))
+      .withColumn("abs_sum", expr(
+        "aggregate(qv, 0L, (s, x) -> s + abs(x))"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("abs_err")).as("total_abs_err"),
+        expr("CAST(sum(abs_err) * 1000000L DIV sum(abs_sum) AS BIGINT)")
+          .as("rel_err_micro"))
+      .orderBy(col("label").asc)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q26_knn_exact" -> (q26KnnExact _),
     "q27_ann_lsh" -> (q27AnnLsh _),
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
     "q42_ann_ivf" -> (q42IvfAnn _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
+    "q55_quantize_int8" -> (q55QuantizeInt8 _),
   )
 
   /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
@@ -261,6 +289,19 @@ object SimilarityQueries {
     * FLOOR-quantizes before any summation); q27/q42 are rows-only (LSH/IVF
     * probe semantics are Spark-side, pinned by SimilaritySpec). */
   val oracle: Map[String, String] = Map(
+    "q55_quantize_int8" ->
+      """WITH q AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS max_abs FROM q),
+        |f AS (SELECT label,
+        |    CAST(list_sum(list_transform(v, x -> abs(x - ((x * 127 // max_abs) * max_abs) // 127))) AS BIGINT) AS abs_err,
+        |    CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS abs_sum
+        |  FROM m WHERE max_abs > 0)
+        |SELECT label, COUNT(*) AS n_vecs, CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+        |  CAST((SUM(abs_err) * 1000000) // SUM(abs_sum) AS BIGINT) AS rel_err_micro
+        |FROM f GROUP BY label ORDER BY label NULLS FIRST""".stripMargin,
     "q27_ann_lsh" -> {
       val bucketTerms = planeSqlLiterals.map { lits =>
         s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
