@@ -31,6 +31,10 @@ object Sessions {
         graft.plans.AsOfJoinStrategy.inject(e)
       }
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE on: measured a net win even at bench scale (30.9 s vs 35.6 s
+      // for the full catalog at sf0.1 — runtime broadcast conversion pays
+      // for the stage materialization), and it's the knob that matters most
+      // when SF grows 100x (skew-join splitting, reducer right-sizing)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // size-based coalescing: the default parallelismFirst=true refuses to

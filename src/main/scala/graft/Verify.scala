@@ -9,7 +9,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only filter for single-query iteration (unset in driver runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       // coalesce(1) is a harness convention (one file per query for the
       // driver's DuckDB read) — NOT a production sink pattern; real sinks
       // write partitioned output.

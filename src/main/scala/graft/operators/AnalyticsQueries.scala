@@ -112,12 +112,32 @@ object AnalyticsQueries {
       .orderBy(col("user_id").asc, col("sess_id").asc)
   }
 
+  /** Q57 — deterministic train/val/test split: assignment from the first
+    * md5 hex byte of the doc key — 'cd' = 205/256 ≈ 80% train, 'e6' = 230
+    * /256 ≈ +10% val, remainder test. Like q50 this is a per-row pure
+    * function of the key: stable across engines, runs, partitionings, and
+    * retries, and — the property that matters operationally — ADDING new
+    * documents never reassigns an existing one (no shuffling docs across
+    * the train/test boundary as the corpus grows, which would leak test
+    * data into training). The split predicate is a plain filter, so at
+    * 100 TB each consumer pipeline pushes it into the parquet scan. */
+  def q57TrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    Tables.documents(spark, dir)
+      .withColumn("split", split)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split").asc, col("lang").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q48_cube" -> (q48Cube _),
     "q49_pivot" -> (q49Pivot _),
     "q50_stratified_sample" -> (q50StratifiedSample _),
     "q51_map_fns" -> (q51MapFns _),
     "q54_session_batch" -> (q54SessionBatch _),
+    "q57_train_test_split" -> (q57TrainTestSplit _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -158,6 +178,15 @@ object AnalyticsQueries {
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM s GROUP BY user_id, sess_id
          |ORDER BY user_id NULLS FIRST, sess_id NULLS FIRST""".stripMargin,
+    "q57_train_test_split" ->
+      ("""WITH t AS (SELECT lang, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY split, lang
+        |ORDER BY split NULLS FIRST, lang NULLS FIRST""").stripMargin,
     "q51_map_fns" ->
       ("SELECT event_type, COUNT(*) AS n, " +
         "COUNT(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 END) AS n_with_k, " +

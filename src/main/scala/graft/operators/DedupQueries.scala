@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import java.security.MessageDigest
 
 /** Deduplication operators over the `documents` table — the exact/near-dup
@@ -101,7 +102,10 @@ object DedupQueries {
     * (the 100 TB survival property VERDICT demanded). */
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
 
+  /** Distinct (doc_a < doc_b) candidate pairs — unsorted; oracle-facing
+    * consumers add their own determinism sort. */
   private def candidatePairs(b: DataFrame): DataFrame = {
     val l = b.select(col("band").as("band_l"), col("bsig").as("bsig_l"), col("doc_id").as("doc_a"))
     val r = b.select(col("band").as("band_r"), col("bsig").as("bsig_r"), col("doc_id").as("doc_b"))
@@ -110,7 +114,6 @@ object DedupQueries {
           col("doc_a") < col("doc_b"), "inner")
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   /** Q24 — exact 3-shingle Jaccard, computed ONLY for LSH candidates (the
@@ -168,11 +171,69 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Q56 — duplicate-CLUSTER resolution: connected components over the LSH
+    * candidate-pair graph, so each near-dup family collapses to one
+    * canonical document (min doc_id). This is the step that turns pairwise
+    * candidates (q23) into the keep/drop decision a curation pipeline
+    * actually executes.
+    *
+    * Algorithm: iterative min-label propagation — label(v) starts at v,
+    * each round takes the min over {v} ∪ neighbors, until a fixpoint.
+    * Rounds = graph diameter; LSH near-dup families are near-cliques
+    * (every member shares a band bucket with most others), so it converges
+    * in 2-4 rounds regardless of corpus size. Each round is one equi-join
+    * + one min-aggregate on uniformly-hashed keys — shuffle-bounded, no
+    * cartesian anywhere; `localCheckpoint` truncates lineage so the plan
+    * does not grow exponentially with iterations (a production cluster
+    * would use reliable `checkpoint` to HDFS instead). For adversarial
+    * long-chain graphs the O(log n) large-star/small-star variant drops in
+    * without changing the loop shape; near-dup graphs never need it. */
+  def q56DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(
+      bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // edges feed every round: materialize once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    // labels only ever decrease, so the label sum is strictly monotone:
+    // an unchanged sum IS convergence — one cheap scan-agg over the
+    // checkpointed result per round, no compare-join (DECIMAL: a 100 TB
+    // node count times 64-bit ids overflows a Long sum)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var sumPrev = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val next = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(sumPrev) == 0
+      sumPrev = s
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(
+        col("node").as("doc_id"),
+        col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("node") === col("label")).as("is_canonical"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),
     "q23_dedup_minhash_lsh" -> (q23MinhashLsh _),
     "q24_dedup_jaccard" -> (q24JaccardVerify _),
     "q25_simhash" -> (q25SimHash _),
+    "q56_dup_clusters" -> (q56DupClusters _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -189,6 +250,20 @@ object DedupQueries {
         |JOIN sh a ON a.doc_id = p.doc_a
         |JOIN sh b ON b.doc_id = p.doc_b
         |ORDER BY p.doc_a NULLS FIRST, p.doc_b NULLS FIRST""".stripMargin),
+    "q56_dup_clusters" -> minhashOracle(
+      """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id, cc.cluster_id, sz.cluster_size,
+        |  cc.doc_id = cc.cluster_id AS is_canonical
+        |FROM cc JOIN sz USING (cluster_id)
+        |ORDER BY cc.doc_id NULLS FIRST""".stripMargin,
+      extraCtes = true, recursive = true),
     "q25_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '), s -> md5(s)) AS hashes
@@ -204,9 +279,13 @@ object DedupQueries {
   )
 
   /** Shared CTE prefix defining shingles, signatures, bands, and candidate
-    * pairs exactly like the Spark side (same md5 scheme, same band layout). */
-  private def minhashOracle(tail: String): String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * pairs exactly like the Spark side (same md5 scheme, same band layout).
+    * `extraCtes` appends the tail as further CTEs after `pairs` (the tail
+    * then carries its own final SELECT); `recursive` emits WITH RECURSIVE
+    * (DuckDB is fine with non-recursive CTEs under it). */
+  private def minhashOracle(
+      tail: String, extraCtes: Boolean = false, recursive: Boolean = false): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
        |       FROM w WHERE len(w) >= 3),
@@ -217,6 +296,6 @@ object DedupQueries {
        |          FROM sig, (SELECT unnest(range(${MinhashCount / BandRows})) AS b)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
-       |          ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+       |          ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)${if (extraCtes) "," else ""}
        |$tail""".stripMargin
 }

@@ -55,21 +55,140 @@ object FunctionQueries {
         (abs(col("approx_users") - col("exact_users")).cast("double") /
           col("exact_users") <= 0.10).as("within_bounds"))
 
+  /** Exact interpolated percentile by counting: hash-agg to (group, value,
+    * count), one per-group cumulative window over the DISTINCT values, pick
+    * the two order statistics bracketing position p*(n-1), interpolate
+    * lo + (hi-lo)*frac — the identical double formula Spark `percentile`
+    * and DuckDB `quantile_cont` evaluate, so results stay bit-stable vs the
+    * oracle. Every stage is codegen (no TypedImperativeAggregate buffering
+    * raw rows — the builtin's cost); the window runs over distinct values
+    * only, which bounded-domain measure columns keep small at any SF. */
+  private def exactPercentileByCounting(
+      df: DataFrame, group: String, value: String, p: Double, out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(value).isNotNull)
+      .groupBy(col(group), col(value)).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(group)).orderBy(col(value).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(group))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wg))
+    val k = lit(p) * (col("n") - 1).cast("double") // target position, 0-indexed
+    // a value occupies sorted positions [cum-cnt, cum-1]
+    def holds(idx: org.apache.spark.sql.Column) =
+      (col("cum") - col("cnt") <= idx) && (idx < col("cum"))
+    val (hasLo, hasHi) = (holds(floor(k)), holds(ceil(k)))
+    cum.filter(hasLo || hasHi)
+      .groupBy(col(group))
+      .agg(
+        max(when(hasLo, col(value))).as("lov"),
+        max(when(hasHi, col(value))).as("hiv"),
+        max(k).as("k")) // k is constant within a group
+      .select(col(group),
+        (col("lov") + (col("hiv") - col("lov")) * (col("k") - floor(col("k")))).as(out))
+  }
+
+  /** Exact interpolated percentile by HISTOGRAM REFINEMENT — the open-domain
+    * companion to [[exactPercentileByCounting]]: phase 1 hash-aggregates to
+    * coarse (group, bucket) counts (a few thousand keys — map-side partials
+    * actually reduce, unlike a distinct-value agg over ~200k keys/group,
+    * which was the measured bottleneck), a tiny cumulative window finds the
+    * <=2 buckets holding order statistics floor/ceil(p*(n-1)), phase 2
+    * re-scans with `bucket IN (...)` (a value-range predicate => parquet
+    * min/max pruning at scale) and ranks only those ~100 rows. Interpolation
+    * is the same lo + (hi-lo)*frac double formula as Spark `percentile` /
+    * DuckDB `quantile_cont` => bit-stable vs the oracle. */
+  private def exactPercentileByHistogram(
+      df: DataFrame, group: String, value: String, p: Double, out: String,
+      bucketWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = df.filter(col(value).isNotNull)
+      .select(col(group), col(value), floor(col(value) / bucketWidth).as("bkt"))
+    val w = Window.partitionBy(col(group)).orderBy(col("bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(group))
+    val cum = src.groupBy(col(group), col("bkt")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("k", lit(p) * (sum(col("cnt")).over(wg) - 1).cast("double"))
+    // a bucket covers 0-indexed sorted positions [cum-cnt, cum-1]
+    def holds(idx: org.apache.spark.sql.Column) =
+      (col("cum") - col("cnt") <= idx) && (idx < col("cum"))
+    val needed = cum.filter(holds(floor(col("k"))) || holds(ceil(col("k"))))
+      .select(col(group).as("g"), col("bkt").as("nb"),
+        (col("cum") - col("cnt")).as("off"), col("k"))
+    val wr = Window.partitionBy(col(group), col("bkt")).orderBy(col(value).asc)
+    src.join(broadcast(needed), col(group) === col("g") && col("bkt") === col("nb"))
+      .withColumn("pos", row_number().over(wr).cast("long") - 1 + col("off"))
+      .filter(col("pos") === floor(col("k")) || col("pos") === ceil(col("k")))
+      .groupBy(col(group))
+      .agg(
+        max(when(col("pos") === floor(col("k")), col(value))).as("lov"),
+        max(when(col("pos") === ceil(col("k")), col(value))).as("hiv"),
+        max(col("k")).as("kk"))
+      .select(col(group),
+        (col("lov") + (col("hiv") - col("lov")) * (col("kk") - floor(col("kk")))).as(out))
+  }
+
   /** Q43 — exact interpolated percentiles per group (the order-statistics
-    * family of "advanced analytical queries"). Both engines define
-    * percentile/quantile_cont as linear interpolation between order
-    * statistics: a + (b-a)*frac over the same doubles => bit-stable.
-    * Spark's percentile is a sort-based TypedImperativeAggregate — fine for
-    * grouped data; at 100 TB switch to approx_percentile (same plan shape,
-    * bounded memory). */
-  def q43Percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    * family of "advanced analytical queries"). r4: replaces the builtin
+    * `percentile` (sort-based TypedImperativeAggregate buffering every raw
+    * row per group — measured ~2.9 s; a window-rank form was no better at
+    * 2.1 s because partition-per-group caps parallelism at the group count).
+    * The bounded-domain column (l_quantity, 50 distinct values) uses the
+    * counting form; the open-domain one (l_extendedprice, ~200k distinct
+    * per group) uses histogram refinement. Both are exact and every stage
+    * is codegen. At 100 TB both survive: counting's window sees only
+    * distinct values, refinement's phase 2 prunes to two buckets; for
+    * one-pass sketched percentiles see q58. */
+  def q43Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p50 = exactPercentileByCounting(li, "l_returnflag", "l_quantity", 0.5, "p50_qty")
+    val p95 = exactPercentileByHistogram(
+      li, "l_returnflag", "l_extendedprice", 0.95, "p95_price", bucketWidth = 64.0)
+    li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(p50), "l_returnflag")
+      .join(broadcast(p95), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_qty"), col("p95_price"), col("cnt"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  /** Q58 — approx_percentile with its rank-error contract checked INSIDE
+    * the gate (the q37 pattern, for order statistics): the sketch
+    * (Greenwald-Khanna summary, accuracy=1000 => rank error <= 1/1000)
+    * returns an actual element of the column; the verify pass computes that
+    * element's EXACT rank with a plain codegen'd count(price <= v) — no
+    * exact-percentile buffering anywhere (which is exactly the cost this
+    * sketch exists to avoid; an earlier formulation that gated against
+    * exact p89/p91 spent 9 s buffering the column four times) — and
+    * asserts |rank/n - 0.9| <= 0.005 (5x the guarantee + discreteness
+    * slack, so it never flakes). The oracle pins the group count and
+    * literal TRUE, so a sketch regression or mis-wired column fails the
+    * hash compare. The sketch pass is a 3-row result broadcast back onto
+    * the scan: two cheap passes over the data, both codegen, partials
+    * mergeable — the percentile path that survives 100 TB (see q43's
+    * scaladoc for why the exact path doesn't). */
+  private val Eps = 0.005 // 5x the accuracy-1000 rank guarantee
+
+  def q58ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sketch = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.9D, 1000)").as("approx"))
+    li.select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(sketch), "l_returnflag")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5D)").as("p50_qty"),
-        expr("percentile(l_extendedprice, 0.95D)").as("p95_price"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        count(when(col("l_extendedprice") <= col("approx"), 1)).as("le"),
+        count(when(col("l_extendedprice") < col("approx"), 1)).as("lt"))
+      .select(
+        col("l_returnflag"), col("cnt"),
+        // v's rank interval [lt+1, le] must intersect [(0.9-eps)n, (0.9+eps)n]
+        // — interval form, so duplicated values can't flunk a correct sketch
+        (col("le").cast("double") >= (lit(0.9) - Eps) * col("cnt") &&
+          col("lt").cast("double") <= (lit(0.9) + Eps) * col("cnt")).as("within_bounds"))
       .orderBy(col("l_returnflag").asc)
+  }
 
   /** Q44 — moment-based statistics with an explicitly engine-stable
     * formulation: variance/covariance/correlation computed from EXACT power
@@ -126,6 +245,7 @@ object FunctionQueries {
     "q36_explode_tokens" -> (q36ExplodeTokens _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q43_percentiles" -> (q43Percentiles _),
+    "q58_approx_percentile" -> (q58ApproxPercentile _),
     "q44_moments" -> (q44Moments _),
   )
 
@@ -146,6 +266,9 @@ object FunctionQueries {
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
     "q37_approx_distinct" ->
       "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds FROM events",
+    "q58_approx_percentile" ->
+      ("SELECT l_returnflag, COUNT(*) AS cnt, TRUE AS within_bounds " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"),
     "q43_percentiles" ->
       ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50_qty, " +
         "quantile_cont(l_extendedprice, 0.95) AS p95_price, COUNT(*) AS cnt " +

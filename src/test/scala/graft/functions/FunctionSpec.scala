@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkTestSession
 import graft.operators.{FunctionQueries, Tables}
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** UDAF/generator/approx coverage: the typed Aggregator's algebra and its
@@ -49,5 +50,27 @@ class FunctionSpec extends AnyFunSuite with SparkTestSession {
   test("q37 approx distinct stays within the declared 10% bound") {
     val r = FunctionQueries.q37ApproxDistinct(spark, dir).head()
     assert(r.getBoolean(1), s"approx out of bounds: $r")
+  }
+
+  test("q43 counting/histogram percentiles equal the builtin exact percentile") {
+    // differential: the r4 reformulations must reproduce the builtin
+    // sort-based aggregate bit-for-bit (both interpolate lo+(hi-lo)*frac)
+    val got = FunctionQueries.q43Percentiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val ref = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95D)").as("p95"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == ref)
+  }
+
+  test("q58 approx percentile rank stays within the declared bound") {
+    val rows = FunctionQueries.q58ApproxPercentile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(2), s"rank out of bounds: $r"))
   }
 }

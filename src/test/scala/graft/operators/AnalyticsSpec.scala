@@ -41,6 +41,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("train/val/test split partitions the corpus with stable assignment") {
+    val rows = AnalyticsQueries.q57TrainTestSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.map(_._3).sum == total, "splits must partition the corpus")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    // global rates near 80/10/10 (md5 is uniform; tolerance for small SF)
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble / total)
+    assert(math.abs(bySplit.getOrElse("train", 0.0) - 0.80) < 0.06, bySplit.toMap)
+    assert(math.abs(bySplit.getOrElse("val", 0.0) - 0.10) < 0.05, bySplit.toMap)
+    // per-row assignment: independent of the rest of the corpus — the md5
+    // threshold recomputed per doc in plain Scala must agree
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def split(id: Long): String = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (hex < "cd") "train" else if (hex < "e6") "val" else "test"
+    }
+    val fromSpark = Tables.documents(spark, dir).select("doc_id", "lang").collect()
+      .map(r => (split(r.getLong(0)), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fromQuery = rows.map { case (s, l, n, _) => (s, l) -> n }.toMap
+    assert(fromQuery == fromSpark)
+  }
+
   test("map functions agree with the struct-schema twin on sum_k") {
     val viaMap = AnalyticsQueries.q51MapFns(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(4)).toMap

@@ -84,4 +84,36 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.contains((1L, 2L)), s"near-dups must be candidates, got $pairs")
     assert(!pairs.contains((3L, 4L)), s"unrelated docs with zero shared shingles must not pair: $pairs")
   }
+
+  test("dup clusters match a plain-Scala union-find over the candidate pairs") {
+    val pairs = DedupQueries.q23MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // independent reference: classic union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root compression to the component MINIMUM (find unions larger onto
+    // smaller roots, so the final root IS the min id)
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val sizes = expected.groupBy(_._2).view.mapValues(_.size).toMap
+
+    val got = DedupQueries.q56DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet == expected.keySet, "node set mismatch")
+    got.foreach { case (doc, cluster, size, canonical) =>
+      assert(cluster == expected(doc), s"doc $doc: cluster $cluster != ${expected(doc)}")
+      assert(size == sizes(cluster).toLong, s"cluster $cluster size")
+      assert(canonical == (doc == cluster))
+    }
+    // exactly one canonical per cluster
+    val canon = got.filter(_._4).map(_._2)
+    assert(canon.distinct.length == canon.length)
+    assert(canon.toSet == got.map(_._2).toSet)
+  }
 }

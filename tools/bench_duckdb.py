@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""DuckDB-side of the BASELINE.md §4 comparison: run every oracle SQL from a
+Verify dump's oracle_sql.json over the given sf dir, warmed, min of two timed
+passes (the same discipline as graft.Bench), and print per-query + total.
+
+Usage: python3 tools/bench_duckdb.py /root/testdata/sf0.1 /tmp/verify_out
+"""
+import json, os, sys, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # warmup
+    for name, sql in sorted(oracles.items()):
+        con.execute(sql).fetchall()
+    results = {}
+    for _ in range(2):
+        for name, sql in sorted(oracles.items()):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            results[name] = min(results.get(name, 1e9), dt)
+    for name, dt in sorted(results.items(), key=lambda kv: -kv[1]):
+        print(f"{name:28s} {dt:.3f}")
+    print(f"TOTAL {sum(results.values()):.3f}  n={len(results)}")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
