@@ -30,8 +30,8 @@ object SparkEntry {
       // B5 list pipeline over a deterministic demo run store (rows-only:
       // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
       ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
-      // Multimodal decode census (rows-only: binary plumbing is Spark-side
-      // semantics, pinned by MultimodalSpec).
+      // Multimodal decode census (r4: oracle-checked — the deterministic
+      // fake encoder lets DuckDB recompute expected metadata from documents).
       ("q38_media_meta" -> (graft.multimodal.MultimodalOps.q38MediaMeta _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++ FunctionQueries.oracle ++
-      AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle
+      AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle +
+      ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle)
 }

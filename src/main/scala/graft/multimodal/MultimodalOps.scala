@@ -134,9 +134,11 @@ object MultimodalOps {
     if (repartitionByMedia) frames.repartition(col("media_id")) else frames
   }
 
-  /** Queries entry: decoded-metadata census over the synthetic media table
-    * (rows-only: the binary pipeline is Spark-side semantics, pinned by
-    * MultimodalSpec). */
+  /** Queries entry: decoded-metadata census over the synthetic media table.
+    * r4: oracle-checked — the fake encoder is a deterministic function of
+    * (doc_id, text), so DuckDB recomputes the expected metadata directly
+    * from the documents table; a hash match pins the whole binary
+    * encode -> header-parse -> decode round trip, not just row counts. */
   def q38MediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     decodeMeta(mediaFromDocuments(spark, dir))
@@ -146,4 +148,13 @@ object MultimodalOps {
         max(col("n_frames")).cast("int").as("max_frames"))
       .orderBy(col("kind").asc)
   }
+
+  /** DuckDB twin of [[q38MediaMeta]]: re-derives kind/frames from doc_id and
+    * payload size from the UTF-8 byte length, per [[encodeFake]]. */
+  val q38Oracle: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'imag' WHEN 1 THEN 'audi' ELSE 'vide' END AS kind,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_payload,
+      |  CAST(MAX(1 + doc_id % 10) AS INT) AS max_frames
+      |FROM documents GROUP BY kind ORDER BY kind NULLS FIRST""".stripMargin
 }

@@ -106,7 +106,12 @@ object RelationalQueries {
   /** Q9 — the flagship hash aggregate (TPC-H Q1 shape; "GROUP BY with
     * aggregations / COUNT, SUM, AVG", estimation.html:217,224-226).
     * Partial agg map-side on 6 groups; COUNT(DISTINCT) expands to a two-phase
-    * agg keyed by (flag,status,suppkey) — still bounded state. */
+    * agg keyed by (flag,status,suppkey) — still bounded state. (r4 measured
+    * two alternatives at sf0.1 and kept this form: a hand-lowered partial-
+    * distinct rewrite was no better, and a pre-agg repartition was worse —
+    * the cost here is the single-row-group scan task, a testdata layout
+    * artifact that vanishes on split-able files; see the 10x smoke where
+    * this query runs FASTER on 10x the data.) */
   def q9HashAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_linestatus")

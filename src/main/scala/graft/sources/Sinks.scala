@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions.{col, pmod, xxhash64}
   */
 object Sinks {
 
+  /** One micro-batch of [[streamToParquetExactlyOnce]]: the batch lands in
+    * its own `batch_id=<id>` partition via DYNAMIC partition overwrite, so
+    * a replayed batch (foreachBatch is at-least-once: the sink write can
+    * succeed and the checkpoint commit still fail) REPLACES its own
+    * partition instead of appending duplicates. Exposed separately so the
+    * replay path is directly testable. */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Streaming parquet sink with exactly-once-observable output — the
+    * foreachBatch idempotence pattern (batch-id-keyed dynamic partition
+    * overwrite + checkpointed offsets). This is the persistence leg of the
+    * streaming module: readers see each input row exactly once across any
+    * combination of retries and restarts, and the batch_id partition column
+    * doubles as an audit trail of which micro-batch delivered which rows. */
+  def streamToParquetExactlyOnce(
+      df: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, path)
+      }
+      .start()
+
   /** Write `df` as partitioned parquet with bounded file count and size.
     *
     * @param filesPerPartition salt width: tasks writing each partition

@@ -66,4 +66,35 @@ class SinksSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkPlan
     assert(selected.nonEmpty && selected.forall(_.contains("event_type=click")),
       selected.mkString(", "))
   }
+
+  test("foreachBatch sink delivers exactly once across replays and restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sink = Files.createTempDirectory("graft_eo_sink").toString
+    val ckpt = Files.createTempDirectory("graft_eo_ckpt").toString
+    def readBack(): Seq[Long] =
+      spark.read.parquet(sink).select("value").as[Long].collect().toSeq.sorted
+
+    val s1 = MemoryStream[Long](spark)
+    val q1 = Sinks.streamToParquetExactlyOnce(s1.toDF(), sink, ckpt)
+    s1.addData(1L, 2L, 3L)
+    q1.processAllAvailable()
+    assert(readBack() == Seq(1L, 2L, 3L))
+
+    // simulate foreachBatch's at-least-once retry: the sink write succeeded
+    // but the checkpoint commit was lost, so batch 0 is delivered AGAIN
+    Sinks.writeBatchIdempotent(Seq(1L, 2L, 3L).toDF("value"), 0L, sink)
+    assert(readBack() == Seq(1L, 2L, 3L), "replayed batch must not duplicate")
+    q1.stop()
+
+    // restart from the same checkpoint: new data lands in new batches,
+    // prior output intact — each input row appears exactly once overall
+    val s2 = MemoryStream[Long](spark)
+    s2.addData(1L, 2L, 3L) // offsets 0-2 already committed for the OLD source
+    val q2 = Sinks.streamToParquetExactlyOnce(s2.toDF(), sink, ckpt)
+    s2.addData(4L, 5L)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readBack() == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
