@@ -131,6 +131,38 @@ object AnalyticsQueries {
       .orderBy(col("split").asc, col("lang").asc)
   }
 
+  /** Q59 — ordered funnel analysis (view -> click -> purchase): for each
+    * user, the first view, the first click strictly AFTER it, the first
+    * purchase strictly after that; then a one-row conversion summary with
+    * the total time-to-convert (exact integer micros). The batch/declarative
+    * twin of [[graft.streaming.StreamingOps.userSessions]]-style pattern
+    * matching: each stage is a filtered min-aggregate joined back — no
+    * window over raw events, no per-user buffering. Joins are left unhinted:
+    * the per-user stage tables grow with the user dimension, so AQE picks
+    * broadcast at small SF and co-shuffle at 100 TB (events and all three
+    * stage tables share the user_id key, so the shuffles reuse one
+    * exchange). */
+  def q59Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.join(v.join(c, "user_id"), "user_id")
+      .filter(col("event_type") === "purchase" && col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_view"),
+        count(col("c_us")).as("n_view_click"),
+        count(col("p_us")).as("n_converted"),
+        sum(when(col("p_us").isNotNull, col("p_us") - col("v_us")))
+          .cast("long").as("sum_convert_us"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q48_cube" -> (q48Cube _),
     "q49_pivot" -> (q49Pivot _),
@@ -138,6 +170,7 @@ object AnalyticsQueries {
     "q51_map_fns" -> (q51MapFns _),
     "q54_session_batch" -> (q54SessionBatch _),
     "q57_train_test_split" -> (q57TrainTestSplit _),
+    "q59_funnel" -> (q59Funnel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +211,16 @@ object AnalyticsQueries {
          |  CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
          |FROM s GROUP BY user_id, sess_id
          |ORDER BY user_id NULLS FIRST, sess_id NULLS FIRST""".stripMargin,
+    "q59_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, MIN(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(us) AS p_us FROM e JOIN v USING (user_id) JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_view, COUNT(c_us) AS n_view_click, COUNT(p_us) AS n_converted,
+        |  CAST(SUM(CASE WHEN p_us IS NOT NULL THEN p_us - v_us END) AS BIGINT) AS sum_convert_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "q57_train_test_split" ->
       ("""WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'

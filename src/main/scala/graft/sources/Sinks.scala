@@ -53,6 +53,36 @@ object Sinks {
       }
       .start()
 
+  /** Compact a parquet directory's small files into ~`targetRecordsPerFile`
+    * files — the maintenance half of the small-files discipline: streaming
+    * sinks (one file per micro-batch) and fine-grained partitioned writes
+    * accumulate files that tax listing, footers, and scan task counts.
+    * Rewrites into a sibling temp dir, then swaps (readers never observe a
+    * half-written directory; the swap is two renames, the same recovery
+    * granularity as a table-format commit). Returns (filesBefore,
+    * filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetRecordsPerFile: Long = 5000000L): (Int, Int) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def countFiles(p: String): Int = {
+      val s = Files.walk(Paths.get(p))
+      try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = countFiles(path)
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "__compacting"
+    df.repartition(nFiles).write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile).parquet(tmp)
+    val old = path.stripSuffix("/") + "__old"
+    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    (before, countFiles(path))
+  }
+
   /** Write `df` as partitioned parquet with bounded file count and size.
     *
     * @param filesPerPartition salt width: tasks writing each partition

@@ -31,8 +31,10 @@ object ScaleSmoke {
 
   private val DefaultQueries = Seq(
     "q09_hash_agg", "q12_topk_per_group", "q22_dedup_exact_hash",
-    "q23_dedup_minhash_lsh", "q45_dedup_embedding", "q46_asof_join",
-    "q47_asof_custom", "q50_stratified_sample", "q52_curation_pipeline")
+    "q23_dedup_minhash_lsh", "q43_percentiles", "q45_dedup_embedding",
+    "q46_asof_join", "q47_asof_custom", "q50_stratified_sample",
+    "q52_curation_pipeline", "q56_dup_clusters", "q57_train_test_split",
+    "q58_approx_percentile", "q59_funnel")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsNanosCol: Option[String] = None): DataFrame =

@@ -66,6 +66,30 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(fromQuery == fromSpark)
   }
 
+  test("funnel stages are monotone and a hand-built corpus converts correctly") {
+    val r = AnalyticsQueries.q59Funnel(spark, dir).head()
+    val (v, vc, conv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= vc && vc >= conv, s"funnel must narrow: $v >= $vc >= $conv")
+    assert(v > 0)
+
+    // hand-built corpus: user 1 converts in order; user 2 clicks before
+    // viewing (must NOT count); user 3 views only
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    Seq(
+      (1L, 1L, "view", 1000L), (2L, 1L, "click", 2000L), (3L, 1L, "purchase", 3000L),
+      (4L, 2L, "click", 1000L), (5L, 2L, "view", 2000L), (6L, 2L, "purchase", 3000L),
+      (7L, 3L, "view", 1000L),
+    ).toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val h = AnalyticsQueries.q59Funnel(spark, tmp).head()
+    // user 2's purchase follows a click with no prior view-then-click chain
+    assert((h.getLong(0), h.getLong(1), h.getLong(2)) == ((3L, 1L, 1L)), h)
+    assert(h.getLong(3) == 2000L) // user 1: purchase 3000 - view 1000
+  }
+
   test("map functions agree with the struct-schema twin on sum_k") {
     val viaMap = AnalyticsQueries.q51MapFns(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(4)).toMap

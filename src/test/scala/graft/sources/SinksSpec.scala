@@ -67,6 +67,20 @@ class SinksSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkPlan
       selected.mkString(", "))
   }
 
+  test("compact collapses small files and preserves the data") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_compact").toString + "/t"
+    (1L to 1000L).toDF("value").repartition(40).write.parquet(p)
+    val before = spark.read.parquet(p)
+      .select("value").as[Long].collect().sorted.toSeq
+    val (nBefore, nAfter) = Sinks.compact(spark, p, targetRecordsPerFile = 600)
+    assert(nBefore >= 40, s"expected many small files, got $nBefore")
+    assert(nAfter == 2, s"1000 rows at 600/file must compact to 2, got $nAfter")
+    val after = spark.read.parquet(p)
+      .select("value").as[Long].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("foreachBatch sink delivers exactly once across replays and restarts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
