@@ -177,20 +177,36 @@ object DedupQueries {
     * candidates (q23) into the keep/drop decision a curation pipeline
     * actually executes.
     *
-    * Algorithm: iterative min-label propagation — label(v) starts at v,
-    * each round takes the min over {v} ∪ neighbors, until a fixpoint.
-    * Rounds = graph diameter; LSH near-dup families are near-cliques
-    * (every member shares a band bucket with most others), so it converges
-    * in 2-4 rounds regardless of corpus size. Each round is one equi-join
-    * + one min-aggregate on uniformly-hashed keys — shuffle-bounded, no
-    * cartesian anywhere; `localCheckpoint` truncates lineage so the plan
-    * does not grow exponentially with iterations (a production cluster
-    * would use reliable `checkpoint` to HDFS instead). For adversarial
-    * long-chain graphs the O(log n) large-star/small-star variant drops in
-    * without changing the loop shape; near-dup graphs never need it. */
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * label(v) starts at v; each round takes the min over {v} ∪ neighbors,
+    * then shortcuts label(v) <- label(label(v)) (see [[resolveClusters]]),
+    * so rounds = O(log diameter), not O(diameter). LSH near-dup families
+    * are near-cliques (every member shares a band bucket with most
+    * others) and converge in 2-4 rounds; the jump step makes adversarial
+    * chain corpora converge inside the cap too. Each round is two
+    * equi-joins + one min-aggregate on uniformly-hashed keys —
+    * shuffle-bounded, no cartesian anywhere; `localCheckpoint` truncates
+    * lineage so the plan does not grow exponentially with iterations (a
+    * production cluster would use reliable `checkpoint` to HDFS
+    * instead). */
   def q56DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(
       bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+    resolveClusters(pairs)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Connected components over undirected (doc_a, doc_b) pairs ->
+    * (doc_id, cluster_id, cluster_size, is_canonical). Each round does one
+    * neighbor-min step AND one pointer-jump step (label <- label(label) —
+    * labels are always node ids, so the jump is a self-join): distances to
+    * the component minimum at least halve per round, so `MaxRounds` = 20
+    * covers diameters past 10^6 — near-dup families are near-cliques
+    * (2-4 rounds), but an adversarial chain corpus no longer exceeds the
+    * cap; if one somehow does, the loop FAILS LOUDLY rather than returning
+    * an under-merged clustering. */
+  private[operators] def resolveClusters(pairs: DataFrame): DataFrame = {
+    val MaxRounds = 20
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint() // edges feed every round: materialize once
@@ -206,11 +222,17 @@ object DedupQueries {
     var sumPrev = labelSum(labels)
     var converged = false
     var round = 0
-    while (!converged && round < 20) {
-      val next = edges.join(labels, edges("src") === labels("node"))
+    while (!converged && round < MaxRounds) {
+      val propagated = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jump: label(label) is defined (every label is a node) and
+      // <= label (monotone), so a left join + coalesce shortcuts chains
+      val jump = propagated.select(col("node").as("jnode"), col("label").as("jlabel"))
+      val next = propagated
+        .join(jump, propagated("label") === jump("jnode"), "left")
+        .select(col("node"), coalesce(col("jlabel"), col("label")).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s.compareTo(sumPrev) == 0
@@ -218,6 +240,10 @@ object DedupQueries {
       labels = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $MaxRounds rounds " +
+          "(graph diameter beyond the pointer-jump envelope)")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(
@@ -225,7 +251,6 @@ object DedupQueries {
         col("label").as("cluster_id"),
         col("cluster_size"),
         (col("node") === col("label")).as("is_canonical"))
-      .orderBy(col("doc_id").asc)
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -116,4 +116,18 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(canon.distinct.length == canon.length)
     assert(canon.toSet == got.map(_._2).toSet)
   }
+
+  test("cluster resolution converges on an adversarial 500-node chain") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-500: diameter 500 >> the 20-round cap; plain
+    // min-label propagation would need 500 rounds — pointer jumping must
+    // collapse it within O(log n) rounds
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = DedupQueries.resolveClusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 501)
+    assert(got.forall(_._2 == 0L), "every node must reach cluster 0")
+    assert(got.forall(_._3 == 501L))
+    assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 0L)
+  }
 }
