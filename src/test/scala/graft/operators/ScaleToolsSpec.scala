@@ -85,4 +85,31 @@ class ScaleToolsSpec extends AnyFunSuite with SparkTestSession {
       assert(joined.count() == plainCount)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("dynamic partition pruning fires for a selective dim filter") {
+    import graft.sources.Sinks
+    // fact partitioned by event_type (the Sinks write discipline), dim
+    // filtered to ONE type: the fact scan must be pruned at RUNTIME by the
+    // dim-side filter result (DPP) — at 100 TB this is the difference
+    // between scanning one partition and scanning the table
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString + "/events"
+    Sinks.writePartitioned(
+      Tables.events(spark, "/root/testdata/sf0.001"), out, Seq("event_type"))
+    val fact = spark.read.parquet(out)
+    import spark.implicits._
+    // dim must be a SOURCE with a selective predicate (a plan-time local
+    // relation folds the filter away and DPP sees nothing to reuse)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("purchase", 1L), ("refund", 2L)).toDF("etype", "type_id")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim, col("event_type") === col("etype"))
+      .filter(col("type_id") === 1L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rows = q.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "purchase")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+  }
 }
