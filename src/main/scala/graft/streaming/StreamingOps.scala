@@ -23,11 +23,13 @@ object StreamingOps {
   private val dec = DecimalType(18, 2)
 
   /** Tumbling event-time window + per-type aggregate. State: one row per
-    * (window, type) until the watermark closes the window. */
+    * (window, type) until the watermark closes the window.
+    * `watermark = None` means the input is ALREADY watermarked (composed
+    * pipelines — e.g. dedup -> tumble — must set the watermark exactly
+    * once; Spark disallows redefining it across stateful operators). */
   def tumble(events: DataFrame, width: String = "1 hour",
-      watermark: String = "10 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+      watermark: Option[String] = Some("10 minutes")): DataFrame =
+    watermark.fold(events)(w => events.withWatermark("ts", w))
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(dec)).cast("double").as("sv"))

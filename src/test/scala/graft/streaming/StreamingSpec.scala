@@ -65,7 +65,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
   test("tumble: late event beyond the watermark is dropped") {
     import spark.implicits._
     val stream = MemoryStream[Ev](spark)
-    val (q, name) = runToMemory(StreamingOps.tumble(stream.toDF(), watermark = "10 minutes"))
+    val (q, name) = runToMemory(StreamingOps.tumble(stream.toDF(), watermark = Some("10 minutes")))
     stream.addData(Seq(ev(1, "2026-01-01 10:05:00", value = 1.0)))
     q.processAllAvailable()
     // watermark moves to 11:50; the 10:00-11:00 window closes and emits
@@ -316,5 +316,55 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(2),
         Option(r.get(5)).map(_.asInstanceOf[Long]))).toSet
     assert(replayed == batch)
+  }
+
+  test("end-to-end pipeline: dedup -> tumble -> exactly-once parquet sink " +
+      "equals the batch computation") {
+    import spark.implicits._
+    // duplicate event_ids across two batches; the pipeline must dedup,
+    // aggregate closed windows, and persist exactly once despite a replay
+    val batch1 = Seq(
+      ev(1, "2026-01-01 10:05:00", tpe = "view", value = 2.0),
+      ev(2, "2026-01-01 10:30:00", tpe = "click", value = 1.5),
+      ev(1, "2026-01-01 10:05:00", tpe = "view", value = 2.0)) // dup in-batch
+    val batch2 = Seq(
+      ev(2, "2026-01-01 10:30:00", tpe = "click", value = 1.5), // dup cross-batch
+      ev(3, "2026-01-01 11:10:00", tpe = "view", value = 4.0))
+    // watermark 2h: the 10:30 cross-batch duplicate is still inside it
+    // after batch 2 (wm = 11:10 - 2h), and the 15:00 sentinel closes every
+    // real window (wm = 13:00) while its own stays open (excluded below)
+    val sentinel = ev(99, "2026-01-01 15:00:00", tpe = "sentinel")
+
+    val sink = java.nio.file.Files.createTempDirectory("graft_e2e_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    val stream = MemoryStream[Ev](spark)
+    val piped = StreamingOps.tumble(
+      StreamingOps.dedupWithinWatermark(stream.toDF(), watermark = "2 hours"),
+      watermark = None) // dedup already set it: one watermark per pipeline
+    val q = graft.sources.Sinks.streamToParquetExactlyOnce(piped, sink, ckpt)
+    stream.addData(batch1); q.processAllAvailable()
+    stream.addData(batch2); q.processAllAvailable()
+    stream.addData(Seq(sentinel)); q.processAllAvailable()
+    q.stop()
+
+    def read(): Set[(Timestamp, String, Long, Double)] =
+      spark.read.parquet(sink)
+        .select($"h", $"event_type", $"cnt", $"sv")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val expected = StreamingOps.tumble(
+      (batch1 ++ batch2).distinct.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(read() == expected)
+
+    // replay the last committed batch id -> still exactly once
+    val lastBatch = spark.read.parquet(sink)
+      .select(org.apache.spark.sql.functions.max($"batch_id"))
+      .head().getAs[Number](0).longValue() // partition values read back as int
+    graft.sources.Sinks.writeBatchIdempotent(
+      spark.read.parquet(sink).filter($"batch_id" === lastBatch).drop("batch_id"),
+      lastBatch, sink)
+    assert(read() == expected, "replayed sink batch must not duplicate")
   }
 }
