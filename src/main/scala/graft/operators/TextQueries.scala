@@ -173,6 +173,35 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Q60 — per-group feature normalization (z-score of document length
+    * within each language): the feature-scaling primitive of a training
+    * pipeline, in the group-stats-broadcast-back-to-rows shape. Stats come
+    * from EXACT integer power sums (the q44 discipline — order-independent,
+    * so partial aggregation cannot perturb them; DECIMAL(38,0) because
+    * sum(n_chars^2) rides past Long at web-corpus scale), converted to
+    * doubles once, in the same expression order as the oracle => bit-stable
+    * z-scores. The stats table is |langs| rows — broadcast by AQE; each row
+    * then computes z = (x - mean) / std in one codegen'd projection. */
+  def q60ZScoreNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val stats = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("n_chars").cast(big)).as("s1"),
+      sum((col("n_chars") * col("n_chars")).cast(big)).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val variance = (col("n").cast(big) * col("s2") - col("s1") * col("s1")).cast("double") /
+      (col("n").cast("double") * (col("n") - 1).cast("double"))
+    val std = sqrt(variance)
+    d.join(stats, "lang")
+      .select(
+        col("doc_id"), col("lang"),
+        when(variance > 0.0,
+          (col("n_chars").cast("double") - mean) / std).otherwise(0.0).as("z"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -180,9 +209,24 @@ object TextQueries {
     "q32_events_json" -> (q32EventsJson _),
     "q33_fingerprint" -> (q33Fingerprint _),
     "q53_doc_search" -> (q53DocSearch _),
+    "q60_zscore_normalize" -> (q60ZScoreNormalize _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q60_zscore_normalize" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n,
+        |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(n_chars * n_chars AS DECIMAL(38,0))) AS s2
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE) /
+        |            (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE)) > 0
+        |  THEN (CAST(d.n_chars AS DOUBLE) - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)) /
+        |       sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE) /
+        |            (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE)))
+        |  ELSE 0.0 END AS z
+        |FROM documents d JOIN s USING (lang)
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     "q53_doc_search" ->
       s"""WITH hits AS (SELECT doc_id, token
          |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
