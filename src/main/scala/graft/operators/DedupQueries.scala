@@ -219,7 +219,12 @@ object DedupQueries {
     // node count times 64-bit ids overflows a Long sum)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    // empty graph (no candidate pairs): sum() is NULL — nothing to resolve
     var sumPrev = labelSum(labels)
+    if (sumPrev == null)
+      return labels.select(
+        col("node").as("doc_id"), col("label").as("cluster_id"),
+        lit(0L).as("cluster_size"), lit(false).as("is_canonical"))
     var converged = false
     var round = 0
     while (!converged && round < MaxRounds) {

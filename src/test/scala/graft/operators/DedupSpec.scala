@@ -117,6 +117,12 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(canon.toSet == got.map(_._2).toSet)
   }
 
+  test("cluster resolution on an empty candidate graph returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(DedupQueries.resolveClusters(empty).collect().isEmpty)
+  }
+
   test("cluster resolution converges on an adversarial 500-node chain") {
     import spark.implicits._
     // a path graph 0-1-2-...-500: diameter 500 >> the 20-round cap; plain
