@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
   private val Src = "/root/testdata/sf0.1"
-  private val Out = "/tmp/graft_sfbig"
-  private val Replicas = 10
+  private val Replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+  private val Out = s"/tmp/graft_sfbig_x$Replicas"
   private val Shift = 10000000L
 
   private val DefaultQueries = Seq(
@@ -88,7 +88,7 @@ object ScaleSmoke {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scale10x","sf_equiv":1.0,"queries":$qs}""")
+    println(s"""{"metric":"scale${Replicas}x","sf_equiv":${Replicas / 10.0},"queries":$qs}""")
     spark.stop()
   }
 }
