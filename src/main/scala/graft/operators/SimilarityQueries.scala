@@ -242,6 +242,36 @@ object SimilarityQueries {
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 
+  /** Q61 — embedding near-dup over COLLAPSED unique vectors: group by the
+    * exact quantized vector first (uid = min vec_id, cnt = multiplicity),
+    * run the sign-LSH bucket join on UNIQUES only, and report each
+    * near-dup pair once with pair_mult = cnt_a * cnt_b. On a duplicated
+    * corpus this is the scalable form of q45: the 30x smoke measured q45's
+    * pair-emitting join growing quadratically in the duplication factor
+    * (89 s at 96.7% duplication) because every copy meets every copy in
+    * its bucket — collapsing first makes bucket occupancy and the
+    * candidate count a function of UNIQUE content, while the multiplicity
+    * column preserves the full pair accounting (sum(pair_mult) + the
+    * within-family C(cnt,2) pairs = q45's output, reconciled in
+    * SimilaritySpec). The collapse itself is one exact hash aggregate on
+    * the vector bytes — the same shuffle shape as q22's text dedup. */
+  def q61NearDupUnique(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = quantized(spark, dir)
+      .groupBy(col("qv"))
+      .agg(min(col("vec_id")).as("uid"), count(lit(1)).as("cnt"))
+      .withColumn("bucket", intBucketCol)
+    val l = uniq.select(col("bucket").as("bucket_l"), col("uid").as("id_a"),
+      col("qv").as("qa"), col("cnt").as("cnt_a"))
+    val r = uniq.select(col("bucket").as("bucket_r"), col("uid").as("id_b"),
+      col("qv").as("qb"), col("cnt").as("cnt_b"))
+    l.join(r, col("bucket_l") === col("bucket_r") && col("id_a") < col("id_b"), "inner")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+      .filter(col("dot") > NearDupThreshold)
+      .select(col("id_a"), col("id_b"), col("dot"),
+        (col("cnt_a") * col("cnt_b")).as("pair_mult"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   /** Q55 — int8 embedding quantization census: symmetric per-vector
     * quantization (q8_i = v_i * 127 / max|v|, the standard rowwise int8
     * compression a 100 TB embedding store runs to cut memory 4x), with the
@@ -276,6 +306,7 @@ object SimilarityQueries {
     "q42_ann_ivf" -> (q42IvfAnn _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
+    "q61_near_dup_unique" -> (q61NearDupUnique _),
   )
 
   /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
@@ -379,6 +410,23 @@ object SimilarityQueries {
          |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |  CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) > $NearDupThreshold
+         |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+    },
+    "q61_near_dup_unique" -> {
+      val bucketTerms = planeSqlLiterals.map { lits =>
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
+      }
+      val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |u AS (SELECT v, MIN(vec_id) AS uid, COUNT(*) AS cnt FROM q GROUP BY v),
+         |b AS (SELECT uid, v, cnt, $bucket AS bucket FROM u)
+         |SELECT x.uid AS id_a, y.uid AS id_b,
+         |  CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot,
+         |  CAST(x.cnt * y.cnt AS BIGINT) AS pair_mult
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.uid < y.uid
          |WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) > $NearDupThreshold
          |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
     },

@@ -101,4 +101,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(rows(true) > rows(false),
       s"same-label avg cosine ${rows(true)} must exceed cross-label ${rows(false)}")
   }
+
+  test("collapsed near-dup (q61) reconciles with pairwise near-dup (q45) " +
+      "on a duplicated corpus") {
+    import spark.implicits._
+    // corpus with exact duplicates: 3 copies of A, 2 of B (A ~ B near-dup),
+    // 1 of C (orthogonal)
+    val a = Array.fill(64)(0.5f)
+    val b = a.clone(); b(63) = 0.45f
+    val c = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val rows = Seq(
+      (0L, a), (1L, a), (2L, a), (3L, b), (4L, b), (5L, c))
+      .map { case (id, v) => (id, v.toSeq, 0) }
+    val tmp = java.nio.file.Files.createTempDirectory("q61").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val uniqPairs = SimilarityQueries.q61NearDupUnique(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // uniques are 0 (cnt 3), 3 (cnt 2), 5 (cnt 1); A~B is the only pair
+    assert(uniqPairs.toSeq == Seq((0L, 3L, 6L)), uniqPairs.toSeq)
+
+    // q45 must emit the same content pair-by-pair: C(3,2)=3 A-A pairs,
+    // C(2,2)=1 B-B pair, 3*2=6 A-B pairs = 10 total
+    val allPairs = SimilarityQueries.q45EmbeddingNearDup(spark, tmp).collect()
+    assert(allPairs.length == 10, allPairs.toSeq.toString)
+  }
 }
