@@ -258,12 +258,33 @@ object DedupQueries {
         (col("node") === col("label")).as("is_canonical"))
   }
 
+  /** Q62 — minhash-LSH near-dup over COLLAPSED unique texts: the text twin
+    * of q61 (see the 30x smoke — q23's pair output grows quadratically in
+    * the duplication factor). Exact-dedup first (one hash aggregate on the
+    * text, the q22 shape), then shingle/sign/band only the UNIQUE texts
+    * and report each candidate pair once with pair_mult = cnt_a * cnt_b.
+    * At 100 TB this is the production ordering: the minhash stage — the
+    * expensive one (per-shingle hashing) — runs once per unique document,
+    * not once per copy. */
+  def q62MinhashUnique(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cnt"))
+    val cnts = uniq.select(col("doc_id"), col("cnt"))
+    candidatePairs(bands(withShinglesAndSignature(spark, uniq)))
+      .join(cnts.select(col("doc_id").as("doc_a"), col("cnt").as("cnt_a")), "doc_a")
+      .join(cnts.select(col("doc_id").as("doc_b"), col("cnt").as("cnt_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), (col("cnt_a") * col("cnt_b")).as("pair_mult"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),
     "q23_dedup_minhash_lsh" -> (q23MinhashLsh _),
     "q24_dedup_jaccard" -> (q24JaccardVerify _),
     "q25_simhash" -> (q25SimHash _),
     "q56_dup_clusters" -> (q56DupClusters _),
+    "q62_minhash_unique" -> (q62MinhashUnique _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -280,6 +301,15 @@ object DedupQueries {
         |JOIN sh a ON a.doc_id = p.doc_a
         |JOIN sh b ON b.doc_id = p.doc_b
         |ORDER BY p.doc_a NULLS FIRST, p.doc_b NULLS FIRST""".stripMargin),
+    "q62_minhash_unique" -> minhashOracle(
+      """SELECT p.doc_a, p.doc_b, CAST(a.cnt * b.cnt AS BIGINT) AS pair_mult
+        |FROM pairs p
+        |JOIN uniq a ON a.doc_id = p.doc_a
+        |JOIN uniq b ON b.doc_id = p.doc_b
+        |ORDER BY p.doc_a NULLS FIRST, p.doc_b NULLS FIRST""".stripMargin,
+      prelude =
+        "uniq AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS cnt FROM documents GROUP BY text),\n",
+      source = "uniq"),
     "q56_dup_clusters" -> minhashOracle(
       """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -314,8 +344,9 @@ object DedupQueries {
     * then carries its own final SELECT); `recursive` emits WITH RECURSIVE
     * (DuckDB is fine with non-recursive CTEs under it). */
   private def minhashOracle(
-      tail: String, extraCtes: Boolean = false, recursive: Boolean = false): String =
-    s"""WITH ${if (recursive) "RECURSIVE " else ""}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tail: String, extraCtes: Boolean = false, recursive: Boolean = false,
+      prelude: String = "", source: String = "documents"): String =
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}${prelude}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $source),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
        |       FROM w WHERE len(w) >= 3),

@@ -117,6 +117,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(canon.toSet == got.map(_._2).toSet)
   }
 
+  test("collapsed minhash (q62) reconciles with pairwise minhash (q23) " +
+      "on a duplicated corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup
+      (4L, "one two three four five six seven eight nine ten"),
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q62").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val collapsed = DedupQueries.q62MinhashUnique(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(collapsed.toSeq == Seq((1L, 3L, 2L)), collapsed.toSeq)
+    // q23 emits every copy-level pair: (1,2) exact family + (1,3),(2,3)
+    val pairwise = DedupQueries.q23MinhashLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairwise == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // accounting: cross-unique mult (2) + within-family C(2,2) (1) = |q23|
+    assert(collapsed.map(_._3).sum + 1 == pairwise.size)
+  }
+
   test("cluster resolution on an empty candidate graph returns no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
