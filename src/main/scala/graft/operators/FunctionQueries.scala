@@ -130,6 +130,14 @@ object FunctionQueries {
         (col("lov") + (col("hiv") - col("lov")) * (col("kk") - floor(col("kk")))).as(out))
   }
 
+  /** Test seams for the differential property suite (FunctionSpec). */
+  private[graft] def countingPercentileForTest(
+      df: DataFrame, group: String, value: String, p: Double): DataFrame =
+    exactPercentileByCounting(df, group, value, p, "v")
+  private[graft] def histogramPercentileForTest(
+      df: DataFrame, group: String, value: String, p: Double): DataFrame =
+    exactPercentileByHistogram(df, group, value, p, "v", bucketWidth = 16.0)
+
   /** Q43 — exact interpolated percentiles per group (the order-statistics
     * family of "advanced analytical queries"). r4: replaces the builtin
     * `percentile` (sort-based TypedImperativeAggregate buffering every raw

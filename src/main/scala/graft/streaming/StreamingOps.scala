@@ -206,6 +206,51 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(vMs: Long, cMs: Long, pMs: Long) // -1 = unset
+  final case class FunnelProgress(
+      user_id: Long, v_ms: Long, c_ms: Long, p_ms: Long)
+
+  private val FunnelRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.operators.AnalyticsQueries.q59Funnel]]: per-user state is just
+    * three timestamps (first view, first click strictly after it, first
+    * purchase strictly after that); a progress row is emitted whenever a
+    * stage advances, so the LATEST row per user is the funnel position.
+    * Within a batch, events apply in (event-time, stage) order — a view and
+    * a click on the same timestamp resolve exactly like the batch query's
+    * strict > comparisons. Same in-order-replay contract as
+    * [[purchaseAttribution]]: replayed in event-time order the final states
+    * equal the batch computation (StreamingSpec); state is O(1) per user
+    * forever, the same reason the temporal join scales. */
+  def funnel(events: Dataset[Ev]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => FunnelRank.contains(e.event_type))
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, FunnelRank(e.event_type)))
+          val s0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var (v, c, p) = (s0.vMs, s0.cMs, s0.pMs)
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     => if (v < 0) v = t
+              case "click"    => if (v >= 0 && t > v && c < 0) c = t
+              case "purchase" => if (c >= 0 && t > c && p < 0) p = t
+            }
+          }
+          if (v != s0.vMs || c != s0.cMs || p != s0.pMs) {
+            state.update(FunnelState(v, c, p))
+            Iterator.single(FunnelProgress(userId, v, c, p))
+          } else Iterator.empty
+      }
+  }
+
   /** Custom sessionization: per-user event accumulation, session closed and
     * emitted when the event-time watermark passes last-event + gap (the
     * "Complex event pattern matching" class, estimation.html:239).

@@ -68,6 +68,35 @@ class FunctionSpec extends AnyFunSuite with SparkTestSession {
     assert(got == ref)
   }
 
+  test("percentile reformulations equal the builtin on adversarial shapes") {
+    import spark.implicits._
+    // seeded generator: tiny groups, single-value groups, heavy duplicates,
+    // negative values — the shapes where off-by-one rank math would show
+    val rng = new scala.util.Random(42)
+    val shapes = Seq(
+      Seq.fill(1)(rng.nextInt(10)),                   // n=1: k=0, lo=hi
+      Seq.fill(2)(7),                                  // all-equal tiny
+      Seq.fill(50)(rng.nextInt(3)),                    // heavy duplicates
+      Seq.fill(97)(rng.nextInt(1000) - 500),           // negatives, prime n
+      Seq.tabulate(1000)(identity),                    // dense distinct
+    )
+    val rows = shapes.zipWithIndex.flatMap { case (vs, g) =>
+      vs.map(v => (s"g$g", v.toDouble))
+    }
+    val df = rows.toDF("grp", "x")
+    for (p <- Seq(0.0, 0.5, 0.9, 0.95, 1.0)) {
+      val viaCounting = FunctionQueries.countingPercentileForTest(df, "grp", "x", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val viaHistogram = FunctionQueries.histogramPercentileForTest(df, "grp", "x", p)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val viaBuiltin = df.groupBy(col("grp"))
+        .agg(expr(s"percentile(x, ${p}D)").as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(viaCounting == viaBuiltin, s"counting at p=$p")
+      assert(viaHistogram == viaBuiltin, s"histogram at p=$p")
+    }
+  }
+
   test("q58 approx percentile rank stays within the declared bound") {
     val rows = FunctionQueries.q58ApproxPercentile(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -318,6 +318,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(replayed == batch)
   }
 
+  test("streaming funnel: event-time replay equals the batch funnel") {
+    import spark.implicits._
+    // user 1 converts; user 2's click precedes its view (must not count);
+    // user 3 views only; user 4 clicks on the SAME ts as its view (strict >)
+    val events = Seq(
+      ev(1, "2026-01-01 10:00:00", user = 1, tpe = "view"),
+      ev(2, "2026-01-01 10:01:00", user = 1, tpe = "click"),
+      ev(3, "2026-01-01 10:02:00", user = 1, tpe = "purchase"),
+      ev(4, "2026-01-01 10:00:00", user = 2, tpe = "click"),
+      ev(5, "2026-01-01 10:01:00", user = 2, tpe = "view"),
+      ev(6, "2026-01-01 10:02:00", user = 2, tpe = "purchase"),
+      ev(7, "2026-01-01 10:00:00", user = 3, tpe = "view"),
+      ev(8, "2026-01-01 10:03:00", user = 4, tpe = "view"),
+      ev(9, "2026-01-01 10:03:00", user = 4, tpe = "click"))
+    val stream = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(StreamingOps.funnel(stream.toDS()).toDF())
+    // strict event-time-ordered replay, one micro-batch per event
+    events.sortBy(_.ts.getTime).foreach { e =>
+      stream.addData(Seq(e)); q.processAllAvailable()
+    }
+    q.stop()
+    // latest progress row per user == the funnel position
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last._2 }
+    def ms(s: String): Long = ts(s).getTime
+    assert(got == Map(
+      1L -> ((ms("2026-01-01 10:00:00"), ms("2026-01-01 10:01:00"), ms("2026-01-01 10:02:00"))),
+      2L -> ((ms("2026-01-01 10:01:00"), -1L, -1L)),
+      3L -> ((ms("2026-01-01 10:00:00"), -1L, -1L)),
+      4L -> ((ms("2026-01-01 10:03:00"), -1L, -1L))), got)
+
+    // the batch query over the same rows agrees on the summary counts
+    val tmp = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    events.toDF().write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val b = graft.operators.AnalyticsQueries.q59Funnel(spark, tmp).head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) == ((4L, 1L, 1L)), b)
+  }
+
   test("end-to-end pipeline: dedup -> tumble -> exactly-once parquet sink " +
       "equals the batch computation") {
     import spark.implicits._
