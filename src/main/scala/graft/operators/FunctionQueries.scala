@@ -52,8 +52,11 @@ object FunctionQueries {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(
         col("exact_users"),
-        (abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users") <= 0.10).as("within_bounds"))
+        // empty input: 0/0 is an ANSI divide-by-zero — both counts at 0 IS
+        // within bounds (EmptyInputSpec)
+        when(col("exact_users") === 0, col("approx_users") === 0)
+          .otherwise(abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.10).as("within_bounds"))
 
   /** Exact interpolated percentile by counting: hash-agg to (group, value,
     * count), one per-group cumulative window over the DISTINCT values, pick

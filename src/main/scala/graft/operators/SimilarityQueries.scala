@@ -155,6 +155,7 @@ object SimilarityQueries {
     val seeds = emb.filter(col("vec_id") < IvfCells)
       .select(col("vec_id").cast("int").as("cell"), col("qv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    if (seeds.isEmpty) return Array.empty // empty corpus: no codebook
     val bSeeds = spark.sparkContext.broadcast(seeds)
     val assignOnce = emb.withColumn("cell", nearestCellExpr(bSeeds.value))
     val centroid = udaf(graft.functions.CentroidAggregator)
@@ -193,6 +194,12 @@ object SimilarityQueries {
   def q42IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir)
     val centroids = ivfCentroids(emb)
+    if (centroids.isEmpty) {
+      // empty corpus: no seeds -> no codebook; an empty probe array would
+      // type as VOID and fail analysis (EmptyInputSpec)
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("query_id", "neighbor_id", "dot")
+    }
     val assigned = emb.withColumn("cell", nearestCellExpr(centroids))
     val corpus = assigned.select(col("vec_id").as("neighbor_id"),
       col("qv").as("qb"), col("cell"))
