@@ -71,6 +71,7 @@ object MultimodalOps {
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     graft.operators.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // null text = no media asset (NullInputSpec)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) => Media(id, encodeFake(id, text.getBytes("UTF-8"))) }

@@ -50,7 +50,11 @@ object DedupQueries {
     * typed map keeps the same no-shuffle plan shape at any scale.) */
   private def withShinglesAndSignature(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null text = absent document (the oracles' string_split(NULL) path
+    // reaches the same exclusion via SQL null semantics) — and the typed
+    // map below must never see a null String (NullInputSpec)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       // hashing is CPU-bound: spread the narrow 2-column projection across
       // all cores (testdata ships one row group per file, so the scan alone
       // yields one task; the shuffled payload is only (id, text))
@@ -149,6 +153,7 @@ object DedupQueries {
   def q25SimHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // typed map below (NullInputSpec)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .repartition(spark.sparkContext.defaultParallelism) // CPU-bound stage
       .mapPartitions { it =>
