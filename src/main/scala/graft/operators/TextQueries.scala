@@ -202,6 +202,34 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Q63 — sequence packing: assign documents to fixed token-budget bins
+    * (the batch-construction step before LLM training — minimize padding by
+    * filling each context window with consecutive docs). Contiguous greedy
+    * packing: within each (lang, shard) stream, docs in deterministic
+    * doc_id order, bin = floor(pre-sum / budget) over the running token
+    * count — each bin fills to the budget (+ at most one doc of overhang,
+    * the standard streaming-packing contract). Sharding by doc_id % 32
+    * bounds every window partition and makes the parallelism width
+    * explicit: at 100 TB the shard count scales with the cluster while
+    * each shard remains one ordered stream — no global sort anywhere. */
+  val PackBudget = 2048L // tokens per bin
+
+  def q63SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(32L)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("bin", floor((sum(col("tokens")).over(w) - col("tokens")) / PackBudget))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"))
+      .orderBy(col("lang").asc, col("shard").asc, col("bin").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -210,9 +238,22 @@ object TextQueries {
     "q33_fingerprint" -> (q33Fingerprint _),
     "q53_doc_search" -> (q53DocSearch _),
     "q60_zscore_normalize" -> (q60ZScoreNormalize _),
+    "q63_sequence_packing" -> (q63SequencePacking _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q63_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, lang, doc_id % 32 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, lang, shard, tokens,
+        |    SUM(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT lang, shard, CAST((cum - tokens) // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY lang, shard, bin
+        |ORDER BY lang NULLS FIRST, shard NULLS FIRST, bin NULLS FIRST""".stripMargin,
     "q60_zscore_normalize" ->
       """WITH s AS (SELECT lang, COUNT(*) AS n,
         |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS s1,

@@ -71,4 +71,26 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(metas.length == 50)
     assert(metas.forall(m => m.width == 8 && m.height == 8))
   }
+
+  test("sequence packing fills each bin to the budget (contiguous invariant)") {
+    val w = TextQueries.PackBudget
+    val bins = TextQueries.q63SequencePacking(spark, "/root/testdata/sf0.001").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    assert(bins.nonEmpty)
+    bins.foreach { case ((lang, shard), bs) =>
+      // bins are consecutive from 0 and non-empty
+      assert(bs.map(_._1).toSeq == (0L until bs.length.toLong), s"$lang/$shard bins")
+      assert(bs.forall(_._2 >= 1))
+      // pre-sum packing: the cumulative total through every NON-final bin b
+      // lands in [(b+1)W, (b+2)W) — each bin fills its budget with at most
+      // one doc of overhang
+      var cum = 0L
+      bs.dropRight(1).zipWithIndex.foreach { case ((b, _, sum), _) =>
+        cum += sum
+        assert(cum >= (b + 1) * w && cum < (b + 2) * w,
+          s"$lang/$shard bin $b: cumulative $cum outside [${(b + 1) * w}, ${(b + 2) * w})")
+      }
+    }
+  }
 }
