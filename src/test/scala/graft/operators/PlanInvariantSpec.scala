@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PlanAudit sweep as a permanent test: no catalog query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed ONLY where the
+  * cross product IS the declared semantics (q26/q28 brute-force baselines).
+  * This is the 100 TB survival property — a refactor that silently turns a
+  * bucket join into an all-pairs join fails CI, not the cluster.
+  */
+class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Declared brute-force baselines: the BNLJ is the semantics. */
+  private val bnljAllowed = Set("q26_knn_exact", "q28_cosine_label_stats")
+
+  // q56's iterative loop materializes intermediate frames eagerly
+  // (localCheckpoint actions); its join shape is pinned by DedupSpec's
+  // no-cartesian check on the candidate-pair subplan instead.
+  private val exempt = Set("q21_estimator_sweep", "q34_saved_runs_list",
+    "q56_dup_clusters")
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot { case (n, _) => exempt(n) }
+    .foreach { case (name, fn) =>
+      test(s"$name plans without a cartesian product") {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+        if (!bnljAllowed(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"nested-loop join in $name:\n$plan")
+      }
+    }
+}
