@@ -135,6 +135,81 @@ object MultimodalOps {
     if (repartitionByMedia) frames.repartition(col("media_id")) else frames
   }
 
+  // ---- Real file formats (r4): BMP and WAV are pure byte layouts, so the
+  // encode/parse path needs no codec library — the payloads stay synthetic
+  // but the CONTAINER format is the real thing a production decoder sees.
+
+  private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte; b(off + 3) = (v >>> 24).toByte
+  }
+  private def getIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def putShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >>> 8).toByte
+  }
+  private def getShortLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  final case class BmpMeta(width: Int, height: Int, bpp: Int)
+  final case class WavMeta(sample_rate: Int, channels: Int, bits: Int, n_frames: Int)
+
+  /** A valid 24-bit uncompressed BMP: BITMAPFILEHEADER (14 B) +
+    * BITMAPINFOHEADER (40 B) + bottom-up pixel rows padded to 4 bytes. */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) & ~3
+    val imageSize = rowBytes * height
+    val out = new Array[Byte](54 + imageSize)
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(out, 2, out.length)
+    putIntLE(out, 10, 54) // pixel data offset
+    putIntLE(out, 14, 40) // info header size
+    putIntLE(out, 18, width)
+    putIntLE(out, 22, height)
+    putShortLE(out, 26, 1)  // planes
+    putShortLE(out, 28, 24) // bits per pixel
+    putIntLE(out, 34, imageSize)
+    System.arraycopy(pixels, 0, out, 54, math.min(pixels.length, imageSize))
+    out
+  }
+
+  /** Parse a real BMP header; the same checks a tolerant reader performs. */
+  def decodeBmpMeta(b: Array[Byte]): Option[BmpMeta] =
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+    else Some(BmpMeta(getIntLE(b, 18), getIntLE(b, 22), getShortLE(b, 28)))
+
+  /** A valid 44-byte PCM WAV (RIFF/WAVE/fmt/data) around 16-bit samples. */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length)
+    def tag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    tag(0, "RIFF"); putIntLE(out, 4, 36 + samples.length); tag(8, "WAVE")
+    tag(12, "fmt "); putIntLE(out, 16, 16)
+    putShortLE(out, 20, 1) // PCM
+    putShortLE(out, 22, channels)
+    putIntLE(out, 24, sampleRate)
+    putIntLE(out, 28, sampleRate * channels * 2) // byte rate
+    putShortLE(out, 32, channels * 2)            // block align
+    putShortLE(out, 34, 16)                      // bits per sample
+    tag(36, "data"); putIntLE(out, 40, samples.length)
+    System.arraycopy(samples, 0, out, 44, samples.length)
+    out
+  }
+
+  def decodeWavMeta(b: Array[Byte]): Option[WavMeta] = {
+    def has(off: Int, s: String) =
+      b.length >= off + 4 && new String(b.slice(off, off + 4), "US-ASCII") == s
+    if (b.length < 44 || !has(0, "RIFF") || !has(8, "WAVE") || !has(36, "data")) None
+    else {
+      val channels = getShortLE(b, 22)
+      val bits = getShortLE(b, 34)
+      val dataLen = getIntLE(b, 40)
+      val frameBytes = math.max(1, channels * (bits / 8))
+      Some(WavMeta(getIntLE(b, 24), channels, bits, dataLen / frameBytes))
+    }
+  }
+
   /** Queries entry: decoded-metadata census over the synthetic media table.
     * r4: oracle-checked — the fake encoder is a deterministic function of
     * (doc_id, text), so DuckDB recomputes the expected metadata directly

@@ -64,4 +64,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.getString(0)).toSeq == Seq("audi", "imag", "vide"))
     assert(rows.map(_.getLong(1)).sum == 500)
   }
+
+  test("real BMP container round-trips through a distributed decode") {
+    import spark.implicits._
+    val media = (1L to 40L).map { id =>
+      val w = 4 + (id % 8).toInt; val h = 3 + (id % 5).toInt
+      (id, MultimodalOps.encodeBmp(w, h, Array.fill(((w * 3 + 3) & ~3) * h)(id.toByte)))
+    }.toDS()
+    val decoded = media.mapPartitions(_.flatMap { case (id, bytes) =>
+      MultimodalOps.decodeBmpMeta(bytes).map(m => (id, m.width, m.height, m.bpp))
+    }).collect().sortBy(_._1)
+    assert(decoded.length == 40)
+    decoded.foreach { case (id, w, h, bpp) =>
+      assert(w == 4 + (id % 8).toInt && h == 3 + (id % 5).toInt && bpp == 24, s"media $id")
+    }
+    // a real parser would reject garbage the same way
+    assert(MultimodalOps.decodeBmpMeta("not a bmp".getBytes).isEmpty)
+  }
+
+  test("real WAV container round-trips through a distributed decode") {
+    import spark.implicits._
+    val media = (1L to 40L).map { id =>
+      val rate = 8000 * (1 + (id % 3).toInt); val ch = 1 + (id % 2).toInt
+      val frames = 100 + (id % 50).toInt
+      (id, MultimodalOps.encodeWavPcm16(rate, ch, new Array[Byte](frames * ch * 2)))
+    }.toDS()
+    val decoded = media.mapPartitions(_.flatMap { case (id, bytes) =>
+      MultimodalOps.decodeWavMeta(bytes).map(m => (id, m.sample_rate, m.channels, m.bits, m.n_frames))
+    }).collect().sortBy(_._1)
+    assert(decoded.length == 40)
+    decoded.foreach { case (id, rate, ch, bits, frames) =>
+      assert(rate == 8000 * (1 + (id % 3).toInt) && ch == 1 + (id % 2).toInt, s"media $id")
+      assert(bits == 16 && frames == 100 + (id % 50).toInt, s"media $id")
+    }
+    assert(MultimodalOps.decodeWavMeta(new Array[Byte](10)).isEmpty)
+  }
 }
