@@ -182,7 +182,7 @@ object AnalyticsQueries {
     "q49_pivot" ->
       ("SELECT o_orderstatus, " +
         Priorities.zipWithIndex.map { case (v, i) =>
-          s"SUM(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS p${i + 1}"
+          s"CAST(SUM(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS BIGINT) AS p${i + 1}"
         }.mkString(", ") +
         " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus NULLS FIRST"),
     "q50_stratified_sample" ->

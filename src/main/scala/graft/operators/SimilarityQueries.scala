@@ -192,7 +192,12 @@ object SimilarityQueries {
     * so DuckDB reproduces it CTE-for-stage; recall vs q26 additionally
     * ScalaTest-pinned. */
   def q42IvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(spark, dir)
+    // IVF is inherently multi-job (seed collect -> centroid agg -> assign ->
+    // probe/top-k): materialize scan+quantize ONCE instead of recomputing it
+    // in every job (VERDICT r4: the only top-5 query with avoidable local
+    // overhead). At 100 TB the codebook trains on a SAMPLE, so the big scan
+    // runs once either way — this aligns the local shape with that.
+    val emb = quantized(spark, dir).localCheckpoint()
     val centroids = ivfCentroids(emb)
     if (centroids.isEmpty) {
       // empty corpus: no seeds -> no codebook; an empty probe array would

@@ -59,10 +59,57 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(all.map(_.frame.length).sum <= 100)
   }
 
-  test("q38 media census is deterministic and grouped by kind") {
+  test("q38 real-container media census is deterministic and grouped by kind") {
     val rows = MultimodalOps.q38MediaMeta(spark, dir).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("audi", "imag", "vide"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("bmp", "wav"))
     assert(rows.map(_.getLong(1)).sum == 500)
+    // the BMP payload is the padded pixel buffer, never the raw text length:
+    // sum over even doc_ids of ((w*3+3)&~3)*h per the deterministic layout
+    val bmpRow = rows.find(_.getString(0) == "bmp").get
+    assert(bmpRow.getInt(4) == 16 && bmpRow.getInt(5) == 0) // max_width 4+12, no rate
+    val wavRow = rows.find(_.getString(0) == "wav").get
+    assert(wavRow.getInt(4) == 0 && wavRow.getInt(5) == 16000) // max rate 8000+2*4000
+  }
+
+  test("decodeRealMeta sniffs containers and derives layout-exact metadata") {
+    import spark.implicits._
+    val decoded = decodeRealMeta(mediaFromDocumentsReal(spark, dir)).collect()
+    assert(decoded.length == 500)
+    decoded.foreach { d =>
+      if (d.media_id % 2 == 0) {
+        assert(d.kind == "bmp" && d.n_frames == 1, s"media ${d.media_id}")
+        val w = 4 + (d.media_id % 13).toInt; val h = 3 + (d.media_id % 7).toInt
+        assert(d.width == w && d.height == h)
+        assert(d.payload_bytes == ((w * 3 + 3) & ~3).toLong * h)
+      } else {
+        assert(d.kind == "wav" && d.channels == 1 + ((d.media_id / 2) % 2).toInt)
+        assert(d.sample_rate == 8000 + (d.media_id % 3).toInt * 4000)
+        assert(d.payload_bytes == d.n_frames.toLong * d.channels * 2)
+      }
+    }
+    // garbage is dropped by the sniffer, not thrown
+    val junk = spark.createDataset(Seq(Media(1L, Array[Byte](9, 9, 9))))
+    assert(decodeRealMeta(junk).collect().isEmpty)
+  }
+
+  test("resizeBmp resamples real pixel rows through the actual header") {
+    import spark.implicits._
+    // 4x2 image, distinct pixel values: row padding makes srcRow = 12
+    val w = 4; val h = 2
+    val pixels = Array.tabulate[Byte](((w * 3 + 3) & ~3) * h)(_.toByte)
+    val media = spark.createDataset(Seq(Media(5L, MultimodalOps.encodeBmp(w, h, pixels))))
+    val out = MultimodalOps.resizeBmp(media, newWidth = 2, newHeight = 1).collect().head
+    val meta = MultimodalOps.decodeBmpMeta(out.content).get
+    assert(meta.width == 2 && meta.height == 1 && meta.bpp == 24)
+    assert(out.content.length == 54 + ((2 * 3 + 3) & ~3) * 1)
+    // nearest-neighbor: dst(0,0) <- src(0,0) bytes 0..2, dst(1,0) <- src(2,0) bytes 6..8
+    val body = out.content.drop(54)
+    assert(body.slice(0, 3).toSeq == pixels.slice(0, 3).toSeq)
+    assert(body.slice(3, 6).toSeq == pixels.slice(6, 9).toSeq)
+    // non-BMP input drops instead of throwing
+    val wav = spark.createDataset(Seq(Media(6L,
+      MultimodalOps.encodeWavPcm16(8000, 1, new Array[Byte](8)))))
+    assert(MultimodalOps.resizeBmp(wav, 2, 2).collect().isEmpty)
   }
 
   test("real BMP container round-trips through a distributed decode") {

@@ -34,6 +34,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_fail += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}"); n_fail += 1; continue
+        # The driver hashes TYPED values, so a HUGEINT (DuckDB SUM default)
+        # vs BIGINT mismatch fails there even when every value is equal
+        # (r4's q49). Both frames come through duckdb fetchdf, so NULL
+        # promotion is symmetric and dtype equality is a faithful proxy.
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if got[c].dtype != exp[c].dtype]
+        if dt_bad:
+            c, g, e = dt_bad[0]
+            print(f"FAIL {name}: dtype col {c}: spark={g} duckdb={e}"); n_fail += 1; continue
         def eq(a, b):
             if a is None and b is None:
                 return True
