@@ -21,6 +21,48 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** SAME-SESSION paired DuckDB baseline: dump the oracle SQL set and run it
+    * through tools/bench_duckdb.py on this host, right after the Spark
+    * passes. Unpaired cross-host/cross-time ratios drift +/-20% on host
+    * noise (VERDICT r4 next-round #8), so the ratio only means something
+    * when both totals come from one session. Returns (total, n); None when
+    * the tool is unavailable (e.g. driver-run environments without the repo
+    * checkout) — the Spark numbers then stand alone, explicitly unpaired. */
+  private def pairedDuckdb(sfDir: String): Option[(Double, Int)] =
+    try {
+      val oracleJson = SparkEntry.oracleSql.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
+        .mkString("{", ",", "}")
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/oracle_sql.json"), oracleJson)
+      val pb = new ProcessBuilder("python3", "tools/bench_duckdb.py", sfDir, "target", "--json")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      if (proc.waitFor() != 0) None
+      else {
+        // one JSON line: {"total": T, "n": N, ...} — parsed with two anchored
+        // regexes instead of a JSON library (none on the unmanaged classpath)
+        val total = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
+        val n = """"n":\s*([0-9]+)""".r.findFirstMatchIn(out).map(_.group(1).toInt)
+        total.zip(n)
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -64,8 +106,20 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf = sfDir.split('/').last.stripPrefix("sf")
+
+    // paired baseline: only the oracle-declared subset is comparable (the
+    // rows-only entries have no DuckDB twin), and only when nothing was
+    // filtered out (a partial dev run would pair against the full set)
+    val paired =
+      if (only.isDefined) None
+      else pairedDuckdb(sfDir).map { case (duckTotal, n) =>
+        val sparkOracleTotal = results
+          .filter { case (k, _) => SparkEntry.oracleSql.contains(k) }
+          .map(_._2).sum
+        f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f"""
+      }
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson${paired.getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))

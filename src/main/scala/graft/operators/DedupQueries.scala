@@ -249,15 +249,29 @@ object DedupQueries {
     * covers diameters past 10^6 — near-dup families are near-cliques
     * (2-4 rounds), but an adversarial chain corpus no longer exceeds the
     * cap; if one somehow does, the loop FAILS LOUDLY rather than returning
-    * an under-merged clustering. */
+    * an under-merged clustering.
+    *
+    * Per-round materialization is `localCheckpoint` by default (executor
+    * block store — fine single-JVM). Setting `spark.graft.cc.checkpointDir`
+    * switches every round to RELIABLE `checkpoint` into that directory:
+    * on a real cluster localCheckpoint blocks die with their executor and a
+    * lost round would fail the whole iterative job, while reliable
+    * checkpoints survive executor loss and cap recovery at one round of
+    * recompute (r5, VERDICT r4 next-round #7). */
   private[operators] def resolveClusters(pairs: DataFrame): DataFrame = {
     val MaxRounds = 20
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint() // edges feed every round: materialize once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val session = pairs.sparkSession
+    val reliableDir = session.conf.getOption("spark.graft.cc.checkpointDir")
+    reliableDir.foreach(session.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // edges feed every round: materialize once
+    var labels = materialize(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     // labels only ever decrease, so the label sum is strictly monotone:
     // an unchanged sum IS convergence — one cheap scan-agg over the
     // checkpointed result per round, no compare-join (DECIMAL: a 100 TB
@@ -280,10 +294,9 @@ object DedupQueries {
       // pointer jump: label(label) is defined (every label is a node) and
       // <= label (monotone), so a left join + coalesce shortcuts chains
       val jump = propagated.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val next = propagated
+      val next = materialize(propagated
         .join(jump, propagated("label") === jump("jnode"), "left")
-        .select(col("node"), coalesce(col("jlabel"), col("label")).as("label"))
-        .localCheckpoint()
+        .select(col("node"), coalesce(col("jlabel"), col("label")).as("label")))
       val s = labelSum(next)
       converged = s.compareTo(sumPrev) == 0
       sumPrev = s

@@ -59,15 +59,20 @@ object SimilarityQueries {
   /** Deterministic pseudo-random hyperplane signs for (plane p, dim i):
     * +1/-1 from the first md5 hex digit of "p:i" — computed ONCE at plan
     * time and embedded as literal arrays, so the per-row bucket computation
-    * is pure arithmetic (no per-row hashing). */
-  private lazy val planeSigns: Seq[Seq[Double]] = {
+    * is pure arithmetic (no per-row hashing). Parameterized by plane count
+    * (r5) so the recall/candidate-count sweep can raise the bucket count
+    * the way a 100 TB deployment would; plane p's signs are identical at
+    * every `bits`, so raising bits REFINES the same bucketing. */
+  private[operators] def planeSignsFor(bits: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until LshBits).map { p =>
+    (0 until bits).map { p =>
       (0 until Dims).map { i =>
         if (DedupQueries.md5hex(md, s"$p:$i").charAt(0) < '8') -1.0 else 1.0
       }
     }
   }
+
+  private lazy val planeSigns: Seq[Seq[Double]] = planeSignsFor(LshBits)
 
   /** Q27 — bucketed ANN: sign-LSH into 2^4 buckets, multi-probe (exact
     * bucket + all Hamming-1 neighbors), exact quantized dot inside buckets
@@ -79,21 +84,29 @@ object SimilarityQueries {
     * float sign can flip on last-ulp between engines, integer signs cannot,
     * which makes the WHOLE query deterministic integer math and therefore
     * DuckDB hash-checkable (recall vs q26 stays ScalaTest-pinned). */
-  def q27AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)
+  def q27AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshTopK(spark, dir, LshBits)
+
+  /** Scored candidate set of the sign-LSH ANN at a given plane count —
+    * exposed pre-top-k so the sweep tool can count candidates per config. */
+  private[graft] def annLshScored(spark: SparkSession, dir: String, bits: Int): DataFrame = {
+    val emb = quantized(spark, dir).withColumn("bucket", intBucketColFor(bits))
     // queries probe their own bucket plus each single-bit flip
     val probes = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), explode(expr(
-        s"array_union(array(bucket), transform(sequence(0, $LshBits - 1), b -> bucket ^ shiftleft(1, b)))"))
+        s"array_union(array(bucket), transform(sequence(0, $bits - 1), b -> bucket ^ shiftleft(1, b)))"))
         .as("probe"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("bucket"))
-    val scored = corpus
+    corpus
       .join(probes.hint("broadcast"), col("probe") === col("bucket") &&
         col("query_id") =!= col("neighbor_id"), "inner")
       .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+  }
+
+  private[graft] def annLshTopK(spark: SparkSession, dir: String, bits: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored
+    annLshScored(spark, dir, bits)
       .select(col("query_id"), col("neighbor_id"), col("dot"),
         row_number().over(w).as("rn"))
       .filter(col("rn") <= TopK)
@@ -150,9 +163,9 @@ object SimilarityQueries {
     * float drift), and the resulting centroids are a small broadcastable
     * list. At 100 TB: train on a sample, broadcast the codebook — this
     * exact shape. */
-  private def ivfCentroids(emb: DataFrame): Array[(Int, Array[Long])] = {
+  private def ivfCentroids(emb: DataFrame, cells: Int = IvfCells): Array[(Int, Array[Long])] = {
     val spark = emb.sparkSession
-    val seeds = emb.filter(col("vec_id") < IvfCells)
+    val seeds = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("qv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
     if (seeds.isEmpty) return Array.empty // empty corpus: no codebook
@@ -191,14 +204,20 @@ object SimilarityQueries {
     * is exact integer math with lexicographic (distance, cell) tie-breaks,
     * so DuckDB reproduces it CTE-for-stage; recall vs q26 additionally
     * ScalaTest-pinned. */
-  def q42IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def q42IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnnTopK(spark, dir, IvfCells, IvfProbes)
+
+  /** Scored IVF candidates at a given (cells, probes) — pre-top-k for the
+    * sweep tool; [[q42IvfAnn]] is the fixed-config oracle entry. */
+  private[graft] def ivfAnnScored(spark: SparkSession, dir: String,
+      cells: Int, probes: Int): DataFrame = {
     // IVF is inherently multi-job (seed collect -> centroid agg -> assign ->
     // probe/top-k): materialize scan+quantize ONCE instead of recomputing it
     // in every job (VERDICT r4: the only top-5 query with avoidable local
     // overhead). At 100 TB the codebook trains on a SAMPLE, so the big scan
     // runs once either way — this aligns the local shape with that.
     val emb = quantized(spark, dir).localCheckpoint()
-    val centroids = ivfCentroids(emb)
+    val centroids = ivfCentroids(emb, cells)
     if (centroids.isEmpty) {
       // empty corpus: no seeds -> no codebook; an empty probe array would
       // type as VOID and fail analysis (EmptyInputSpec)
@@ -211,12 +230,17 @@ object SimilarityQueries {
     // probe list per query: cells ranked by the same distance expression
     val queries = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
-        explode(slice(sort_array(array(cellScores(centroids): _*)), 1, IvfProbes)).as("probe"))
+        explode(slice(sort_array(array(cellScores(centroids): _*)), 1, probes)).as("probe"))
       .select(col("query_id"), col("qa"), col("probe.cell").as("probe_cell"))
-    val scored = corpus
+    corpus
       .join(queries.hint("broadcast"), col("probe_cell") === col("cell") &&
         col("query_id") =!= col("neighbor_id"), "inner")
       .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+  }
+
+  private[graft] def ivfAnnTopK(spark: SparkSession, dir: String,
+      cells: Int, probes: Int): DataFrame = {
+    val scored = ivfAnnScored(spark, dir, cells, probes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored
@@ -236,12 +260,14 @@ object SimilarityQueries {
     * the oracle SQL. Same no-all-pairs shape as q23/q27. */
   val NearDupThreshold = 250000L // quantized dot ~ float dot x 10^6; 0.25 here
 
-  private def intBucketCol: org.apache.spark.sql.Column =
-    planeSigns.foldLeft(lit(0)) { (acc, plane) =>
+  private def intBucketColFor(bits: Int): org.apache.spark.sql.Column =
+    planeSignsFor(bits).foldLeft(lit(0)) { (acc, plane) =>
       val signs = plane.map(_.toLong)
       val dot = graft.functions.DotProductLong(col("qv"), typedLit(signs))
       acc * 2 + when(dot > 0, lit(1)).otherwise(lit(0))
     }
+
+  private def intBucketCol: org.apache.spark.sql.Column = intBucketColFor(LshBits)
 
   def q45EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.Sessions
+import graft.operators.SimilarityQueries
+import java.nio.file.{Files, Paths}
+
+/** Recall/candidate-count curve for the ANN tunables (dev tool; VERDICT r4
+  * next-round #9): sweep sign-LSH plane counts and IVF (cells, probes)
+  * against the exact brute-force top-k on a given corpus — by default the
+  * 30x replicated one from [[ScaleSmoke]] — and print one JSON line per
+  * config: wall time, candidate-pair count, and mean recall@k.
+  *
+  * This is the evidence behind the scaladoc claims that the demo-scale
+  * parameters (LshBits=4, IvfCells=8) are TUNABLE, not structural: raising
+  * bits/cells shrinks candidates (the cost driver at 100 TB) while the
+  * bucket-join plan shape stays identical.
+  *
+  * Usage: runMain graft.tools.RecallSweep [dataDir]
+  */
+object RecallSweep {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.build("local[32]", 32, "graft-recall-sweep")
+    val dir = args.headOption.getOrElse {
+      val big = s"/tmp/graft_sfbig_x30"
+      if (Files.exists(Paths.get(big, "_OK"))) big else "/root/testdata/sf0.1"
+    }
+    System.err.println(s"[sweep] corpus: $dir")
+
+    // exact top-k per query — the recall denominator
+    val exact: Map[Long, Set[Long]] = SimilarityQueries.q26KnnExact(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+
+    def recallOf(rows: Array[(Long, Long)]): Double = {
+      val byQ = rows.groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      val per = exact.map { case (q, ex) =>
+        byQ.get(q).fold(0.0)(got => got.intersect(ex).size.toDouble / ex.size)
+      }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    }
+
+    def emit(kind: String, config: String, candidates: Long,
+        recall: Double, sec: Double): Unit =
+      println(f"""{"sweep":"$kind","config":"$config","candidates":$candidates,"recall":$recall%.4f,"sec":$sec%.3f}""")
+
+    for (bits <- Seq(4, 6, 8, 10)) {
+      val t0 = System.nanoTime()
+      val top = SimilarityQueries.annLshTopK(spark, dir, bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cand = SimilarityQueries.annLshScored(spark, dir, bits).count()
+      emit("lsh", s"bits=$bits", cand, recallOf(top), sec)
+    }
+
+    for ((cells, probes) <- Seq((8, 2), (16, 2), (32, 4), (64, 8))) {
+      val t0 = System.nanoTime()
+      val top = SimilarityQueries.ivfAnnTopK(spark, dir, cells, probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cand = SimilarityQueries.ivfAnnScored(spark, dir, cells, probes).count()
+      emit("ivf", s"cells=$cells,probes=$probes", cand, recallOf(top), sec)
+    }
+    spark.stop()
+  }
+}

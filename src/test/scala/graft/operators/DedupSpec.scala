@@ -158,4 +158,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_._3 == 501L))
     assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 0L)
   }
+
+  test("cluster resolution under reliable checkpointing (recovery-safe mode)") {
+    import spark.implicits._
+    // spark.graft.cc.checkpointDir flips every per-round materialization
+    // from localCheckpoint (executor blocks — lost with the executor) to
+    // reliable checkpoint files that survive executor loss on a cluster
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", ckptDir)
+    try {
+      val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = DedupQueries.resolveClusters(chain).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.length == 101 && got.forall(_._2 == 0L) && got.forall(_._3 == 101L))
+      // the rounds actually wrote reliable checkpoint data
+      def rddFiles(d: java.io.File): Long =
+        if (d.isDirectory) d.listFiles().map(rddFiles).sum
+        else if (d.getName.startsWith("part-")) 1L else 0L
+      assert(rddFiles(new java.io.File(ckptDir)) > 0,
+        "reliable mode must persist checkpoint part files")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
 }

@@ -180,6 +180,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.contains((11L, -1L)), s"unmatched view must emit nulls after watermark: $rows")
   }
 
+  test("stream-stream left join: streaming replay agrees with the batch twin (q64 equivalence)") {
+    import spark.implicits._
+    val viewEvents = Seq(
+      ev(10, "2026-01-01 10:00:00", user = 1),
+      ev(11, "2026-01-01 10:00:00", user = 2),            // never purchases
+      ev(12, "2026-01-01 10:20:00", user = 1),            // second view, band excludes 10:05
+      ev(13, "2026-01-01 10:21:00", user = 3))
+    val purchaseEvents = Seq(
+      ev(20, "2026-01-01 10:05:00", user = 1, tpe = "purchase", value = 9.99),
+      ev(21, "2026-01-01 10:25:00", user = 1, tpe = "purchase", value = 1.0), // in band of view 12 only (view 10's band ends 10:10)
+      ev(22, "2026-01-01 10:15:00", user = 3, tpe = "purchase"))              // before view 13: out of band
+    def key(r: org.apache.spark.sql.Row): (Long, Long) =
+      (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))
+
+    // batch evaluation through the SAME transform (what q64 runs)
+    val batch = StreamingOps.viewPurchaseLeftJoin(
+        viewEvents.toDF(), purchaseEvents.toDF())
+      .collect().map(key).toSet
+
+    val views = MemoryStream[Ev](spark)
+    val purchases = MemoryStream[Ev](spark)
+    val (q, name) = runToMemory(
+      StreamingOps.viewPurchaseLeftJoin(views.toDF(), purchases.toDF()))
+    views.addData(viewEvents)
+    purchases.addData(purchaseEvents)
+    q.processAllAvailable()
+    // close every pending left row: watermark must pass last view + band
+    views.addData(Seq(ev(98, "2026-01-01 12:00:00", user = 99)))
+    purchases.addData(Seq(ev(99, "2026-01-01 12:00:00", user = 99, tpe = "purchase")))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table(name).collect().map(key)
+      .filter(k => k._1 < 90 && (k._2 < 90 || k._2 == -1L)).toSet
+    val batchReal = batch.filter(k => k._1 < 90)
+    assert(streamed == batchReal,
+      s"replay mismatch: streamed=$streamed batch=$batchReal")
+    // and the expected pair set is exactly the band semantics
+    assert(batchReal == Set((10L, 20L), (11L, -1L), (12L, 21L), (13L, -1L)))
+  }
+
   test("checkpoint recovery: a restarted query resumes from committed offsets") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString

@@ -3,7 +3,11 @@
 Verify dump's oracle_sql.json over the given sf dir, warmed, min of two timed
 passes (the same discipline as graft.Bench), and print per-query + total.
 
-Usage: python3 tools/bench_duckdb.py /root/testdata/sf0.1 /tmp/verify_out
+Usage: python3 tools/bench_duckdb.py /root/testdata/sf0.1 /tmp/verify_out [--json]
+
+--json prints a single machine-readable line instead of the table; graft.Bench
+invokes this mode to embed a SAME-SESSION paired DuckDB total in its output
+(unpaired cross-host ratios drift +/-20% on host noise — BASELINE.md §4).
 """
 import json, os, sys, time
 import duckdb
@@ -11,7 +15,7 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, as_json=False):
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
     for t in TABLES:
@@ -27,9 +31,14 @@ def main(sf_dir, out_dir):
             con.execute(sql).fetchall()
             dt = time.time() - t0
             results[name] = min(results.get(name, 1e9), dt)
+    if as_json:
+        print(json.dumps({"total": round(sum(results.values()), 4),
+                          "n": len(results),
+                          "queries": {k: round(v, 4) for k, v in sorted(results.items())}}))
+        return
     for name, dt in sorted(results.items(), key=lambda kv: -kv[1]):
         print(f"{name:28s} {dt:.3f}")
     print(f"TOTAL {sum(results.values()):.3f}  n={len(results)}")
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], "--json" in sys.argv[3:])
