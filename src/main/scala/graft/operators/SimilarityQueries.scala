@@ -63,9 +63,15 @@ object SimilarityQueries {
     * (r5) so the recall/candidate-count sweep can raise the bucket count
     * the way a 100 TB deployment would; plane p's signs are identical at
     * every `bits`, so raising bits REFINES the same bucketing. */
-  private[operators] def planeSignsFor(bits: Int): Seq[Seq[Double]] = {
+  private[operators] def planeSignsFor(bits: Int): Seq[Seq[Double]] =
+    planeSignsRange(0, bits)
+
+  /** Planes indexed ABSOLUTELY (plane p's signs never depend on how many
+    * planes are in use), so table t of a multi-table scheme uses planes
+    * [t*bits, (t+1)*bits) and table 0 is exactly the single-table layout. */
+  private[operators] def planeSignsRange(from: Int, n: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until bits).map { p =>
+    (from until from + n).map { p =>
       (0 until Dims).map { i =>
         if (DedupQueries.md5hex(md, s"$p:$i").charAt(0) < '8') -1.0 else 1.0
       }
@@ -191,9 +197,23 @@ object SimilarityQueries {
         lit(cell).as("cell"))
     }
 
-  /** Nearest cell = head of the distance-sorted score array. */
-  private def nearestCellExpr(centroids: Array[(Int, Array[Long])]): org.apache.spark.sql.Column =
-    element_at(sort_array(array(cellScores(centroids): _*)), 1).getField("cell")
+  /** Nearest cell for the per-corpus-row assignment: the native
+    * [[graft.functions.NearestCellLong]] kernel — one fused codegen'd loop
+    * over cells x dims. The declarative struct-array argmin grows its
+    * expression tree with the codebook and falls out of codegen past a few
+    * dozen cells (the r5 recall sweep measured 49 s at cells=64 on the 30x
+    * corpus); the native kernel keeps assignment linear in cells, the
+    * property that makes thousands-of-cells production codebooks viable.
+    * Ties break toward the lower cell id in both formulations. The
+    * expression returns the centroid's INDEX; centroids are sorted by cell
+    * id, so the id lookup is one literal-array element_at. */
+  private def nearestCellExpr(centroids: Array[(Int, Array[Long])]): org.apache.spark.sql.Column = {
+    val idx = graft.functions.NearestCellLong(
+      col("qv"),
+      typedLit(centroids.map(_._2.toSeq).toSeq),
+      typedLit(centroids.map { case (_, c) => c.map(x => x * x).sum }.toSeq))
+    element_at(typedLit(centroids.map(_._1).toSeq), idx + lit(1))
+  }
 
   /** Q42 — IVF ANN: assign corpus to coarse cells, probe the query's
     * IvfProbes nearest cells, exact top-k inside the probed cells only.
@@ -260,14 +280,59 @@ object SimilarityQueries {
     * the oracle SQL. Same no-all-pairs shape as q23/q27. */
   val NearDupThreshold = 250000L // quantized dot ~ float dot x 10^6; 0.25 here
 
-  private def intBucketColFor(bits: Int): org.apache.spark.sql.Column =
-    planeSignsFor(bits).foldLeft(lit(0)) { (acc, plane) =>
+  private def intBucketColRange(from: Int, bits: Int): org.apache.spark.sql.Column =
+    planeSignsRange(from, bits).foldLeft(lit(0)) { (acc, plane) =>
       val signs = plane.map(_.toLong)
       val dot = graft.functions.DotProductLong(col("qv"), typedLit(signs))
       acc * 2 + when(dot > 0, lit(1)).otherwise(lit(0))
     }
 
+  private def intBucketColFor(bits: Int): org.apache.spark.sql.Column =
+    intBucketColRange(0, bits)
+
   private def intBucketCol: org.apache.spark.sql.Column = intBucketColFor(LshBits)
+
+  /** Multi-table sign-LSH ANN: L independent hash tables of `bits` planes
+    * each (table t = absolute planes [t*bits, (t+1)*bits)); a candidate is
+    * any corpus vector sharing ANY table's bucket with the query — the
+    * OR-amplification that the minhash BANDING of q23 applies to sets,
+    * applied to embeddings. The r5 sweep motivated this: single-table
+    * recall collapses as bits rise on a non-duplicated corpus (0.48 at 4
+    * bits -> 0.04 at 10), while tables recover it at the same per-table
+    * selectivity — the production recall knob at 100 TB, where you raise
+    * `bits` for executor-sized buckets and `tables` for recall. Plan shape
+    * is one posexplode (L small ints per row) + the same bucket equi-join,
+    * deduped per (query, neighbor) before scoring. */
+  private[graft] def annLshMultiTableScored(spark: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame = {
+    val emb = quantized(spark, dir)
+      .withColumn("buckets", array((0 until tables).map(t =>
+        intBucketColRange(t * bits, bits)): _*))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val probes = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        posexplode(col("buckets")).as(Seq("qtbl", "qbucket")))
+    corpus
+      .join(probes.hint("broadcast"), col("qtbl") === col("tbl") &&
+        col("qbucket") === col("bucket") &&
+        col("query_id") =!= col("neighbor_id"), "inner")
+      .select(col("query_id"), col("qa"), col("neighbor_id"), col("qb"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+  }
+
+  private[graft] def annLshMultiTable(spark: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    annLshMultiTableScored(spark, dir, bits, tables)
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+  }
 
   def q45EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)

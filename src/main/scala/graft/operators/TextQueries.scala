@@ -154,10 +154,13 @@ object TextQueries {
     * linear-idf scoring. Plan shape: explode -> filter to query terms
     * (predicate prunes the token stream BEFORE any shuffle) -> tf per
     * (doc, term) -> broadcast df join -> sum -> TakeOrderedAndProject.
+    * The corpus size N enters the plan as a broadcast 1-row aggregate
+    * (r5: previously a driver-side docs.count() per invocation — a second
+    * scan job; the parquet-metadata count now rides inside the same job).
     * The lexical complement to the vector ANN family (q26/q27/q42). */
   def q53DocSearch(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // corpus size: one cheap count, a literal in the plan
+    val corpusN = docs.agg(count(lit(1)).as("n"))
     val hits = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isInCollection(SearchTerms))
@@ -166,7 +169,9 @@ object TextQueries {
     val df = hits.groupBy(col("token"))
       .agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(df), "token")
-      .withColumn("w", col("tf") * expr(s"${n * 1000L}L DIV df"))
+      .crossJoin(broadcast(corpusN))
+      .withColumn("w", col("tf") * expr("(n * 1000) DIV df"))
+      .drop("n")
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).cast("long").as("score_milli"))
       .orderBy(col("score_milli").desc, col("doc_id").asc)

@@ -53,6 +53,15 @@ object RecallSweep {
       emit("lsh", s"bits=$bits", cand, recallOf(top), sec)
     }
 
+    for ((bits, tables) <- Seq((8, 1), (8, 2), (8, 4), (8, 8), (10, 8))) {
+      val t0 = System.nanoTime()
+      val top = SimilarityQueries.annLshMultiTable(spark, dir, bits, tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cand = SimilarityQueries.annLshMultiTableScored(spark, dir, bits, tables).count()
+      emit("lsh-multi", s"bits=$bits,tables=$tables", cand, recallOf(top), sec)
+    }
+
     for ((cells, probes) <- Seq((8, 2), (16, 2), (32, 4), (64, 8))) {
       val t0 = System.nanoTime()
       val top = SimilarityQueries.ivfAnnTopK(spark, dir, cells, probes)
