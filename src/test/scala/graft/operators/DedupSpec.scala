@@ -159,6 +159,45 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 0L)
   }
 
+  test("collapse-first q24 equals the naive per-id-pair formulation on a " +
+      "duplicated corpus") {
+    import spark.implicits._
+    // mixed corpus: an exact-dup family of 3, a near-dup, an unrelated doc,
+    // a doc below the 3-word shingle floor, and a null text
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (6L, "too short"),
+      (7L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q24diff").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q24JaccardVerify(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // naive reference: jaccard over every q23 candidate id pair directly
+    val cand = DedupQueries.q23MinhashLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val texts = Map(1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      4L -> "one two three four five six seven eight nine ten")
+    val expected = cand.map { case (a, b) =>
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      (a, b, sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble)
+    }.sortBy(p => (p._1, p._2)).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // the exact-dup family must appear at jaccard exactly 1.0 for every pair
+    assert(got.count(_._3 == 1.0) >= 3) // (1,2),(1,5),(2,5)
+  }
+
   test("cluster resolution under reliable checkpointing (recovery-safe mode)") {
     import spark.implicits._
     // spark.graft.cc.checkpointDir flips every per-round materialization

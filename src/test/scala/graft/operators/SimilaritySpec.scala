@@ -127,4 +127,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val allPairs = SimilarityQueries.q45EmbeddingNearDup(spark, tmp).collect()
     assert(allPairs.length == 10, allPairs.toSeq.toString)
   }
+
+  test("multi-table LSH: candidates grow monotonically with tables and " +
+      "table 0 matches the single-table bucketing") {
+    val dir = "/root/testdata/sf0.001"
+    def candSet(tables: Int): Set[(Long, Long)] =
+      SimilarityQueries.annLshMultiTableScored(spark, dir, 8, tables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val t1 = candSet(1); val t2 = candSet(2); val t4 = candSet(4)
+    // OR-amplification: each added table can only ADD candidates
+    assert(t1.subsetOf(t2) && t2.subsetOf(t4), s"${t1.size}/${t2.size}/${t4.size}")
+    assert(t4.size >= t2.size && t2.size >= t1.size)
+    // recall can only improve: top-k dots are true dot products, so any
+    // exact neighbor present in t1 is present (and ranked the same) in t4
+    val top1 = SimilarityQueries.annLshMultiTable(spark, dir, 8, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val top4Scores = SimilarityQueries.annLshMultiTable(spark, dir, 8, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every pair surviving into the larger candidate set keeps its exact score
+    val scored1 = SimilarityQueries.annLshMultiTableScored(spark, dir, 8, 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(4))).toMap
+    top1.foreach { p =>
+      top4Scores.get(p).foreach(s4 => assert(s4 == scored1(p), s"score drift for $p"))
+    }
+  }
 }
