@@ -402,6 +402,32 @@ object SimilarityQueries {
           .as("rel_err_micro"))
       .orderBy(col("label").asc)
 
+  /** Q65 — CROSS-MODAL semantic dedup: embedding-near-dup pairs whose TEXTS
+    * differ — the duplicates exact/minhash dedup structurally cannot catch
+    * (same meaning, different wording), which is why production curation
+    * runs an embedding stage after the text stages. Joins both modalities
+    * on the shared id (doc_id == vec_id in the testdata): the q45 sign-LSH
+    * bucket join generates embedding near-dup candidates, then each side
+    * picks up its document's md5(text) and lang with id-only equi-joins,
+    * keeping pairs with DIFFERENT text hashes. Null-text docs drop on both
+    * engines identically (NULL <> x is NULL). All-integer scoring keeps it
+    * hash-checkable; the doc joins shuffle only (id, hash, lang). */
+  def q65SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = q45EmbeddingNearDup(spark, dir) // (id_a, id_b, dot), bucketed — no all-pairs
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("thash"), col("lang"))
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("thash").as("thash_a"),
+        col("lang").as("lang_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("thash").as("thash_b"),
+        col("lang").as("lang_b")), "id_b")
+      .filter(col("thash_a") =!= col("thash_b"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("lang_a"), col("lang_b"),
+        (col("lang_a") === col("lang_b")).as("same_lang"))
+      .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q26_knn_exact" -> (q26KnnExact _),
     "q27_ann_lsh" -> (q27AnnLsh _),
@@ -410,6 +436,7 @@ object SimilarityQueries {
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_near_dup_unique" -> (q61NearDupUnique _),
+    "q65_semantic_dedup" -> (q65SemanticDedup _),
   )
 
   /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
@@ -531,6 +558,26 @@ object SimilarityQueries {
          |  CAST(x.cnt * y.cnt AS BIGINT) AS pair_mult
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.uid < y.uid
          |WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) > $NearDupThreshold
+         |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
+    },
+    "q65_semantic_dedup" -> {
+      val bucketTerms = planeSqlLiterals.map { lits =>
+        s"(CASE WHEN list_sum(list_transform(range(64), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
+      }
+      val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
+      s"""WITH q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM q),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |    CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) > $NearDupThreshold),
+         |d AS (SELECT doc_id, md5(text) AS thash, lang FROM documents)
+         |SELECT p.id_a, p.id_b, p.dot, da.lang AS lang_a, db.lang AS lang_b,
+         |  (da.lang = db.lang) AS same_lang
+         |FROM p JOIN d da ON da.doc_id = p.id_a JOIN d db ON db.doc_id = p.id_b
+         |WHERE da.thash <> db.thash
          |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin
     },
     "q26_knn_exact" ->

@@ -151,4 +151,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       top4Scores.get(p).foreach(s4 => assert(s4 == scored1(p), s"score drift for $p"))
     }
   }
+
+  test("q65 semantic dedup keeps only different-text near-dups; " +
+      "same-text and null-text pairs drop") {
+    import spark.implicits._
+    // 64-dim vectors; identical vectors dot to 125^2*64 = 1,000,000 > the
+    // 250,000 threshold and trivially share every LSH bucket.
+    val a = Array.fill(64)(0.125f)                                  // family A
+    val b = Array.tabulate(64)(i => if (i < 32) 0.125f else -0.125f) // dot(A,B)=0
+    val d = Array.fill(64)(-0.125f)                                 // family D
+    val emb = Seq(
+      1L -> a, 2L -> a, // same text pair -> filtered
+      3L -> b, 4L -> b, // different texts -> the one kept pair
+      5L -> Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f),
+      6L -> d, 7L -> d  // near-dup embeddings but text(6) is NULL -> dropped
+    ).map { case (id, v) => (id, v.toSeq, 0) }
+    val docs = Seq(
+      (1L, "alpha shared text", "en"), (2L, "alpha shared text", "en"),
+      (3L, "bravo wording", "en"), (4L, "charlie other words", "fr"),
+      (5L, "delta", "en"),
+      (6L, null: String, "en"), (7L, "golf text", "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("q65").toString
+    emb.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // sanity: the embedding stage sees all three same-vector pairs
+    val nearDup = SimilarityQueries.q45EmbeddingNearDup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 2L), (3L, 4L), (6L, 7L)).subsetOf(nearDup), nearDup)
+
+    val got = SimilarityQueries.q65SemanticDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq((3L, 4L, 1000000L, "en", "fr", false)), got.toSeq)
+  }
 }
