@@ -235,6 +235,71 @@ object TextQueries {
       .orderBy(col("lang").asc, col("shard").asc, col("bin").asc)
   }
 
+  /** Benchmark-set membership for decontamination: held-out eval docs are
+    * doc_id % 10 == 7 (a deterministic ~10% split standing in for the eval
+    * suites a production pipeline loads from a side table). */
+  val DecontamMod = 10L
+  val DecontamRes = 7L
+
+  /** Q66 — benchmark decontamination: for every training document, count the
+    * distinct word-3-grams it shares with the held-out benchmark set — the
+    * pre-training step that keeps eval data out of the training corpus
+    * (n-gram overlap is the standard contamination test). Plan shape:
+    * 3-grams via codegen'd HOFs riding the scan, per-doc array_distinct
+    * BEFORE the explode (caps the exploded stream at distinct grams),
+    * benchmark grams distinct-ed then BROADCAST — eval suites are MBs even
+    * when the corpus is 100 TB, so the contamination probe is a map-side
+    * hash lookup; the only shuffles are the two per-doc count aggregates on
+    * uniform doc_id keys. Integer hit-rate (permille, truncating DIV) keeps
+    * the output hash-checkable. */
+  def q66Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")))
+        .as("gram"))
+    val bench = grams.filter(col("doc_id") % DecontamMod === DecontamRes)
+      .select(col("gram")).distinct()
+    val train = grams.filter(col("doc_id") % DecontamMod =!= DecontamRes)
+    val tot = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    hits.join(tot, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        expr("n_hits * 1000 DIV n_grams").as("hit_permille"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Q67 — repetition signal (the Gopher-style quality filter): per-document
+    * duplicate word-2-gram counts — highly repetitive documents (boilerplate,
+    * keyword spam, generation loops) are dropped before training. explode ->
+    * two-level aggregate: (doc, gram) counts partial-aggregate map-side, then
+    * per-doc totals; one shuffle on uniform doc_id keys, no arrays carried
+    * past the first projection. Exact integers + a thresholded flag
+    * (repetitive = >20% duplicate 2-grams, integer cross-multiplication —
+    * no division, no floats). */
+  val RepetitivePermille = 200L
+
+  def q67Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("n")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")) - count(lit(1))).as("n_repeated"),
+        max(col("n")).as("top_gram_n"))
+      .withColumn("repetitive",
+        col("n_repeated") * 1000L >= col("n_grams") * RepetitivePermille)
+      .orderBy(col("doc_id").asc)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -244,9 +309,42 @@ object TextQueries {
     "q53_doc_search" -> (q53DocSearch _),
     "q60_zscore_normalize" -> (q60ZScoreNormalize _),
     "q63_sequence_packing" -> (q63SequencePacking _),
+    "q66_decontamination" -> (q66Decontamination _),
+    "q67_repetition" -> (q67Repetition _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q66_decontamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         |g AS (SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS gram
+         |  FROM t),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $DecontamMod = $DecontamRes),
+         |train AS (SELECT doc_id, gram FROM g WHERE doc_id % $DecontamMod <> $DecontamRes),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY 1),
+         |hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
+         |  FROM train t JOIN bench b USING (gram) GROUP BY 1)
+         |SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+         |  CAST(tot.n_grams AS BIGINT) AS n_grams,
+         |  CAST(h.n_hits * 1000 // tot.n_grams AS BIGINT) AS hit_permille
+         |FROM hits h JOIN tot USING (doc_id)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q67_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+         |g AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+         |  FROM t),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_repeated,
+         |  CAST(MAX(n) AS BIGINT) AS top_gram_n,
+         |  ((SUM(n) - COUNT(*)) * 1000 >= $RepetitivePermille * SUM(n)) AS repetitive
+         |FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q63_sequence_packing" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 32 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens

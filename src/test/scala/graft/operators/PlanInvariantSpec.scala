@@ -26,6 +26,13 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
   private val exempt = Set("q21_estimator_sweep", "q34_saved_runs_list",
     "q56_dup_clusters")
 
+  test("q66 probes the benchmark gram set through a broadcast hash join") {
+    val plan = TextQueries.q66Decontamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark probe should be map-side (eval suites are small):\n$plan")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => exempt(n) }
     .foreach { case (name, fn) =>

@@ -27,6 +27,51 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) == "en", "ties keep the earlier language in fold order")
   }
 
+  test("q66 decontamination counts distinct shared 3-grams; benchmark and " +
+      "short docs are excluded from the output") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("decontam").toString
+    Seq(
+      // doc 7 -> benchmark (7 % 10 == 7); grams: "x y z", "y z w"
+      (7L, "x y z w", "en", "s", 7L),
+      // train doc 1: shares "x y z" only (distinct grams: "x y z", "y z q")
+      (1L, "x y z q", "en", "s", 7L),
+      // train doc 2: no overlap with the benchmark
+      (2L, "a b c d", "en", "s", 7L),
+      // train doc 3: BOTH benchmark grams + a repeat of "x y z" — the
+      // per-doc distinct means the repeat must not double-count
+      (3L, "x y z w x y z", "en", "s", 13L),
+      // too short for a 3-gram -> excluded everywhere
+      (4L, "a b", "en", "s", 3L),
+      (5L, null: String, "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q66Decontamination(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 grams (distinct): "x y z","y z w","z w x","w x y" -> 2 hits of 4
+    assert(got.toSeq == Seq((1L, 1L, 2L, 500L), (3L, 2L, 4L, 500L)), got.toSeq)
+  }
+
+  test("q67 repetition flags >20%-duplicate-2-gram docs and counts exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("repet").toString
+    Seq(
+      (1L, "spam spam spam spam spam", "en", "s", 24L), // 4 grams, 1 distinct
+      (2L, "all fresh words here now", "en", "s", 24L), // 4 grams, 0 repeats
+      (3L, "ab cd ab cd ab", "en", "s", 14L),           // 4 grams, 2 distinct
+      (4L, "one", "en", "s", 3L),                        // <2 words -> excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q67Repetition(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 3L, 4L, true),   // "spam spam" x4
+      (2L, 4L, 4L, 0L, 1L, false),
+      (3L, 4L, 2L, 2L, 2L, true),   // "ab cd" x2, "cd ab" x2
+    ), got.toSeq)
+  }
+
   test("events.props parses as MapType too (map functions path)") {
     import spark.implicits._
     val df = Seq("""{"k": 1}""", """{"k": 2, "extra": 9}""").toDF("props")
