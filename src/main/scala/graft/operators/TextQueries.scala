@@ -300,6 +300,32 @@ object TextQueries {
         col("n_repeated") * 1000L >= col("n_grams") * RepetitivePermille)
       .orderBy(col("doc_id").asc)
 
+  /** Q68 — BPE merge-pair census: corpus-wide adjacent character-pair
+    * frequencies — one training round of byte-pair encoding, the tokenizer-
+    * construction primitive (the most frequent pair is the next BPE merge).
+    * Collapse-first at the VOCAB level: words aggregate to (word, freq)
+    * BEFORE any character-level work (natural text is Zipf-duplicated, so
+    * the unique vocabulary is orders of magnitude smaller than the token
+    * stream — the same principle as q61/q62's collapse-first dedup), then
+    * pairs explode from unique words only, weighted by word frequency.
+    * Two shuffles on uniform keys (word, then pair), map-side partials on
+    * both, TakeOrderedAndProject for the top-k; ties broken by pair text so
+    * the result is deterministic on both engines. */
+  val BpeTopK = 50
+
+  def q68BpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), explode(
+        expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(BpeTopK)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -311,9 +337,20 @@ object TextQueries {
     "q63_sequence_packing" -> (q63SequencePacking _),
     "q66_decontamination" -> (q66Decontamination _),
     "q67_repetition" -> (q67Repetition _),
+    "q68_bpe_pairs" -> (q68BpePairs _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q68_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |v AS (SELECT word, COUNT(*) AS freq FROM w
+         |  WHERE length(word) >= 2 GROUP BY 1),
+         |p AS (SELECT freq,
+         |    unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+         |  FROM v)
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY 1
+         |ORDER BY n DESC, pair LIMIT $BpeTopK""".stripMargin,
     "q66_decontamination" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),

@@ -72,6 +72,21 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     ), got.toSeq)
   }
 
+  test("q68 BPE pair census weights pairs by word frequency, collapse-first") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq(
+      (1L, "aaab aaab cd", "en", "s", 12L),
+      (2L, "aaab x", "en", "s", 6L), // "x" is 1 char -> no pairs
+      (3L, null: String, "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q68BpePairs(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // aaab appears 3x: pairs per occurrence aa,aa,ab -> aa:6, ab:3; cd:1
+    assert(got.toSeq == Seq(("aa", 6L), ("ab", 3L), ("cd", 1L)), got.toSeq)
+  }
+
   test("events.props parses as MapType too (map functions path)") {
     import spark.implicits._
     val df = Seq("""{"k": 1}""", """{"k": 2, "extra": 9}""").toDF("props")
