@@ -252,14 +252,20 @@ object TextQueries {
     * hash lookup; the only shuffles are the two per-doc count aggregates on
     * uniform doc_id keys. Integer hit-rate (permille, truncating DIV) keeps
     * the output hash-checkable. */
-  def q66Decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  /** (doc_id, gram) stream of per-document DISTINCT word-3-grams — the
+    * contamination probe's unit of comparison. Pure codegen'd projection
+    * (rides the scan; works identically on a batch or streaming frame). */
+  def docGrams3(docs: DataFrame): DataFrame =
+    docs
       .filter(col("text").isNotNull)
       .withColumn("w", split(col("text"), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")))
         .as("gram"))
+
+  def q66Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams3(Tables.documents(spark, dir))
     val bench = grams.filter(col("doc_id") % DecontamMod === DecontamRes)
       .select(col("gram")).distinct()
     val train = grams.filter(col("doc_id") % DecontamMod =!= DecontamRes)

@@ -89,6 +89,23 @@ object StreamingOps {
       "left_outer")
   }
 
+  /** Stream-static decontamination: probe a STREAM of documents against a
+    * static benchmark gram table (q66's semantics on arriving data — gate
+    * eval contamination at ingest instead of in a nightly batch). The
+    * static side joins broadcast per micro-batch, so the probe is map-side
+    * with no stream-side shuffle before it; the only stateful operator is
+    * the final streaming dropDuplicates, whose state is one doc_id per
+    * contaminated document EMITTED (bounded by the contamination set, not
+    * the corpus — at 100 TB the contaminated set is the small side by
+    * construction). Works identically on a batch frame (the micro-batch
+    * promise): batch-vs-replay equivalence is pinned in StreamingSpec
+    * against q66's doc set. */
+  def contaminatedDocs(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    graft.operators.TextQueries.docGrams3(docs)
+      .join(broadcast(benchGrams.select(col("gram"))), "gram")
+      .select(col("doc_id"))
+      .dropDuplicates("doc_id")
+
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

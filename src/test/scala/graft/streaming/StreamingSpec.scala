@@ -447,4 +447,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       lastBatch, sink)
     assert(read() == expected, "replayed sink batch must not duplicate")
   }
+
+  test("stream-static decontamination: replay emits q66's contaminated doc " +
+      "set exactly once across micro-batches") {
+    import spark.implicits._
+    import graft.operators.TextQueries
+    // the TextEdgeSpec decontamination corpus: doc 7 is the benchmark split
+    val docs = Seq(
+      7L -> "x y z w", 1L -> "x y z q", 2L -> "a b c d",
+      3L -> "x y z w x y z", 4L -> "a b")
+    val bench = TextQueries.docGrams3(
+      docs.filter(_._1 % 10 == 7).toDF("doc_id", "text")).select($"gram").distinct()
+
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val (q, name) = runToMemory(
+      StreamingOps.contaminatedDocs(stream.toDF(), bench))
+    val train = docs.filter(_._1 % 10 != 7).map((StreamingSpec.Doc.apply _).tupled)
+    stream.addData(train.take(2)) // docs 1 (contaminated) and 2 (clean)
+    q.processAllAvailable()
+    assert(spark.table(name).as[Long].collect().toSet == Set(1L))
+    // doc 3 contaminated; re-sending doc 1 must NOT re-emit (streaming dedup)
+    stream.addData(train.drop(2) :+ StreamingSpec.Doc(1L, "x y z q"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).as[Long].collect()
+    assert(got.sorted.toSeq == Seq(1L, 3L), got.toSeq)
+    // batch twin: the same transform over the full train frame in one go
+    val batch = StreamingOps.contaminatedDocs(
+      docs.filter(_._1 % 10 != 7).toDF("doc_id", "text"), bench)
+      .as[Long].collect().toSet
+    assert(batch == Set(1L, 3L))
+  }
+}
+
+object StreamingSpec {
+  final case class Doc(doc_id: Long, text: String)
 }
