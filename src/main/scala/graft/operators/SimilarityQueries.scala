@@ -247,7 +247,14 @@ object SimilarityQueries {
     val assigned = emb.withColumn("cell", nearestCellExpr(centroids))
     val corpus = assigned.select(col("vec_id").as("neighbor_id"),
       col("qv").as("qb"), col("cell"))
-    // probe list per query: cells ranked by the same distance expression
+    ivfProbeScore(emb, corpus, centroids, probes)
+  }
+
+  /** The probe/score stage shared by the inline pipeline and the persisted
+    * index: per-query probe cells ranked by the exact distance expression,
+    * cell equi-join against the assigned corpus, integer dot scoring. */
+  private def ivfProbeScore(emb: DataFrame, corpus: DataFrame,
+      centroids: Array[(Int, Array[Long])], probes: Int): DataFrame = {
     val queries = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
         explode(slice(sort_array(array(cellScores(centroids): _*)), 1, probes)).as("probe"))
@@ -258,9 +265,52 @@ object SimilarityQueries {
       .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
   }
 
+  /** Build-once/query-many IVF index: persists the codebook (cell ->
+    * centroid) and the corpus cell assignment as parquet — the production
+    * ANN serving shape (training + the full-corpus assignment scan are a
+    * batch job whose cost amortizes over every query that follows; q42
+    * re-derives both per call, which is the right shape for a one-shot
+    * benchmark but not for a serving path). The assignment table carries
+    * only (vec_id, cell) — vectors stay in the source table and re-join by
+    * id at query time, so the index is tiny relative to the corpus. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
+      cells: Int = IvfCells): Unit = {
+    import spark.implicits._
+    val emb = quantized(spark, dir).localCheckpoint()
+    val centroids = ivfCentroids(emb, cells)
+    centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val assigned =
+      if (centroids.isEmpty) emb.select(col("vec_id"), lit(0).as("cell")) // empty corpus
+      else emb.withColumn("cell", nearestCellExpr(centroids)).select(col("vec_id"), col("cell"))
+    assigned.write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** IVF top-k served from a persisted index: one bounded collect of the
+    * cells-row codebook, an id equi-join to re-attach vectors to their
+    * precomputed cells, then the same probe/score/top-k as q42. Output is
+    * row-identical to the inline pipeline at equal (cells, probes) —
+    * pinned by SimilaritySpec. */
+  def ivfAnnTopKFromIndex(spark: SparkSession, dir: String, indexDir: String,
+      probes: Int = IvfProbes): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("query_id", "neighbor_id", "dot")
+    }
+    val emb = quantized(spark, dir)
+    val corpus = emb.join(spark.read.parquet(s"$indexDir/assignments"), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("cell"))
+    topKScored(ivfProbeScore(emb, corpus, centroids, probes))
+  }
+
   private[graft] def ivfAnnTopK(spark: SparkSession, dir: String,
-      cells: Int, probes: Int): DataFrame = {
-    val scored = ivfAnnScored(spark, dir, cells, probes)
+      cells: Int, probes: Int): DataFrame =
+    topKScored(ivfAnnScored(spark, dir, cells, probes))
+
+  private def topKScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored

@@ -152,6 +152,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("persisted IVF index serves row-identical results to the inline " +
+      "q42 pipeline (build-once/query-many)") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    SimilarityQueries.buildIvfIndex(spark, dir, idx)
+    val fromIndex = SimilarityQueries.ivfAnnTopKFromIndex(spark, dir, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = SimilarityQueries.q42IvfAnn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+    // the index itself is what it claims: a bounded codebook + id->cell map
+    val cb = spark.read.parquet(s"$idx/codebook")
+    assert(cb.count() <= SimilarityQueries.IvfCells)
+    assert(spark.read.parquet(s"$idx/assignments").columns.toSeq ==
+      Seq("vec_id", "cell"))
+  }
+
   test("q65 semantic dedup keeps only different-text near-dups; " +
       "same-text and null-text pairs drop") {
     import spark.implicits._
