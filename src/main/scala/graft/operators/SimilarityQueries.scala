@@ -456,25 +456,68 @@ object SimilarityQueries {
     * differ — the duplicates exact/minhash dedup structurally cannot catch
     * (same meaning, different wording), which is why production curation
     * runs an embedding stage after the text stages. Joins both modalities
-    * on the shared id (doc_id == vec_id in the testdata): the q45 sign-LSH
-    * bucket join generates embedding near-dup candidates, then each side
-    * picks up its document's md5(text) and lang with id-only equi-joins,
-    * keeping pairs with DIFFERENT text hashes. Null-text docs drop on both
-    * engines identically (NULL <> x is NULL). All-integer scoring keeps it
-    * hash-checkable; the doc joins shuffle only (id, hash, lang). */
+    * on the shared id (doc_id == vec_id in the testdata): sign-LSH bucket
+    * candidates over the embeddings (q45's semantics), each side's
+    * md5(text) and lang picked up through id-keyed joins, keeping pairs
+    * with DIFFERENT text hashes. Null-text docs drop on both engines
+    * identically (NULL <> x is NULL). All-integer scoring keeps it
+    * hash-checkable. */
   def q65SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = q45EmbeddingNearDup(spark, dir) // (id_a, id_b, dot), bucketed — no all-pairs
+    // Collapse-first (r5, after the 30x smoke caught the naive form at
+    // 52 s): on a duplicated corpus, q45-then-filter materializes every
+    // same-vector candidate pair (C(copies,2) per family) only to drop
+    // them as same-text — 2.2M wasted pairs against 289k kept at 30x.
+    // Instead: candidates over UNIQUE vectors (q61's collapse), the
+    // same-text filter at the (uid, thash) GROUP level, and expansion
+    // through id-only joins — the id pairs materialized are exactly the
+    // output rows. Output is row-identical to the naive form (oracle
+    // unchanged); SimilaritySpec pins the drop paths + a differential.
+    val q = quantized(spark, dir)
+    val uniq = q.groupBy(col("qv"))
+      .agg(min(col("vec_id")).as("uid"), count(lit(1)).as("cnt"))
+      .withColumn("bucket", intBucketCol)
+    // unique-level candidates: cross-family shared-bucket pairs, plus the
+    // self-pair of every multiplied family (identical vectors trivially
+    // share their bucket; dot = <v,v>)
+    val l = uniq.select(col("bucket").as("bl"), col("uid").as("ua"), col("qv").as("qa"))
+    val r = uniq.select(col("bucket").as("br"), col("uid").as("ub"), col("qv").as("qb"))
+    val cross = l.join(r, col("bl") === col("br") && col("ua") < col("ub"), "inner")
+      .select(col("ua"), col("ub"),
+        graft.functions.DotProductLong(col("qa"), col("qb")).as("dot"))
+    val self = uniq.filter(col("cnt") > 1)
+      .select(col("uid").as("ua"), col("uid").as("ub"),
+        graft.functions.DotProductLong(col("qv"), col("qv")).as("dot"))
+    val cand = cross.unionAll(self).filter(col("dot") > NearDupThreshold)
+    // members (id, uid, thash, lang): one bounded-width shuffle on the
+    // 512-byte vector key to pick up uid, id-keyed doc join for the text
+    // hash — everything past this point shuffles narrow columns only
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("thash"), col("lang"))
-    pairs
-      .join(docs.select(col("doc_id").as("id_a"), col("thash").as("thash_a"),
-        col("lang").as("lang_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("thash").as("thash_b"),
-        col("lang").as("lang_b")), "id_b")
-      .filter(col("thash_a") =!= col("thash_b"))
-      .select(col("id_a"), col("id_b"), col("dot"),
-        col("lang_a"), col("lang_b"),
-        (col("lang_a") === col("lang_b")).as("same_lang"))
+      .select(col("doc_id").as("vec_id"), md5(col("text")).as("thash"), col("lang"))
+    val m = q.select(col("vec_id"), col("qv"))
+      .join(uniq.select(col("qv"), col("uid")), "qv")
+      .join(docs, "vec_id")
+      .select(col("vec_id").as("id"), col("uid"), col("thash"), col("lang"))
+    // the same-text filter runs on (uid, thash) GROUPS — before expansion
+    val gm = m.select(col("uid"), col("thash")).distinct()
+    val gpairs = cand
+      .join(gm.select(col("uid").as("ua"), col("thash").as("tha")), "ua")
+      .join(gm.select(col("uid").as("ub"), col("thash").as("thb")), "ub")
+      .filter(col("tha") =!= col("thb"))
+    // expansion = output rows exactly; self-families orient ia < ib so
+    // each unordered pair appears once, cross-families via least/greatest
+    val ma = m.select(col("uid").as("ua"), col("thash").as("tha"),
+      col("id").as("ia"), col("lang").as("la"))
+    val mb = m.select(col("uid").as("ub"), col("thash").as("thb"),
+      col("id").as("ib"), col("lang").as("lb"))
+    gpairs.join(ma, Seq("ua", "tha")).join(mb, Seq("ub", "thb"))
+      .filter(col("ua") =!= col("ub") || col("ia") < col("ib"))
+      .select(
+        least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("dot"),
+        when(col("ia") < col("ib"), col("la")).otherwise(col("lb")).as("lang_a"),
+        when(col("ia") < col("ib"), col("lb")).otherwise(col("la")).as("lang_b"))
+      .withColumn("same_lang", col("lang_a") === col("lang_b"))
       .orderBy(col("id_a").asc, col("id_b").asc)
   }
 

@@ -34,7 +34,9 @@ object ScaleSmoke {
     "q23_dedup_minhash_lsh", "q43_percentiles", "q45_dedup_embedding",
     "q46_asof_join", "q47_asof_custom", "q50_stratified_sample",
     "q52_curation_pipeline", "q56_dup_clusters", "q57_train_test_split",
-    "q58_approx_percentile", "q59_funnel")
+    "q58_approx_percentile", "q59_funnel",
+    "q65_semantic_dedup", "q66_decontamination", "q67_repetition",
+    "q68_bpe_pairs")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsNanosCol: Option[String] = None): DataFrame =

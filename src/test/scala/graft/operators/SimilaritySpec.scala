@@ -170,6 +170,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       Seq("vec_id", "cell"))
   }
 
+  test("q65 collapse-first differential: identical to the naive " +
+      "q45-then-filter composition on a duplicated mixed corpus") {
+    import spark.implicits._
+    // families of identical vectors with mixed texts: copies within a
+    // family share text (drop) or differ (keep, incl. self-family pairs);
+    // two distinct-but-near vectors cross-pair; a null text drops.
+    val va = Array.fill(64)(0.125f)
+    val vb = Array.tabulate(64)(i => if (i < 60) 0.125f else 0.126f) // near va
+    val vc = Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f)
+    val emb = Seq(
+      1L -> va, 2L -> va, 3L -> va,  // family A x3
+      4L -> vb, 5L -> vb,            // family B x2, near A
+      6L -> vc,                      // unrelated
+      7L -> va                       // in A, null text
+    ).map { case (id, v) => (id, v.toSeq, 0) }
+    val docs = Seq(
+      (1L, "text one", "en"), (2L, "text one", "en"), (3L, "text three", "fr"),
+      (4L, "text four", "en"), (5L, "text five", "de"),
+      (6L, "text six", "en"), (7L, null: String, "en"))
+    val tmp = java.nio.file.Files.createTempDirectory("q65diff").toString
+    emb.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    // naive reference: q45 pairs joined to doc metadata, filtered in Scala
+    val meta = docs.map { case (id, t, l) => id -> (Option(t), l) }.toMap
+    val expected = SimilarityQueries.q45EmbeddingNearDup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .flatMap { case (a, b, dot) =>
+        (meta.get(a), meta.get(b)) match {
+          case (Some((Some(ta), la)), Some((Some(tb), lb))) if ta != tb =>
+            Some((a, b, dot, la, lb, la == lb))
+          case _ => None
+        }
+      }.sortBy(t => (t._1, t._2)).toSeq
+
+    val got = SimilarityQueries.q65SemanticDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // sanity on the corpus design: self-family different-text pairs exist
+    assert(expected.exists { case (a, b, _, _, _, _) => Set(a, b) == Set(1L, 3L) })
+    assert(expected.nonEmpty)
+  }
+
   test("q65 semantic dedup keeps only different-text near-dups; " +
       "same-text and null-text pairs drop") {
     import spark.implicits._
