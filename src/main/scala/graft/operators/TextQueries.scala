@@ -332,6 +332,35 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  /** Q69 — document chunking: fixed token windows with stride overlap
+    * (64-token windows every 48 tokens) — the segmentation step before the
+    * embedding stage of a RAG/training pipeline (long docs exceed the
+    * encoder context; overlap preserves cross-boundary semantics). One
+    * codegen'd HOF projection builds each doc's chunk descriptors inline
+    * (start, clamped length, md5 content fingerprint — the hash makes the
+    * per-chunk CONTENT verifiable without shipping chunk text through the
+    * shuffle or the gate), then posexplode; narrow, no shuffle until the
+    * final sort. chunk_id = start/stride, so ids are stable under
+    * re-chunking with the same stride. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def q69Chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - 1, $ChunkStride),
+           |  s -> named_struct(
+           |    'start_tok', s,
+           |    'n_tok', least($ChunkTokens, size(w) - s),
+           |    'chunk_md5', md5(concat_ws(' ', slice(w, s + 1, $ChunkTokens)))))"""
+          .stripMargin)).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.start_tok").cast("long").as("start_tok"),
+        col("c.n_tok").cast("long").as("n_tok"), col("c.chunk_md5"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -344,9 +373,19 @@ object TextQueries {
     "q66_decontamination" -> (q66Decontamination _),
     "q67_repetition" -> (q67Repetition _),
     "q68_bpe_pairs" -> (q68BpePairs _),
+    "q69_chunking" -> (q69Chunking _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q69_chunking" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL),
+         |c AS (SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS s FROM t)
+         |SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(least($ChunkTokens, len(w) - s) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(list_slice(w, s + 1, s + $ChunkTokens), ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id NULLS FIRST, chunk_id""".stripMargin,
     "q68_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
          |  FROM documents WHERE text IS NOT NULL),

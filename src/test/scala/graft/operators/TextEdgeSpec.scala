@@ -87,6 +87,30 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(("aa", 6L), ("ab", 3L), ("cd", 1L)), got.toSeq)
   }
 
+  test("q69 chunking: stride windows clamp at doc end; content hash is the " +
+      "md5 of the space-joined window") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunk").toString
+    val words100 = (1 to 100).map(i => s"w$i")
+    Seq(
+      (1L, words100.mkString(" "), "en", "s", 100L),
+      (2L, "tiny", "en", "s", 4L),
+      (3L, null: String, "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q69Chunking(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = Seq(
+      (1L, 0L, 0L, 64L, md5(words100.slice(0, 64).mkString(" "))),
+      (1L, 1L, 48L, 52L, md5(words100.slice(48, 100).mkString(" "))),
+      (1L, 2L, 96L, 4L, md5(words100.slice(96, 100).mkString(" "))),
+      (2L, 0L, 0L, 1L, md5("tiny")))
+    assert(got.toSeq == expected, got.toSeq)
+  }
+
   test("events.props parses as MapType too (map functions path)") {
     import spark.implicits._
     val df = Seq("""{"k": 1}""", """{"k": 2, "extra": 9}""").toDF("props")
