@@ -131,6 +131,40 @@ object AnalyticsQueries {
       .orderBy(col("split").asc, col("lang").asc)
   }
 
+  /** Q70 — temperature-based mixture resampling (the multilingual
+    * balancing step of mT5/XLM-class pipelines): per-language keep-rates
+    * DERIVED from the corpus counts with alpha = 0.5 temperature smoothing
+    * — keep_rate(l) = sqrt(n_min / n_l), so the smallest language keeps
+    * everything and head languages are downsampled toward a
+    * sqrt-proportional mixture. The q50/q57 discipline extended to
+    * data-dependent rates: rates come from one lang-count aggregate
+    * (broadcast back, the q60 stats shape), selection is the deterministic
+    * md5 threshold — the rate maps to a 16-bit hex cutoff so the
+    * lexicographic hash compare stays engine-portable, exact integer
+    * arithmetic end to end (the only float is sqrt of an integer <= 1e6,
+    * which IEEE evaluates identically on both engines). Audit output
+    * (per-lang counts + rate + kept), not the sampled rows. Unlike q57,
+    * NOT growth-stable — the rates are functions of the corpus counts by
+    * design (rebalancing must respond to the mixture), but fully
+    * deterministic: the same corpus always yields the same sample. */
+  def q70TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"),
+        substring(md5(col("doc_id").cast("string")), 1, 4).as("h4"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .withColumn("rate_milli",
+        floor(sqrt(expr("n_min * 1000000 DIV n_docs").cast("double"))).cast("long"))
+      .withColumn("t16", expr("rate_milli * 65536 DIV 1000"))
+      .select(col("lang"), col("n_docs"), col("rate_milli"), col("t16"))
+    docs.join(broadcast(rates), "lang")
+      .groupBy(col("lang"), col("n_docs"), col("rate_milli"))
+      .agg(count(when(col("t16") >= 65536L ||
+        col("h4") < lpad(lower(hex(col("t16"))), 4, "0"), 1)).as("n_kept"))
+      .orderBy(col("lang").asc)
+  }
+
   /** Q59 — ordered funnel analysis (view -> click -> purchase): for each
     * user, the first view, the first click strictly AFTER it, the first
     * purchase strictly after that; then a one-row conversion summary with
@@ -195,9 +229,25 @@ object AnalyticsQueries {
     "q57_train_test_split" -> (q57TrainTestSplit _),
     "q59_funnel" -> (q59Funnel _),
     "q64_view_purchase_batch" -> (q64ViewPurchaseBatch _),
+    "q70_temperature_sample" -> (q70TemperatureSample _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q70_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |    CAST(floor(sqrt(CAST(n_min * 1000000 // n_docs AS DOUBLE))) AS BIGINT) AS rate_milli
+        |  FROM c, m),
+        |r2 AS (SELECT lang, n_docs, rate_milli, rate_milli * 65536 // 1000 AS t16 FROM r),
+        |d AS (SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h4 FROM documents)
+        |SELECT r2.lang AS lang, CAST(r2.n_docs AS BIGINT) AS n_docs,
+        |  r2.rate_milli AS rate_milli,
+        |  CAST(COUNT(CASE WHEN r2.t16 >= 65536
+        |    OR d.h4 < lpad(lower(to_hex(r2.t16)), 4, '0') THEN 1 END) AS BIGINT) AS n_kept
+        |FROM d JOIN r2 USING (lang)
+        |GROUP BY r2.lang, r2.n_docs, r2.rate_milli
+        |ORDER BY lang NULLS FIRST""".stripMargin,
     "q48_cube" ->
       ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +

@@ -66,6 +66,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(fromQuery == fromSpark)
   }
 
+  test("temperature resampling: smallest lang keeps everything, head langs " +
+      "downsample to sqrt-proportional rates, kept counts match plain Scala") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("temp70").toString
+    // en 400 docs, fr 100, de 25: rate(l) = floor(1000*sqrt(25/n_l))
+    // -> en 250, fr 500, de 1000
+    val docs = (1L to 400L).map(i => (i, s"t$i", "en")) ++
+      (401L to 500L).map(i => (i, s"t$i", "fr")) ++
+      (501L to 525L).map(i => (i, s"t$i", "de"))
+    docs.map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = AnalyticsQueries.q70TemperatureSample(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = got.map(r => r._1 -> r).toMap
+    assert(byLang("en")._3 == 250L && byLang("fr")._3 == 500L &&
+      byLang("de")._3 == 1000L, got.toSeq)
+    assert(byLang("de")._4 == 25L, "the smallest language keeps every doc")
+    // plain-Scala recomputation of the md5 cutoff selection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h4(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    for ((lang, ids) <- docs.groupBy(_._3).view.mapValues(_.map(_._1))) {
+      val t16 = byLang(lang)._3 * 65536 / 1000
+      val kept = ids.count(id => t16 >= 65536 || h4(id) < f"$t16%04x")
+      assert(byLang(lang)._4 == kept, s"$lang kept count")
+    }
+  }
+
   test("funnel stages are monotone and a hand-built corpus converts correctly") {
     val r = AnalyticsQueries.q59Funnel(spark, dir).head()
     val (v, vc, conv) = (r.getLong(0), r.getLong(1), r.getLong(2))
