@@ -304,6 +304,38 @@ object MultimodalOps {
     }
   }
 
+  /** Time-range clip extraction over real PCM-WAV bytes — the audio
+    * counterpart of [[resizeBmp]] (segment extraction before a
+    * feature-extract stage). Frame arithmetic through the actual header
+    * (sample_rate * ms / 1000, clamped to the data chunk; block-aligned by
+    * construction since frames are sliced whole), re-emitting a valid WAV
+    * with the same rate/channels. Non-WAV or out-of-range rows drop.
+    * Narrow mapPartitions, no shuffle — byte surgery is imperative JVM
+    * work, the documented mapPartitions criterion. */
+  def clipWav(media: Dataset[Media], startMs: Int, durMs: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavMeta(m.content).flatMap { meta =>
+          val frameBytes = math.max(1, meta.channels * (meta.bits / 8))
+          val startFrame = meta.sample_rate.toLong * startMs / 1000
+          val endFrame = math.min(meta.n_frames.toLong,
+            meta.sample_rate.toLong * (startMs.toLong + durMs) / 1000)
+          if (startFrame >= endFrame) None
+          else {
+            val from = 44 + (startFrame * frameBytes).toInt
+            val until = 44 + (endFrame * frameBytes).toInt
+            if (until > m.content.length) None
+            else Some(Media(m.media_id,
+              encodeWavPcm16(meta.sample_rate, meta.channels,
+                java.util.Arrays.copyOfRange(m.content, from, until))))
+          }
+        }
+      }
+    }
+  }
+
   /** Queries entry: decoded-metadata census over the REAL-container media
     * table — every aggregate pins header fields that only a correct
     * encode -> sniff -> parse round trip reproduces: per-kind counts, the

@@ -336,7 +336,7 @@ object TextQueries {
     * (64-token windows every 48 tokens) — the segmentation step before the
     * embedding stage of a RAG/training pipeline (long docs exceed the
     * encoder context; overlap preserves cross-boundary semantics). One
-    * codegen'd HOF projection builds each doc's chunk descriptors inline
+    * narrow HOF projection builds each doc's chunk descriptors inline
     * (start, clamped length, md5 content fingerprint — the hash makes the
     * per-chunk CONTENT verifiable without shipping chunk text through the
     * shuffle or the gate), then posexplode; narrow, no shuffle until the

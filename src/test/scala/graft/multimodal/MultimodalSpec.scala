@@ -146,4 +146,33 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(MultimodalOps.decodeWavMeta(new Array[Byte](10)).isEmpty)
   }
+
+  test("clipWav extracts the exact frame range, block-aligned, re-decodable") {
+    import spark.implicits._
+    import MultimodalOps.Media
+    // 1 kHz mono: frame i carries sample value i (LE int16) -> the clip's
+    // payload identifies exactly which frames were taken
+    val rate = 1000; val frames = 500
+    val samples = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      samples(2 * i) = (i & 0xff).toByte; samples(2 * i + 1) = ((i >> 8) & 0xff).toByte
+    }
+    val media = Seq(
+      Media(1L, MultimodalOps.encodeWavPcm16(rate, 1, samples)),
+      Media(2L, Array[Byte](1, 2, 3)), // not a WAV -> dropped
+    ).toDS()
+    // clip [100 ms, 350 ms) = frames [100, 350)
+    val got = MultimodalOps.clipWav(media, 100, 250).collect()
+    assert(got.map(_.media_id).toSeq == Seq(1L))
+    val clip = got.head.content
+    val meta = MultimodalOps.decodeWavMeta(clip).get
+    assert(meta.sample_rate == rate && meta.channels == 1 && meta.n_frames == 250)
+    val first = (clip(44) & 0xff) | ((clip(45) & 0xff) << 8)
+    val last = (clip(44 + 249 * 2) & 0xff) | ((clip(44 + 249 * 2 + 1) & 0xff) << 8)
+    assert(first == 100 && last == 349, s"$first..$last")
+    // clip beyond the end clamps; fully-out-of-range drops
+    assert(MultimodalOps.clipWav(media, 400, 10000).collect()
+      .map(m => MultimodalOps.decodeWavMeta(m.content).get.n_frames).toSeq == Seq(100))
+    assert(MultimodalOps.clipWav(media, 600, 100).collect().isEmpty)
+  }
 }
