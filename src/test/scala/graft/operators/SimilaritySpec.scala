@@ -170,6 +170,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       Seq("vec_id", "cell"))
   }
 
+  test("q65 property differential: collapse-first == naive composition on " +
+      "seeded random corpora with forced vector/text collisions") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](gen: Gen[A], seed: Long): A =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    // small alphabets force the interesting collisions: few base vectors
+    // (heavy multiplicity), few texts (same-text pairs across families),
+    // occasional nulls
+    val baseVecs = Seq(
+      Array.fill(64)(0.125f),
+      Array.tabulate(64)(i => if (i < 60) 0.125f else 0.126f),
+      Array.tabulate(64)(i => if (i % 2 == 0) 0.125f else -0.125f),
+      Array.fill(64)(-0.125f),
+      Array.tabulate(64)(i => if (i < 32) 0.125f else -0.125f))
+    val texts = Seq(Some("t one"), Some("t two"), Some("t three"), None)
+    val genCorpus: Gen[Seq[(Long, Int, Int)]] = for {
+      n <- Gen.choose(4, 24)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(0, baseVecs.size - 1)
+        t <- Gen.choose(0, texts.size - 1)
+      } yield (v, t))
+    } yield rows.zipWithIndex.map { case ((v, t), i) => (i.toLong, v, t) }
+
+    for (seed <- 1L to 6L) {
+      val corpus = sample(genCorpus, seed)
+      val tmp = java.nio.file.Files.createTempDirectory(s"q65p$seed").toString
+      corpus.map { case (id, v, _) => (id, baseVecs(v).toSeq, 0) }
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      corpus.map { case (id, _, t) => (id, texts(t).orNull, s"l${t % 2}") }
+        .toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val meta = corpus.map { case (id, _, t) => id -> (texts(t), s"l${t % 2}") }.toMap
+      val expected = SimilarityQueries.q45EmbeddingNearDup(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .flatMap { case (a, b, dot) =>
+          (meta(a), meta(b)) match {
+            case ((Some(ta), la), (Some(tb), lb)) if ta != tb =>
+              Some((a, b, dot, la, lb, la == lb))
+            case _ => None
+          }
+        }.sortBy(t => (t._1, t._2)).toSeq
+      val got = SimilarityQueries.q65SemanticDedup(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+      assert(got == expected, s"seed $seed: corpus $corpus")
+    }
+  }
+
   test("q65 collapse-first differential: identical to the naive " +
       "q45-then-filter composition on a duplicated mixed corpus") {
     import spark.implicits._
