@@ -336,6 +336,36 @@ object MultimodalOps {
     }
   }
 
+  /** Frame decimation over real PCM-WAV bytes — the real-container twin of
+    * the stub-based [[frameSample]]: keep every Nth frame (whole frames, so
+    * channel interleaving survives) and emit a valid WAV at sample_rate/N.
+    * This is NAIVE decimation (no anti-aliasing low-pass — that needs a
+    * filter kernel this container-math module deliberately stops short of);
+    * the Spark-side shape is the point: narrow mapPartitions byte surgery,
+    * no shuffle, frames addressed through the actual header. */
+  def decimateWav(media: Dataset[Media], everyN: Int): Dataset[Media] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodeWavMeta(m.content).filter(x => x.sample_rate >= everyN).map { meta =>
+          val frameBytes = math.max(1, meta.channels * (meta.bits / 8))
+          val kept = (meta.n_frames + everyN - 1) / everyN
+          val out = new Array[Byte](kept * frameBytes)
+          var i = 0
+          while (i < kept) {
+            System.arraycopy(m.content, 44 + i * everyN * frameBytes,
+              out, i * frameBytes, frameBytes)
+            i += 1
+          }
+          Media(m.media_id,
+            encodeWavPcm16(meta.sample_rate / everyN, meta.channels, out))
+        }
+      }
+    }
+  }
+
   /** Queries entry: decoded-metadata census over the REAL-container media
     * table — every aggregate pins header fields that only a correct
     * encode -> sniff -> parse round trip reproduces: per-kind counts, the

@@ -175,4 +175,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .map(m => MultimodalOps.decodeWavMeta(m.content).get.n_frames).toSeq == Seq(100))
     assert(MultimodalOps.clipWav(media, 600, 100).collect().isEmpty)
   }
+
+  test("decimateWav keeps every Nth whole frame and divides the rate") {
+    import spark.implicits._
+    import MultimodalOps.Media
+    // stereo so whole-frame copying is observable: frame i = (i, -i) int16
+    val rate = 1000; val frames = 101
+    val samples = new Array[Byte](frames * 4)
+    (0 until frames).foreach { i =>
+      samples(4 * i) = (i & 0xff).toByte; samples(4 * i + 1) = ((i >> 8) & 0xff).toByte
+      val neg = -i
+      samples(4 * i + 2) = (neg & 0xff).toByte; samples(4 * i + 3) = ((neg >> 8) & 0xff).toByte
+    }
+    val media = Seq(Media(1L, MultimodalOps.encodeWavPcm16(rate, 2, samples))).toDS()
+    val got = MultimodalOps.decimateWav(media, 4).collect().head.content
+    val meta = MultimodalOps.decodeWavMeta(got).get
+    assert(meta.sample_rate == 250 && meta.channels == 2 && meta.n_frames == 26)
+    // frame j of the output is source frame 4j, both channels intact
+    (0 until 26).foreach { j =>
+      val off = 44 + j * 4
+      val l = ((got(off) & 0xff) | ((got(off + 1) & 0xff) << 8)).toShort.toInt
+      val r = ((got(off + 2) & 0xff) | ((got(off + 3) & 0xff) << 8)).toShort.toInt
+      assert(l == 4 * j && r == -(4 * j), s"frame $j: ($l, $r)")
+    }
+    // N=1 is the identity on the data chunk
+    val id1 = MultimodalOps.decimateWav(media, 1).collect().head.content
+    assert(java.util.Arrays.equals(id1, media.collect().head.content))
+  }
 }
