@@ -253,16 +253,17 @@ object TextQueries {
     * uniform doc_id keys. Integer hit-rate (permille, truncating DIV) keeps
     * the output hash-checkable. */
   /** (doc_id, gram) stream of per-document DISTINCT word-3-grams — the
-    * contamination probe's unit of comparison. Pure codegen'd projection
-    * (rides the scan; works identically on a batch or streaming frame). */
+    * contamination probe's unit of comparison. One codegen'd projection
+    * over the native [[graft.functions.WordNGrams]] kernel (r5: replaced
+    * the transform/slice/concat_ws HOF chain, which is CodegenFallback —
+    * interpreted lambdas per gram per doc; the kernel emits zero-copy byte
+    * slices in one scan). Rides the scan; works identically on a batch or
+    * streaming frame; short/empty docs vanish at the explode. */
   def docGrams3(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
-        expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")))
-        .as("gram"))
+        graft.functions.WordNGrams(col("text"), 3))).as("gram"))
 
   def q66Decontamination(spark: SparkSession, dir: String): DataFrame = {
     val grams = docGrams3(Tables.documents(spark, dir))
@@ -296,10 +297,8 @@ object TextQueries {
   def q67Repetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
-      .withColumn("w", split(col("text"), " "))
-      .filter(size(col("w")) >= 2)
-      .withColumn("g", array_sort(
-        expr("transform(sequence(1, size(w) - 1), i -> concat_ws(' ', slice(w, i, 2)))")))
+      .filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("g", array_sort(graft.functions.WordNGrams(col("text"), 2)))
       .withColumn("n_grams", size(col("g")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))
       // longest equal-adjacent run in the sorted array = max gram count
