@@ -245,7 +245,8 @@ object TextQueries {
     * distinct word-3-grams it shares with the held-out benchmark set — the
     * pre-training step that keeps eval data out of the training corpus
     * (n-gram overlap is the standard contamination test). Plan shape:
-    * 3-grams via codegen'd HOFs riding the scan, per-doc array_distinct
+    * 3-grams via the native [[graft.functions.WordNGrams]] kernel riding
+    * the scan, per-doc array_distinct
     * BEFORE the explode (caps the exploded stream at distinct grams),
     * benchmark grams distinct-ed then BROADCAST — eval suites are MBs even
     * when the corpus is 100 TB, so the contamination probe is a map-side
