@@ -22,9 +22,13 @@ object SimilarityQueries {
   val TopK = 5
 
   /** Quantized vector column: BIGINT per dim, exact in both engines. */
+  /** Milli-quantization of a float embedding column — the shared integer
+    * representation every similarity op scores in. */
+  private def quantizeExpr(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(embedding, x => round(x.cast("double") * 1000, 0).cast("long"))
+
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).withColumn("qv", expr(
-      "transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000, 0) AS BIGINT))"))
+    Tables.embeddings(spark, dir).withColumn("qv", quantizeExpr(col("embedding")))
 
   /** Q26 — exact brute-force top-k by quantized dot product: the 20 query
     * vectors broadcast against the full corpus (the fact side never moves
@@ -285,6 +289,30 @@ object SimilarityQueries {
       if (centroids.isEmpty) emb.select(col("vec_id"), lit(0).as("cell")) // empty corpus
       else emb.withColumn("cell", nearestCellExpr(centroids)).select(col("vec_id"), col("cell"))
     assigned.write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** Incremental index maintenance: assign NEW vectors against the
+    * persisted codebook (no retraining — the standard IVF ingest path:
+    * centroids stay fixed between rebuilds, deltas append to the
+    * assignment table). One bounded codebook collect, then the same
+    * native [[graft.functions.NearestCellLong]] assignment the builder
+    * used — appended rows are bit-identical to what a full rebuild with
+    * the same codebook would produce (pinned by SimilaritySpec). Input:
+    * any frame with (vec_id, embedding); output: (vec_id, cell), appended
+    * to the index when `append = true`. */
+  def assignToIvfIndex(newVectors: DataFrame, indexDir: String,
+      append: Boolean = false): DataFrame = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val assigned =
+      if (centroids.isEmpty) newVectors.select(col("vec_id"), lit(0).as("cell"))
+      else newVectors
+        .withColumn("qv", quantizeExpr(col("embedding")))
+        .withColumn("cell", nearestCellExpr(centroids))
+        .select(col("vec_id"), col("cell"))
+    if (append) assigned.write.mode("append").parquet(s"$indexDir/assignments")
+    assigned
   }
 
   /** IVF top-k served from a persisted index: one bounded collect of the

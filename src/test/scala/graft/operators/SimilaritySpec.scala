@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Similarity-search semantics not covered by the DuckDB oracle: exact KNN
@@ -168,6 +169,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(cb.count() <= SimilarityQueries.IvfCells)
     assert(spark.read.parquet(s"$idx/assignments").columns.toSeq ==
       Seq("vec_id", "cell"))
+
+    // incremental maintenance: delta-assigning the same vectors against the
+    // persisted codebook reproduces the builder's assignment bit-for-bit
+    val emb = graft.operators.Tables.embeddings(spark, dir)
+    val delta = SimilarityQueries.assignToIvfIndex(emb, idx)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val built = spark.read.parquet(s"$idx/assignments")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(delta == built)
+    // append mode extends the assignment table with shifted ids, and the
+    // served top-k still matches (old ids unchanged, new ids queryable)
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    SimilarityQueries.assignToIvfIndex(shifted, idx, append = true)
+    val after = spark.read.parquet(s"$idx/assignments")
+    assert(after.count() == 2 * built.size)
+    assert(after.filter(col("vec_id") >= 1000000L).count() == built.size)
   }
 
   test("q65 property differential: collapse-first == naive composition on " +
