@@ -99,6 +99,12 @@ final class RunStore(spark: SparkSession, val dir: String) {
         s"${sanitizeProjectName(in.project_name)}_" +
           s"${now.format(DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))}_$id.json"
       Files.writeString(path(filename), json)
+      // Stamp mtime from the run timestamp: it IS the run's modification
+      // time semantically, and it makes list()'s mtime-desc sort
+      // deterministic (write-clock mtimes truncate to the same second for
+      // a batch, leaving the order at the mercy of a second boundary).
+      Files.setLastModifiedTime(path(filename), java.nio.file.attribute.FileTime.from(
+        now.atZone(java.time.ZoneId.systemDefault()).toInstant))
       filename
     }
   }

@@ -165,6 +165,37 @@ object AnalyticsQueries {
       .orderBy(col("lang").asc)
   }
 
+  /** 16 output shards — one md5 hex digit. A production run sizes this to
+    * the cluster (e.g. 2^10-2^14 shards) by widening the digit slice. */
+  val NumShards = 16
+
+  /** Q73 — deterministic shard manifest: the WRITER step of a training-data
+    * pipeline — every doc is assigned to one of [[NumShards]] output shards
+    * by a pure hash of its key (decorrelated from doc_id order, so time- or
+    * source-clustered corpora spread uniformly), and the manifest records
+    * per-shard doc/token/char volume + language spread — the numbers a
+    * downstream loader needs to plan balanced reads. Hash sharding is the
+    * q50/q57 discipline again (stable across engines, runs, retries;
+    * a doc never changes shard when the corpus grows). One map-side-partial
+    * aggregate over [[NumShards]] uniform groups; the actual write is
+    * `df.repartition(col("shard")).write.partitionBy("shard")` — same
+    * assignment expression, shuffle-partitioned by the same key. */
+  def q73ShardStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("tokens"),
+        col("n_chars"), col("lang"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("shard").asc)
+
   /** Q59 — ordered funnel analysis (view -> click -> purchase): for each
     * user, the first view, the first click strictly AFTER it, the first
     * purchase strictly after that; then a one-row conversion summary with
@@ -230,9 +261,21 @@ object AnalyticsQueries {
     "q59_funnel" -> (q59Funnel _),
     "q64_view_purchase_batch" -> (q64ViewPurchaseBatch _),
     "q70_temperature_sample" -> (q70TemperatureSample _),
+    "q73_shard_stats" -> (q73ShardStats _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q73_shard_stats" ->
+      """WITH d AS (SELECT
+        |    CAST(strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        |    n_chars, lang
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM d GROUP BY shard ORDER BY shard NULLS FIRST""".stripMargin,
     "q70_temperature_sample" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |m AS (SELECT MIN(n_docs) AS n_min FROM c),

@@ -319,6 +319,118 @@ object DedupQueries {
         (col("node") === col("label")).as("is_canonical"))
   }
 
+  /** Span length (in words) for exact-substring dedup — the usual published
+    * setting is ~50 tokens; 8 keeps the synthetic corpus' near-dup families
+    * visible at sf0.01 while the plan shape is length-independent. */
+  val SpanTokens = 8
+
+  /** Flag threshold: a doc is `cloned` when >= 50% of its spans also occur
+    * in some other document. */
+  val SpanSharedPermille = 500L
+
+  /** Q71 — exact-substring duplication census (the exact-match complement of
+    * minhash: near-dup catches *similar* docs, this catches *verbatim shared
+    * passages* — boilerplate, license headers, mirrored quotes — the signal
+    * exact-substring dedup pipelines remove span-by-span). For every doc:
+    * how many of its distinct [[SpanTokens]]-word spans occur verbatim in at
+    * least one OTHER document (or twice in a duplicated corpus family).
+    *
+    * Plan shape — per-doc OUTPUT, so cardinality never blows up on
+    * duplicated corpora (no pair expansion anywhere):
+    *   1. distinct spans per doc via the native [[graft.functions.WordNGrams]]
+    *      kernel + `array_distinct`, exploded and md5'd so the shuffle key is
+    *      32 uniform bytes, never the span text;
+    *   2. corpus-wide span census: count per hash (rows are per-doc-distinct,
+    *      so the count IS the number of docs containing the span) — one
+    *      shuffle on uniform hash keys;
+    *   3. the probe re-joins the span stream against the shared subset of
+    *      the census ON THE SAME KEY the census was shuffled by, so the
+    *      exchange is reused (co-partitioned big-big join, no second
+    *      repartition of the stream);
+    *   4. per-doc counts on uniform doc_id keys + a left join for
+    *      zero-overlap docs.
+    * At 100 TB every shuffle key here is either a hash or doc_id — uniform
+    * by construction; contrast q66, whose benchmark side is small enough to
+    * broadcast: this is the corpus-vs-ITSELF version of the same question,
+    * which is exactly when the broadcast shape stops existing. */
+  def q71ExactSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.WordNGrams(col("text"), SpanTokens))).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+    val shared = spans.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+    val tot = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val dup = spans.join(shared.select(col("h")), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_permille", expr("n_dup_spans * 1000 DIV n_spans"))
+      .withColumn("cloned",
+        col("n_dup_spans") * 1000L >= col("n_spans") * SpanSharedPermille)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** The deterministic "new arrivals" split for incremental dedup: doc_id %
+    * 10 == 3 plays the day's ingest batch; the rest is the standing corpus. */
+  val IncrMod = 10L
+  val IncrRes = 3L
+
+  /** Q74 — INCREMENTAL near-dup: probe a batch of newly-arrived documents
+    * against the standing corpus' LSH buckets without re-pairing the corpus
+    * against itself — the production ingest path (q23 is the full-corpus
+    * batch job; re-running it per arrival batch re-does O(corpus) candidate
+    * work for O(batch) new docs). Both sides band from one signature pass
+    * here so the oracle can re-derive them; [[buildNearDupIndex]] /
+    * [[nearDupAgainstIndex]] below are the same probe against a PERSISTED
+    * band table (spec-pinned identical). The join is new-bands x
+    * corpus-bands on (band, bsig) — at 100 TB the corpus side is the big
+    * fixed relation shuffled once into the index layout, and the batch side
+    * is small; never a corpus self-join. */
+  def q74IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = bands(withShinglesAndSignature(spark, Tables.documents(spark, dir)))
+    val nb = b.filter(col("doc_id") % IncrMod === IncrRes)
+      .select(col("band").as("nband"), col("bsig").as("nbsig"),
+        col("doc_id").as("new_doc"))
+    val cb = b.filter(col("doc_id") % IncrMod =!= IncrRes)
+      .select(col("band"), col("bsig"), col("doc_id").as("corpus_doc"))
+    nb.join(cb, nb("nband") === cb("band") && nb("nbsig") === cb("bsig"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .distinct()
+      .orderBy(col("new_doc").asc, col("corpus_doc").asc)
+  }
+
+  /** Persist the corpus' LSH band table as the near-dup INDEX — (doc_id,
+    * band, bsig) parquet, the minhash twin of SimilarityQueries'
+    * buildIvfIndex: shingling/signing the standing corpus is the expensive
+    * pass, and it happens once here instead of once per ingest batch. The
+    * index carries ids + band signatures only (no text, no shingle arrays),
+    * so its size is a small constant factor of the doc count regardless of
+    * document length. */
+  def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
+    bands(withShinglesAndSignature(spark, docs))
+      .write.mode("overwrite").parquet(s"$indexDir/bands.parquet")
+
+  /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
+    * shingle/sign/band ONLY the batch, equi-join its bands against the index
+    * table. Returns distinct (new_doc, corpus_doc) candidate pairs — feed
+    * them to a Jaccard verify (the q24 shape) or straight into cluster
+    * resolution. Reproduces [[q74IncrementalNearDup]] bit-for-bit when the
+    * index holds the corpus split (DedupSpec). */
+  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$indexDir/bands.parquet")
+      .select(col("band"), col("bsig"), col("doc_id").as("corpus_doc"))
+    val nb = bands(withShinglesAndSignature(spark, newDocs))
+      .select(col("band").as("nband"), col("bsig").as("nbsig"),
+        col("doc_id").as("new_doc"))
+    nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .distinct()
+  }
+
   /** Q62 — minhash-LSH near-dup over COLLAPSED unique texts: the text twin
     * of q61 (see the 30x smoke — q23's pair output grows quadratically in
     * the duplication factor). Exact-dedup first (one hash aggregate on the
@@ -346,6 +458,8 @@ object DedupQueries {
     "q25_simhash" -> (q25SimHash _),
     "q56_dup_clusters" -> (q56DupClusters _),
     "q62_minhash_unique" -> (q62MinhashUnique _),
+    "q71_exact_spans" -> (q71ExactSpans _),
+    "q74_incremental_neardup" -> (q74IncrementalNearDup _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -385,6 +499,29 @@ object DedupQueries {
         |FROM cc JOIN sz USING (cluster_id)
         |ORDER BY cc.doc_id NULLS FIRST""".stripMargin,
       extraCtes = true, recursive = true),
+    "q71_exact_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= $SpanTokens),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - ${SpanTokens - 2}),
+         |    i -> array_to_string(list_slice(w, i, i + ${SpanTokens - 1}), ' ')))) AS span
+         |  FROM t),
+         |s AS (SELECT doc_id, md5(span) AS h FROM g),
+         |shared AS (SELECT h FROM s GROUP BY h HAVING COUNT(*) >= 2),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM s GROUP BY 1),
+         |dup AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+         |  FROM s JOIN shared USING (h) GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(COALESCE(d.n_dup_spans, 0) * 1000 // t.n_spans AS BIGINT) AS dup_permille,
+         |  COALESCE(d.n_dup_spans, 0) * 1000 >= t.n_spans * $SpanSharedPermille AS cloned
+         |FROM tot t LEFT JOIN dup d USING (doc_id)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q74_incremental_neardup" -> minhashOracle(
+      """SELECT doc_a AS new_doc, doc_b AS corpus_doc FROM pairs
+        |ORDER BY new_doc NULLS FIRST, corpus_doc NULLS FIRST""".stripMargin,
+      pairsPredicate =
+        s"a.doc_id % $IncrMod = $IncrRes AND b.doc_id % $IncrMod <> $IncrRes"),
     "q25_simhash" ->
       """WITH words AS (
         |  SELECT doc_id, list_transform(string_split(text, ' '), s -> md5(s)) AS hashes
@@ -406,7 +543,8 @@ object DedupQueries {
     * (DuckDB is fine with non-recursive CTEs under it). */
   private def minhashOracle(
       tail: String, extraCtes: Boolean = false, recursive: Boolean = false,
-      prelude: String = "", source: String = "documents"): String =
+      prelude: String = "", source: String = "documents",
+      pairsPredicate: String = "a.doc_id < b.doc_id"): String =
     s"""WITH ${if (recursive) "RECURSIVE " else ""}${prelude}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $source),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
        |         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
@@ -418,6 +556,6 @@ object DedupQueries {
        |          FROM sig, (SELECT unnest(range(${MinhashCount / BandRows})) AS b)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
-       |          ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)${if (extraCtes) "," else ""}
+       |          ON a.b = b.b AND a.bsig = b.bsig AND $pairsPredicate)${if (extraCtes) "," else ""}
        |$tail""".stripMargin
 }

@@ -373,6 +373,48 @@ object TextQueries {
         col("c.n_tok").cast("long").as("n_tok"), col("c.chunk_md5"))
       .orderBy(col("doc_id").asc, col("chunk_id").asc)
 
+  /** Per-token rarity weights are capped at one-in-a-billion so a hapax in
+    * a 10^13-token corpus cannot push a document sum past Long range
+    * (max doc sum <= 10^9 x doc tokens — Long-safe for any real document). */
+  val RarityCap = 1000000000L
+
+  /** Q72 — unigram rarity score: per-document mean inverse corpus frequency
+    * of its words — the integer-exact stand-in for the LM-perplexity quality
+    * filter (CCNet-style): rare-word-dense documents (typos, codes, junk
+    * tails) score high, fluent common-vocabulary text scores low. Exact
+    * integers end to end (ln() is not bit-portable across engines; rational
+    * inverse frequency is order-equivalent to linear-likelihood scoring, the
+    * q53 idf discipline).
+    *
+    * Collapse-first at the (doc, word) level: the token stream aggregates to
+    * per-doc term frequencies BEFORE touching the vocabulary, so the
+    * vocab join moves one row per distinct word per doc, not one per token —
+    * and the Zipf-head skew ("the" in every doc) is capped at one row per
+    * document. The vocabulary census itself is corpus-sized — a shuffle on
+    * uniform word-hash keys — and CANNOT broadcast at 100 TB (~10^8 distinct
+    * words), so the tf-vocab equi-join is the standard co-partitioned
+    * big-big join; corpus token count rides in as a broadcast 1-row
+    * aggregate (the q53/q60 scalar-stats shape). AQE's skew-join splits any
+    * residual hot word. */
+  def q72Rarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+    val totN = toks.agg(count(lit(1)).as("corpus_tokens"))
+    tf.join(vocab, "word")
+      .crossJoin(broadcast(totN))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") *
+          least(expr("corpus_tokens * 1000 DIV cf"), lit(RarityCap)))
+          .cast("long").as("rarity_sum"))
+      .withColumn("rarity_milli", expr("rarity_sum DIV n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -386,9 +428,23 @@ object TextQueries {
     "q67_repetition" -> (q67Repetition _),
     "q68_bpe_pairs" -> (q68BpePairs _),
     "q69_chunking" -> (q69Chunking _),
+    "q72_rarity" -> (q72Rarity _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q72_rarity" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT word, SUM(tf) AS cf FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS corpus_tokens FROM toks)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * least(n.corpus_tokens * 1000 // cf, $RarityCap)) AS BIGINT)
+         |    AS rarity_sum,
+         |  CAST(SUM(tf * least(n.corpus_tokens * 1000 // cf, $RarityCap))
+         |    // SUM(tf) AS BIGINT) AS rarity_milli
+         |FROM tf JOIN vocab USING (word), n
+         |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q69_chunking" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |     WHERE text IS NOT NULL),

@@ -95,6 +95,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("shard manifest partitions the corpus; assignment matches the " +
+      "plain-Scala md5 digit per doc") {
+    val rows = AnalyticsQueries.q73ShardStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.map(_._2).sum == docs.length, "shards must partition the corpus")
+    assert(rows.forall(r => r._1 >= 0 && r._1 < AnalyticsQueries.NumShards))
+    // per-doc assignment recomputed in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(id: Long): Long =
+      Character.digit(md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.charAt(0), 16).toLong
+    val expected = docs.groupBy(shard).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+  }
+
   test("funnel stages are monotone and a hand-built corpus converts correctly") {
     val r = AnalyticsQueries.q59Funnel(spark, dir).head()
     val (v, vc, conv) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -198,6 +198,64 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._3 == 1.0) >= 3) // (1,2),(1,5),(2,5)
   }
 
+  test("q71 exact-span census counts shared 8-word spans per doc; short and " +
+      "unique docs behave") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q71").toString
+    Seq(
+      // A and B share exactly one 8-token span: "a b c d e f g h"
+      (1L, "a b c d e f g h x y"),      // spans: a..h, b..x, c..y
+      (2L, "z a b c d e f g h q"),      // spans: z..g, a..h, b..q
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9"), // 2 spans, none shared
+      (4L, "u v"),                       // below the span floor -> absent
+      // exact-dup pair: single span, shared -> cloned
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8"),
+      (6L, "m1 m2 m3 m4 m5 m6 m7 m8"),
+      (7L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q71ExactSpans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, 333L, false),
+      (2L, 3L, 1L, 333L, false),
+      (3L, 2L, 0L, 0L, false),
+      (5L, 1L, 1L, 1000L, true),
+      (6L, 1L, 1L, 1000L, true),
+    ), got.toSeq)
+  }
+
+  test("q74 incremental near-dup pairs new arrivals against the corpus only; " +
+      "the persisted band index reproduces the inline probe exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q74").toString
+    val rows = Seq(
+      // corpus near-dup family (1, 11): must NOT appear — corpus self-pairs
+      // are the standing batch job's business, not the ingest probe's
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (4L, "one two three four five six seven eight nine ten"),
+      // new arrivals (doc_id % 10 == 3)
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 1
+      (13L, "unrelated words entirely fresh content nothing shared here at all"),
+    )
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q74IncrementalNearDup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((3L, 1L)), s"new doc 3 must hit corpus doc 1: $got")
+    assert(got.forall { case (n, c) => n % 10 == 3 && c % 10 != 3 },
+      s"pairs must be (new, corpus): $got")
+    // index path: build on the corpus split, probe the arrival split
+    val idxDir = java.nio.file.Files.createTempDirectory("q74idx").toString
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    DedupQueries.buildNearDupIndex(spark, docs.filter($"doc_id" % 10 =!= 3), idxDir)
+    val viaIndex = DedupQueries
+      .nearDupAgainstIndex(spark, docs.filter($"doc_id" % 10 === 3), idxDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == got, s"index probe $viaIndex != inline $got")
+  }
+
   test("cluster resolution under reliable checkpointing (recovery-safe mode)") {
     import spark.implicits._
     // spark.graft.cc.checkpointDir flips every per-round materialization

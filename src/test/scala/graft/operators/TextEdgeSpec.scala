@@ -87,6 +87,27 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(("aa", 6L), ("ab", 3L), ("cd", 1L)), got.toSeq)
   }
 
+  test("q72 rarity scores rare-word-dense docs higher, exact integer math") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rarity").toString
+    Seq(
+      (1L, "the the rare", "en", "s", 12L),
+      (2L, "the common common", "en", "s", 17L),
+      (3L, null: String, "en", "s", 0L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q72Rarity(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // corpus_tokens = 6; cf: the=3, rare=1, common=2
+    // weights (N*1000 DIV cf): the=2000, rare=6000, common=3000
+    // doc 1: sum = 2*2000 + 6000 = 10000; mean = 10000 DIV 3 = 3333
+    // doc 2: sum = 2000 + 2*3000 = 8000;  mean = 8000 DIV 3 = 2666
+    assert(got.toSeq == Seq(
+      (1L, 3L, 10000L, 3333L),
+      (2L, 3L, 8000L, 2666L),
+    ), got.toSeq)
+  }
+
   test("q69 chunking: stride windows clamp at doc end; content hash is the " +
       "md5 of the space-joined window") {
     import spark.implicits._
