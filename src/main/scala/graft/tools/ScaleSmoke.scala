@@ -36,7 +36,8 @@ object ScaleSmoke {
     "q52_curation_pipeline", "q56_dup_clusters", "q57_train_test_split",
     "q58_approx_percentile", "q59_funnel",
     "q65_semantic_dedup", "q66_decontamination", "q67_repetition",
-    "q68_bpe_pairs")
+    "q68_bpe_pairs", "q71_exact_spans", "q72_rarity", "q73_shard_stats",
+    "q74_incremental_neardup")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsNanosCol: Option[String] = None): DataFrame =
