@@ -57,7 +57,16 @@ object DedupQueries {
     * candidate generation and verify re-join plain scans of the persisted
     * table. A production pipeline writes this to a parquet signature table;
     * localCheckpoint is the single-job equivalent. */
-  private def withShinglesAndSignature(spark: SparkSession, docs: DataFrame): DataFrame = {
+  private def withShinglesAndSignature(spark: SparkSession, docs: DataFrame): DataFrame =
+    signedDocs(docs).localCheckpoint()
+
+  /** The shingle/sign transform itself, WITHOUT the materialization —
+    * streaming-safe (checkpointing is illegal on a streaming frame, and a
+    * micro-batch evaluates its plan once, so there is nothing to re-run);
+    * batch callers go through [[withShinglesAndSignature]] which adds the
+    * localCheckpoint. */
+  private[graft] def signedDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     // null text = absent document (the oracles' string_split(NULL) path
     // reaches the same exclusion via SQL null semantics) — and the typed
@@ -89,8 +98,12 @@ object DedupQueries {
         }
       }
       .toDF("doc_id", "shingles", "mh")
-      .localCheckpoint()
   }
+
+  /** (doc_id, band, bsig) rows for any batch OR streaming document frame —
+    * the probe-side unit of the near-dup index lifecycle. */
+  private[graft] def bandDocs(docs: DataFrame): DataFrame =
+    bands(signedDocs(docs))
 
   /** Q22 — exact-duplicate census: hash aggregate on md5(text). One shuffle
     * over 2 count-distinct buckets; at 100 TB this is the canonical partial
@@ -419,7 +432,8 @@ object DedupQueries {
   def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
     val idx = spark.read.parquet(s"$indexDir/bands.parquet")
       .select(col("band"), col("bsig"), col("doc_id").as("corpus_doc"))
-    val nb = bands(withShinglesAndSignature(spark, newDocs))
+    // single consumer of the signature pass -> no materialization needed
+    val nb = bandDocs(newDocs)
       .select(col("band").as("nband"), col("bsig").as("nbsig"),
         col("doc_id").as("new_doc"))
     nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))

@@ -106,6 +106,29 @@ object StreamingOps {
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
 
+  /** Stream-static near-dup INGEST probe: a stream of arriving documents is
+    * shingled/signed/banded per micro-batch (the streaming-safe
+    * [[graft.operators.DedupQueries.bandDocs]] transform) and equi-joined
+    * against the standing corpus' persisted band index — q74's probe at
+    * ingest time instead of in a nightly batch, the streaming leg of the
+    * buildNearDupIndex lifecycle. Unlike the decontamination probe the
+    * static side is CORPUS-sized, so it is NOT broadcast-hinted: Spark
+    * re-plans the static side per micro-batch (shuffled hash join at scale,
+    * auto-broadcast only when the index is genuinely small). Emits distinct
+    * (new_doc, corpus_doc) candidate pairs exactly once across
+    * micro-batches; the dedup state is bounded by the match-pair set, not
+    * the stream. */
+  def nearDupArrivals(docsStream: DataFrame, bandIndex: DataFrame): DataFrame = {
+    val nb = graft.operators.DedupQueries.bandDocs(docsStream)
+      .select(col("band").as("nband"), col("bsig").as("nbsig"),
+        col("doc_id").as("new_doc"))
+    val idx = bandIndex.select(col("band"), col("bsig"),
+      col("doc_id").as("corpus_doc"))
+    nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))
+      .select(col("new_doc"), col("corpus_doc"))
+      .dropDuplicates("new_doc", "corpus_doc")
+  }
+
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -478,6 +478,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .as[Long].collect().toSet
     assert(batch == Set(1L, 3L))
   }
+
+  test("stream-static near-dup ingest: arriving docs probe the persisted " +
+      "band index, pairs emitted exactly once across micro-batches") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    // standing corpus: near-dup family (1, 11) + unrelated 4
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      4L -> "one two three four five six seven eight nine ten")
+    val idxDir = java.nio.file.Files.createTempDirectory("stream_ndidx").toString
+    DedupQueries.buildNearDupIndex(spark, corpus.toDF("doc_id", "text"), idxDir)
+    val index = spark.read.parquet(s"$idxDir/bands.parquet")
+
+    val arrivals = Seq(
+      StreamingSpec.Doc(3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      StreamingSpec.Doc(13L, "unrelated words entirely fresh content nothing shared"))
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val (q, name) = runToMemory(StreamingOps.nearDupArrivals(stream.toDF(), index))
+    stream.addData(arrivals.take(1)) // the near-dup arrival
+    q.processAllAvailable()
+    val first = spark.table(name).as[(Long, Long)].collect().toSet
+    assert(first.contains((3L, 1L)), s"arrival 3 must hit corpus doc 1: $first")
+    assert(first.forall(_._1 == 3L), s"only arrival-side ids on the left: $first")
+    // batch 2: clean doc 13 + a RE-ARRIVAL of 3 — no pair may re-emit
+    stream.addData(arrivals.drop(1) :+ arrivals.head)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, s"duplicate emission: ${got.toSeq}")
+    assert(got.toSet == first, s"clean doc 13 must add nothing: ${got.toSeq}")
+    // replay == the same probe over the arrivals as one batch frame
+    val batch = DedupQueries.nearDupAgainstIndex(
+      spark, arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), idxDir)
+      .as[(Long, Long)].collect().toSet
+    assert(batch == got.toSet, s"batch $batch != replay ${got.toSet}")
+  }
 }
 
 object StreamingSpec {
