@@ -180,12 +180,32 @@ object AnalyticsQueries {
     * aggregate over [[NumShards]] uniform groups; the actual write is
     * `df.repartition(col("shard")).write.partitionBy("shard")` — same
     * assignment expression, shuffle-partitioned by the same key. */
+  /** The shard-assignment expression shared by the manifest (q73) and the
+    * real writer ([[writeShardedCorpus]]): one md5 hex digit of the doc
+    * key. */
+  def shardCol: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("long")
+
+  /** The actual sharded WRITE the q73 manifest plans for: the same
+    * assignment expression, shuffle-partitioned by it and written as
+    * partitioned parquet through [[graft.sources.Sinks.writePartitioned]]
+    * (salt-bounded file counts, idempotent overwrite). Reading
+    * `path/shard=K/` back gives exactly the docs the manifest counted for
+    * shard K (AnalyticsSpec reconciles them). */
+  def writeShardedCorpus(spark: SparkSession, dir: String, path: String,
+      filesPerPartition: Int = 1): Unit =
+    graft.sources.Sinks.writePartitioned(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .withColumn("shard", shardCol),
+      path, Seq("shard"), filesPerPartition)
+
   def q73ShardStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
-          .cast("long").as("shard"),
+        shardCol.as("shard"),
         size(split(col("text"), " ")).cast("long").as("tokens"),
         col("n_chars"), col("lang"))
       .groupBy(col("shard"))

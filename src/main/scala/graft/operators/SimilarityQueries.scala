@@ -27,7 +27,7 @@ object SimilarityQueries {
   private def quantizeExpr(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(embedding, x => round(x.cast("double") * 1000, 0).cast("long"))
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).withColumn("qv", quantizeExpr(col("embedding")))
 
   /** Q26 — exact brute-force top-k by quantized dot product: the 20 query
@@ -173,20 +173,41 @@ object SimilarityQueries {
     * float drift), and the resulting centroids are a small broadcastable
     * list. At 100 TB: train on a sample, broadcast the codebook — this
     * exact shape. */
-  private def ivfCentroids(emb: DataFrame, cells: Int = IvfCells): Array[(Int, Array[Long])] = {
-    val spark = emb.sparkSession
+  private def ivfCentroids(emb: DataFrame, cells: Int = IvfCells): Array[(Int, Array[Long])] =
+    trainCodebook(emb, cells, rounds = 1)
+
+  /** Full Lloyd training: `rounds` assign -> exact-integer-centroid steps
+    * from the deterministic seed codebook ([[ivfCentroids]] is rounds = 1 —
+    * the q42 oracle's pinned configuration; production codebooks run a few
+    * more rounds for tighter cells). Exact integer math at every step, so
+    * training is bit-deterministic (no RNG, no float drift; the only
+    * rounding is the centroid's truncating milli-unit division, sub-ulp
+    * relative to cell distances). Each round is one codegen'd
+    * [[graft.functions.NearestCellLong]] assignment projection over the
+    * corpus plus one cells-row aggregate collect — the codebook stays
+    * driver-side small, the train-on-sample/broadcast-codebook shape that
+    * holds at 100 TB. Cells that lose all members drop out (standard Lloyd
+    * on fixed seeds). SimilaritySpec pins the within-cell quantization
+    * objective as non-increasing over rounds. */
+  private[graft] def trainCodebook(emb: DataFrame, cells: Int,
+      rounds: Int): Array[(Int, Array[Long])] = {
     val seeds = emb.filter(col("vec_id") < cells)
       .select(col("vec_id").cast("int").as("cell"), col("qv"))
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
     if (seeds.isEmpty) return Array.empty // empty corpus: no codebook
-    val bSeeds = spark.sparkContext.broadcast(seeds)
-    val assignOnce = emb.withColumn("cell", nearestCellExpr(bSeeds.value))
     val centroid = udaf(graft.functions.CentroidAggregator)
-    assignOnce.groupBy(col("cell"))
-      .agg(centroid(col("embedding")).as("c"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
+    var cb = seeds
+    var r = 0
+    while (r < rounds) {
+      cb = emb.withColumn("cell", nearestCellExpr(cb))
+        .groupBy(col("cell"))
+        .agg(centroid(col("embedding")).as("c"))
+        .collect()
+        .map(row => (row.getInt(0), row.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      r += 1
+    }
+    cb
   }
 
   /** Distance-ranked (distance, cell) structs for every centroid — each
@@ -278,10 +299,10 @@ object SimilarityQueries {
     * only (vec_id, cell) — vectors stay in the source table and re-join by
     * id at query time, so the index is tiny relative to the corpus. */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
-      cells: Int = IvfCells): Unit = {
+      cells: Int = IvfCells, lloydRounds: Int = 1): Unit = {
     import spark.implicits._
     val emb = quantized(spark, dir).localCheckpoint()
-    val centroids = ivfCentroids(emb, cells)
+    val centroids = trainCodebook(emb, cells, lloydRounds)
     centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")

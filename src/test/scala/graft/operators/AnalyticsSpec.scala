@@ -113,6 +113,26 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(r => r._1 -> r._2).toMap == expected)
   }
 
+  test("sharded corpus write reconciles with the q73 manifest partition " +
+      "by partition") {
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    AnalyticsQueries.writeShardedCorpus(spark, dir, out)
+    val manifest = AnalyticsQueries.q73ShardStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // partition-pruned read per shard returns exactly the manifest count
+    // partition-dir inference types `shard` as INT; cast back for compare
+    val written = spark.read.parquet(out)
+    val byShard = written
+      .groupBy(org.apache.spark.sql.functions.col("shard").cast("long").as("shard"))
+      .count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard == manifest, s"written=$byShard manifest=$manifest")
+    // partition dirs exist on disk for every non-empty shard
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs == manifest.keySet.map(s => s"shard=$s"), dirs)
+  }
+
   test("funnel stages are monotone and a hand-built corpus converts correctly") {
     val r = AnalyticsQueries.q59Funnel(spark, dir).head()
     val (v, vc, conv) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -187,6 +187,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(after.filter(col("vec_id") >= 1000000L).count() == built.size)
   }
 
+  test("Lloyd codebook refinement: round 1 IS the q42 codebook; the " +
+      "quantization objective never increases with more rounds") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = SimilarityQueries.quantized(spark, dir).localCheckpoint()
+    val vecs = emb.select("qv").collect().map(_.getSeq[Long](0).toArray)
+    def objective(cb: Array[(Int, Array[Long])]): BigInt =
+      vecs.map { v =>
+        cb.map { case (_, c) =>
+          v.zip(c).map { case (a, b) => BigInt(a - b) * BigInt(a - b) }.sum
+        }.min
+      }.sum
+    val codebooks = (1 to 4).map(r =>
+      SimilarityQueries.trainCodebook(emb, SimilarityQueries.IvfCells, r))
+    val objs = codebooks.map(objective)
+    // monotone modulo the centroid's truncating milli-division (sub-ppm
+    // relative rounding; exact Lloyd is strictly non-increasing)
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + a / 1000000, s"objective rose: $objs")
+    }
+    assert(objs.last <= objs.head, objs)
+    // training is bit-deterministic: same input, same codebook
+    val again = SimilarityQueries.trainCodebook(emb, SimilarityQueries.IvfCells, 3)
+    assert(again.map(_._2.toSeq).toSeq == codebooks(2).map(_._2.toSeq).toSeq)
+  }
+
   test("q65 property differential: collapse-first == naive composition on " +
       "seeded random corpora with forced vector/text collisions") {
     import spark.implicits._
