@@ -173,13 +173,10 @@ object SimilarityQueries {
     * float drift), and the resulting centroids are a small broadcastable
     * list. At 100 TB: train on a sample, broadcast the codebook — this
     * exact shape. */
-  private def ivfCentroids(emb: DataFrame, cells: Int = IvfCells): Array[(Int, Array[Long])] =
-    trainCodebook(emb, cells, rounds = 1)
-
   /** Full Lloyd training: `rounds` assign -> exact-integer-centroid steps
-    * from the deterministic seed codebook ([[ivfCentroids]] is rounds = 1 —
-    * the q42 oracle's pinned configuration; production codebooks run a few
-    * more rounds for tighter cells). Exact integer math at every step, so
+    * from the deterministic seed codebook (rounds = 1 — seed + one step —
+    * is the q42 oracle's pinned configuration; production codebooks run a
+    * few more rounds for tighter cells). Exact integer math at every step, so
     * training is bit-deterministic (no RNG, no float drift; the only
     * rounding is the centroid's truncating milli-unit division, sub-ulp
     * relative to cell distances). Each round is one codegen'd
@@ -188,7 +185,15 @@ object SimilarityQueries {
     * driver-side small, the train-on-sample/broadcast-codebook shape that
     * holds at 100 TB. Cells that lose all members drop out (standard Lloyd
     * on fixed seeds). SimilaritySpec pins the within-cell quantization
-    * objective as non-increasing over rounds. */
+    * objective as non-increasing over rounds.
+    *
+    * Measured caveat (RecallSweep ivf-lloyd, sf0.1): on ISOTROPIC vectors
+    * more rounds give a better codebook but WORSE fixed-budget recall
+    * (0.87 -> 0.81 at rounds 1 -> 8, cells=16/probes=2, flat candidates) —
+    * tighter cells overlap less, so a fixed probe count explores less of
+    * each query's neighborhood. Refinement pays off on genuinely clustered
+    * production embeddings; on unstructured corpora spend the budget on
+    * probes/cells instead. */
   private[graft] def trainCodebook(emb: DataFrame, cells: Int,
       rounds: Int): Array[(Int, Array[Long])] = {
     val seeds = emb.filter(col("vec_id") < cells)
@@ -255,14 +260,14 @@ object SimilarityQueries {
   /** Scored IVF candidates at a given (cells, probes) — pre-top-k for the
     * sweep tool; [[q42IvfAnn]] is the fixed-config oracle entry. */
   private[graft] def ivfAnnScored(spark: SparkSession, dir: String,
-      cells: Int, probes: Int): DataFrame = {
+      cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame = {
     // IVF is inherently multi-job (seed collect -> centroid agg -> assign ->
     // probe/top-k): materialize scan+quantize ONCE instead of recomputing it
     // in every job (VERDICT r4: the only top-5 query with avoidable local
     // overhead). At 100 TB the codebook trains on a SAMPLE, so the big scan
     // runs once either way — this aligns the local shape with that.
     val emb = quantized(spark, dir).localCheckpoint()
-    val centroids = ivfCentroids(emb, cells)
+    val centroids = trainCodebook(emb, cells, lloydRounds)
     if (centroids.isEmpty) {
       // empty corpus: no seeds -> no codebook; an empty probe array would
       // type as VOID and fail analysis (EmptyInputSpec)
@@ -356,8 +361,8 @@ object SimilarityQueries {
   }
 
   private[graft] def ivfAnnTopK(spark: SparkSession, dir: String,
-      cells: Int, probes: Int): DataFrame =
-    topKScored(ivfAnnScored(spark, dir, cells, probes))
+      cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame =
+    topKScored(ivfAnnScored(spark, dir, cells, probes, lloydRounds))
 
   private def topKScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -70,6 +70,16 @@ object RecallSweep {
       val cand = SimilarityQueries.ivfAnnScored(spark, dir, cells, probes).count()
       emit("ivf", s"cells=$cells,probes=$probes", cand, recallOf(top), sec)
     }
+
+    // does Lloyd refinement buy recall at a fixed (cells, probes) budget?
+    for (rounds <- Seq(1, 2, 4, 8)) {
+      val t0 = System.nanoTime()
+      val top = SimilarityQueries.ivfAnnTopK(spark, dir, 16, 2, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cand = SimilarityQueries.ivfAnnScored(spark, dir, 16, 2, rounds).count()
+      emit("ivf-lloyd", s"cells=16,probes=2,rounds=$rounds", cand, recallOf(top), sec)
+    }
     spark.stop()
   }
 }
