@@ -66,13 +66,165 @@ object CurationPipeline {
       .orderBy(col("lang").asc, col("source").asc)
   }
 
+  /** q75 thresholds: a doc is dropped when >= 50% of its distinct 3-grams
+    * hit the benchmark set (contamination), >= 20% of its 2-grams are
+    * repeats (q67's bar), or its mean word rarity exceeds 40000 milli
+    * (the rare-token junk tail — p95-p99 of the corpus distribution). */
+  val MaxHitPermille = 500L
+  val MaxRarityMilli = 40000L
+
+  /** Q75 — CURATION PIPELINE v2: the r5 signal family composed into the
+    * full drop-chain a production pre-training run executes, with a
+    * per-stage audit (the q52 discipline — every drop is counted, silent
+    * data loss is the cardinal sin):
+    *
+    *   0. corpus split   — the held-out benchmark docs (doc_id % 10 == 7)
+    *                       are the EVAL set: excluded from the corpus AND
+    *                       the source of the contamination gram set;
+    *   1. exact dedup    — canonical doc per md5(text) (keyed window);
+    *   2. decontamination— drop docs sharing >= [[MaxHitPermille]] of
+    *                       their distinct 3-grams with the benchmark
+    *                       (q66's probe as a filter; benchmark grams
+    *                       BROADCAST — eval suites stay MBs at any scale);
+    *   3. repetition     — drop docs >= 20% duplicate 2-grams (q67's
+    *                       signal as a pure projection — no shuffle);
+    *   4. rarity         — drop the rare-word junk tail (q72's corpus-
+    *                       frequency score: tf collapse, vocab census,
+    *                       big-big join on word, 1-row token count
+    *                       broadcast);
+    *   5. audit          — per-lang counts after each stage + surviving
+    *                       token volume.
+    *
+    * Stage costs at 100 TB: the window and the gram/tf/vocab aggregates
+    * shuffle on uniform keys (content hash / doc_id / word with the tf
+    * collapse capping Zipf skew); the contamination probe is map-side;
+    * the per-doc signal tables re-join the corpus on doc_id. Everything
+    * is deterministic — a retry reproduces the same corpus byte for
+    * byte. */
+  def q75CurationV2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val corpus = base.filter(
+      col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes)
+
+    // stage 2 signal: contamination permille vs the broadcast benchmark set
+    val grams = TextQueries.docGrams3(base)
+    val bench = grams
+      .filter(col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes)
+      .select(col("gram")).distinct()
+    val train = grams
+      .filter(col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes)
+    val tot3 = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams3"))
+    val hits = train.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    val contam = tot3.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_hits"), lit(0L)) * 1000L >=
+          col("n_grams3") * MaxHitPermille).as("contaminated"))
+
+    // stage 4 signal: mean inverse-corpus-frequency rarity (q72's shape,
+    // stats drawn from the training corpus, not the eval split)
+    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
+    val totN = toks.agg(count(lit(1)).as("corpus_tokens"))
+    val rarity = tf.join(vocab, "word")
+      .crossJoin(broadcast(totN))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("nt"),
+        sum(col("tf") * least(expr("corpus_tokens * 1000 DIV cf"),
+          lit(TextQueries.RarityCap))).cast("long").as("rs"))
+      .select(col("doc_id"), (expr("rs DIV nt") >= MaxRarityMilli).as("too_rare"))
+
+    // stages 1 + 3 inline: dedup window + repetition projection
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    val g2 = graft.functions.WordNGrams(col("text"), 2)
+    val flagged = corpus
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .withColumn("repetitive",
+        when(size(g2) === 0, lit(false)).otherwise(
+          (size(g2) - size(array_distinct(g2))).cast("long") * 1000L >=
+            size(g2).cast("long") * TextQueries.RepetitivePermille))
+      .join(contam, Seq("doc_id"), "left")   // <3-token docs have no grams
+      .join(rarity, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("too_rare", coalesce(col("too_rare"), lit(false)))
+
+    val decontamOk = col("is_canonical") && !col("contaminated")
+    val cleanOk = decontamOk && !col("repetitive")
+    val keptOk = cleanOk && !col("too_rare")
+    flagged
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_corpus"),
+        count(when(col("is_canonical"), 1)).as("n_unique"),
+        count(when(decontamOk, 1)).as("n_decontam"),
+        count(when(cleanOk, 1)).as("n_clean"),
+        count(when(keptOk, 1)).as("n_kept"),
+        coalesce(sum(when(keptOk, col("n_tokens"))), lit(0L)).cast("long")
+          .as("tokens_kept"))
+      .orderBy(col("lang").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q52_curation_pipeline" -> (q52Curation _),
+    "q75_curation_v2" -> (q75CurationV2 _),
   )
 
   private val stopSqlList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q75_curation_v2" -> {
+      val mod = TextQueries.DecontamMod
+      val res = TextQueries.DecontamRes
+      s"""WITH base AS (SELECT * FROM documents WHERE text IS NOT NULL),
+         |corpus AS (SELECT * FROM base WHERE doc_id % $mod <> $res),
+         |t3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM base
+         |  WHERE len(string_split(text, ' ')) >= 3),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS gram FROM t3),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $mod = $res),
+         |train AS (SELECT doc_id, gram FROM g WHERE doc_id % $mod <> $res),
+         |tot3 AS (SELECT doc_id, COUNT(*) AS n_grams3 FROM train GROUP BY 1),
+         |hits AS (SELECT t.doc_id, COUNT(*) AS n_hits
+         |  FROM train t JOIN bench b USING (gram) GROUP BY 1),
+         |contam AS (SELECT t.doc_id,
+         |    COALESCE(h.n_hits, 0) * 1000 >= t.n_grams3 * $MaxHitPermille AS contaminated
+         |  FROM tot3 t LEFT JOIN hits h USING (doc_id)),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT word, SUM(tf) AS cf FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS corpus_tokens FROM toks),
+         |rar AS (SELECT doc_id,
+         |    SUM(tf * least(n.corpus_tokens * 1000 // cf, ${TextQueries.RarityCap}))
+         |      // SUM(tf) >= $MaxRarityMilli AS too_rare
+         |  FROM tf JOIN vocab USING (word), n GROUP BY doc_id),
+         |d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_canonical,
+         |    CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+         |      (len(string_split(text, ' ')) - 1 -
+         |       len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+         |         i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))))) * 1000
+         |      >= (len(string_split(text, ' ')) - 1) * ${TextQueries.RepetitivePermille}
+         |    ELSE false END AS repetitive
+         |  FROM corpus),
+         |j AS (SELECT d.*, COALESCE(c.contaminated, false) AS contaminated,
+         |    COALESCE(r.too_rare, false) AS too_rare
+         |  FROM d LEFT JOIN contam c USING (doc_id) LEFT JOIN rar r USING (doc_id))
+         |SELECT lang, COUNT(*) AS n_corpus,
+         |  COUNT(CASE WHEN is_canonical THEN 1 END) AS n_unique,
+         |  COUNT(CASE WHEN is_canonical AND NOT contaminated THEN 1 END) AS n_decontam,
+         |  COUNT(CASE WHEN is_canonical AND NOT contaminated AND NOT repetitive
+         |    THEN 1 END) AS n_clean,
+         |  COUNT(CASE WHEN is_canonical AND NOT contaminated AND NOT repetitive
+         |    AND NOT too_rare THEN 1 END) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN is_canonical AND NOT contaminated
+         |    AND NOT repetitive AND NOT too_rare THEN n_tokens END), 0) AS BIGINT)
+         |    AS tokens_kept
+         |FROM j GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
+    },
     "q52_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, lang, source, text,
          |    string_split(text, ' ') AS tokens,

@@ -19,7 +19,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     * scalar-subquery shape Spark itself plans for `(SELECT count(*) ...)`,
     * constant-size at any corpus scale. */
   private val bnljAllowed = Set("q26_knn_exact", "q28_cosine_label_stats",
-    "q53_doc_search", "q70_temperature_sample", "q72_rarity")
+    "q53_doc_search", "q70_temperature_sample", "q72_rarity",
+    "q75_curation_v2")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

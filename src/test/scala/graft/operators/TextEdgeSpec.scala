@@ -87,6 +87,35 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq == Seq(("aa", 6L), ("ab", 3L), ("cd", 1L)), got.toSeq)
   }
 
+  test("q75 curation v2: each stage drops exactly its target on a " +
+      "constructed corpus (dup, contaminated, repetitive, rare)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cur2").toString
+    val common = "w1 w2 w3 w4 w5 w6"
+    Seq(
+      (7L, "x y z w v"),    // benchmark split (7 % 10 == 7) — eval, not corpus
+      (1L, common),          // canonical of the exact-dup family {1, 21, 8}
+      (21L, common),
+      (8L, common),
+      (2L, "w2 w3 w4 w5 w6 w1"), // same vocab, different text -> kept
+      (3L, "x y z w v w1"),  // 3 of 4 distinct 3-grams hit the benchmark -> contaminated
+      (4L, "spam spam spam spam spam spam"), // 4/5 repeated 2-grams -> repetitive
+      (5L, "r1 r2 r3 r4 r5 r6"), // all hapaxes: rarity = 49000 >= 40000 -> too rare
+      (6L, "w1 w2 w3 w4 w5 r7"), // one hapax diluted by common words -> kept
+      (10L, "w1"),           // single token: no grams anywhere, common word -> kept
+      (9L, null.asInstanceOf[String]), // absent everywhere
+    ).map { case (id, t) => (id, t, "en", "s", Option(t).fold(0L)(_.length.toLong)) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.operators.CurationPipeline.q75CurationV2(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // corpus 9 docs; dedup -3+1 -> 7 unique; -1 contaminated -> 6;
+    // -1 repetitive -> 5; -1 too-rare -> 4 kept = docs 1, 2, 6, 10
+    // (6 + 6 + 6 + 1 = 19 tokens)
+    assert(got.toSeq == Seq(("en", 9L, 7L, 6L, 5L, 4L, 19L)), got.toSeq)
+  }
+
   test("q72 rarity scores rare-word-dense docs higher, exact integer math") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("rarity").toString
