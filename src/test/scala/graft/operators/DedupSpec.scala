@@ -225,6 +225,41 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     ), got.toSeq)
   }
 
+  test("q71 property differential: window census == plain-Scala reference " +
+      "on a seeded random corpus") {
+    import spark.implicits._
+    // 3-symbol vocabulary => 3^8 possible spans; ~500 draws guarantee real
+    // cross-doc collisions by birthday bound, plus two planted exact dups
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c")
+    val random = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(20) // some below the 8-token span floor
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = random ++ Seq((100L, random(3)._2), (101L, random(3)._2))
+    val tmp = java.nio.file.Files.createTempDirectory("q71prop").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def spans(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - DedupQueries.SpanTokens)
+        .map(i => w.slice(i, i + DedupQueries.SpanTokens).mkString(" ")).toSet
+    }
+    val perDoc = docs.map { case (id, t) => id -> spans(t) }.filter(_._2.nonEmpty)
+    val counts = perDoc.flatMap(_._2.toSeq).groupBy(identity).view.mapValues(_.size)
+    val expected = perDoc.map { case (id, ss) =>
+      val dup = ss.count(s => counts(s) >= 2).toLong
+      (id, ss.size.toLong, dup, dup * 1000L / ss.size,
+        dup * 1000L >= ss.size * DedupQueries.SpanSharedPermille)
+    }.sortBy(_._1)
+    val got = DedupQueries.q71ExactSpans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // the corpus genuinely exercised sharing (planted dups + collisions)
+    assert(expected.count(_._3 > 0) >= 3, "differential corpus too clean")
+  }
+
   test("q74 incremental near-dup pairs new arrivals against the corpus only; " +
       "the persisted band index reproduces the inline probe exactly") {
     import spark.implicits._

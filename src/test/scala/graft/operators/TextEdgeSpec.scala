@@ -137,6 +137,31 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     ), got.toSeq)
   }
 
+  test("q72 property differential: rarity == plain-Scala reference on a " +
+      "seeded Zipf-ish corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Zipf-ish draw: low word ids far more frequent than high ones
+    val vocab = (0 until 30).map(i => s"v$i")
+    def draw(): String = vocab(math.min(29, (math.abs(rnd.nextGaussian()) * 8).toInt))
+    val docs = (0L until 30L).map(id => (id, Seq.fill(4 + rnd.nextInt(12))(draw()).mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("q72prop").toString
+    docs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val cf = toks.groupBy(_._2).view.mapValues(_.size.toLong)
+    val n = toks.size.toLong
+    val expected = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val rs = w.map(x => math.min(n * 1000L / cf(x), TextQueries.RarityCap)).sum
+      (id, w.length.toLong, rs, rs / w.length)
+    }.sortBy(_._1)
+    val got = TextQueries.q72Rarity(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
   test("q69 chunking: stride windows clamp at doc end; content hash is the " +
       "md5 of the space-joined window") {
     import spark.implicits._
