@@ -383,6 +383,43 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Q76 — cross-SOURCE contamination matrix: for every pair of sources,
+    * the number of verbatim [[SpanTokens]]-word spans they share, plus an
+    * overlap permille against the smaller side — the provenance audit a
+    * dataset-mixing decision needs (two crawls mirroring each other inflate
+    * dedup work and double-count effective tokens; the matrix says which
+    * sources to merge or drop before mixing).
+    *
+    * Plan shape: distinct (source, span-hash) pairs — the span stream
+    * collapses PER SOURCE before any pairing, so a span repeated across a
+    * source's docs costs one row; then a self-equi-join on the hash whose
+    * fan-out per span is bounded by the number of sources carrying it
+    * (squared at worst — sources are a catalog-sized dimension, never
+    * corpus-sized), and a |sources|^2-row aggregate. Per-source totals
+    * re-join the matrix as a broadcast (|sources| rows). All shuffle keys
+    * are uniform hashes. */
+  def q76SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.WordNGrams(col("text"), SpanTokens))).as("span"))
+      .select(col("source"), md5(col("span")).as("h"))
+      .distinct()
+    val totals = spans.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
+    val l = spans.select(col("source").as("source_a"), col("h"))
+    val r = spans.select(col("source").as("source_b"), col("h"))
+    l.join(r, "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("source").as("source_a"), col("n_spans").as("n_a"))), "source_a")
+      .join(broadcast(totals.select(col("source").as("source_b"), col("n_spans").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        expr("n_shared * 1000 DIV least(n_a, n_b)").as("overlap_permille"))
+      .orderBy(col("source_a").asc, col("source_b").asc)
+  }
+
   /** The deterministic "new arrivals" split for incremental dedup: doc_id %
     * 10 == 3 plays the day's ingest batch; the rest is the standing corpus. */
   val IncrMod = 10L
@@ -470,6 +507,7 @@ object DedupQueries {
     "q62_minhash_unique" -> (q62MinhashUnique _),
     "q71_exact_spans" -> (q71ExactSpans _),
     "q74_incremental_neardup" -> (q74IncrementalNearDup _),
+    "q76_source_overlap" -> (q76SourceOverlap _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -527,6 +565,24 @@ object DedupQueries {
          |  COALESCE(d.n_dup_spans, 0) * 1000 >= t.n_spans * $SpanSharedPermille AS cloned
          |FROM tot t LEFT JOIN dup d USING (doc_id)
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q76_source_overlap" ->
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= $SpanTokens),
+         |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+         |    range(1, len(w) - ${SpanTokens - 2}),
+         |    i -> array_to_string(list_slice(w, i, i + ${SpanTokens - 1}), ' ')))) AS span
+         |  FROM t),
+         |g AS (SELECT DISTINCT source, md5(span) AS h FROM g0),
+         |tot AS (SELECT source, COUNT(*) AS n_spans FROM g GROUP BY 1),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+         |  FROM g a JOIN g b USING (h) WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b, m.n_shared,
+         |  CAST(ta.n_spans AS BIGINT) AS n_a, CAST(tb.n_spans AS BIGINT) AS n_b,
+         |  CAST(m.n_shared * 1000 // least(ta.n_spans, tb.n_spans) AS BIGINT)
+         |    AS overlap_permille
+         |FROM m JOIN tot ta ON ta.source = m.source_a
+         |       JOIN tot tb ON tb.source = m.source_b
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin,
     "q74_incremental_neardup" -> minhashOracle(
       """SELECT doc_a AS new_doc, doc_b AS corpus_doc FROM pairs
         |ORDER BY new_doc NULLS FIRST, corpus_doc NULLS FIRST""".stripMargin,

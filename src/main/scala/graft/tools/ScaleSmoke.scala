@@ -37,7 +37,7 @@ object ScaleSmoke {
     "q58_approx_percentile", "q59_funnel",
     "q65_semantic_dedup", "q66_decontamination", "q67_repetition",
     "q68_bpe_pairs", "q71_exact_spans", "q72_rarity", "q73_shard_stats",
-    "q74_incremental_neardup", "q75_curation_v2")
+    "q74_incremental_neardup", "q75_curation_v2", "q76_source_overlap")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsNanosCol: Option[String] = None): DataFrame =

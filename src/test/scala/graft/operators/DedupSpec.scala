@@ -260,6 +260,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(expected.count(_._3 > 0) >= 3, "differential corpus too clean")
   }
 
+  test("q76 source-overlap matrix counts distinct shared spans per source " +
+      "pair; per-source repeats collapse") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q76").toString
+    Seq(
+      // A and B share "a b c d e f g h"; the span repeats across TWO A docs
+      // but must count once (per-source distinct)
+      (1L, "a b c d e f g h", "A"),
+      (2L, "a b c d e f g h x", "A"),
+      (3L, "z a b c d e f g h", "B"),
+      // C shares nothing 8-token long
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8", "C"),
+      (5L, null.asInstanceOf[String], "A"),
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q76SourceOverlap(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // A spans: {a..h, b..x} (doc 2 contributes "b c d e f g h x" + repeat of
+    // a..h, collapsed) -> n_a = 2; B spans: {z..g, a..h} -> n_b = 2;
+    // shared = {a..h} -> 1; permille = 1000/2 = 500
+    assert(got.toSeq == Seq(("A", "B", 1L, 2L, 2L, 500L)), got.toSeq)
+  }
+
   test("q74 incremental near-dup pairs new arrivals against the corpus only; " +
       "the persisted band index reproduces the inline probe exactly") {
     import spark.implicits._
