@@ -165,9 +165,12 @@ object AnalyticsQueries {
       .orderBy(col("lang").asc)
   }
 
-  /** 16 output shards — one md5 hex digit. A production run sizes this to
-    * the cluster (e.g. 2^10-2^14 shards) by widening the digit slice. */
-  val NumShards = 16
+  /** Shard-count knob: shards = 16^digits. A production run sizes this to
+    * the cluster (e.g. 3-4 hex digits = 2^12-2^16 shards); [[NumShards]]
+    * and [[shardCol]] both derive from it, so the manifest's range and the
+    * writer's layout cannot diverge. */
+  val ShardHexDigits = 1
+  val NumShards: Int = 1 << (4 * ShardHexDigits)
 
   /** Q73 — deterministic shard manifest: the WRITER step of a training-data
     * pipeline — every doc is assigned to one of [[NumShards]] output shards
@@ -181,10 +184,10 @@ object AnalyticsQueries {
     * `df.repartition(col("shard")).write.partitionBy("shard")` — same
     * assignment expression, shuffle-partitioned by the same key. */
   /** The shard-assignment expression shared by the manifest (q73) and the
-    * real writer ([[writeShardedCorpus]]): one md5 hex digit of the doc
-    * key. */
+    * real writer ([[writeShardedCorpus]]): the first [[ShardHexDigits]]
+    * md5 hex digits of the doc key. */
   def shardCol: org.apache.spark.sql.Column =
-    conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+    conv(substring(md5(col("doc_id").cast("string")), 1, ShardHexDigits), 16, 10)
       .cast("long")
 
   /** The actual sharded WRITE the q73 manifest plans for: the same

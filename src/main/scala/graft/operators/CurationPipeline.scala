@@ -98,9 +98,15 @@ object CurationPipeline {
     * Stage costs at 100 TB: the window and the gram/tf/vocab aggregates
     * shuffle on uniform keys (content hash / doc_id / word with the tf
     * collapse capping Zipf skew); the contamination probe is map-side;
-    * the per-doc signal tables re-join the corpus on doc_id. Everything
-    * is deterministic — a retry reproduces the same corpus byte for
-    * byte. */
+    * the per-doc signal tables re-join the corpus on doc_id. The gram
+    * stream feeds three consumers and is deliberately NOT materialized:
+    * the native word_ngrams kernel re-rides the scan for pennies, while
+    * checkpointing a token-scale exploded stream would write a
+    * corpus-sized intermediate (the opposite trade from the minhash
+    * signature table, whose per-element md5 loop is the expensive part).
+    * The collapsed tf frame IS materialized inside rarityScores.
+    * Everything is deterministic — a retry reproduces the same corpus
+    * byte for byte. */
   def q75CurationV2(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val corpus = base.filter(
@@ -121,20 +127,11 @@ object CurationPipeline {
         (coalesce(col("n_hits"), lit(0L)) * 1000L >=
           col("n_grams3") * MaxHitPermille).as("contaminated"))
 
-    // stage 4 signal: mean inverse-corpus-frequency rarity (q72's shape,
-    // stats drawn from the training corpus, not the eval split)
-    val toks = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
-    val totN = toks.agg(count(lit(1)).as("corpus_tokens"))
-    val rarity = tf.join(vocab, "word")
-      .crossJoin(broadcast(totN))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("tf")).cast("long").as("nt"),
-        sum(col("tf") * least(expr("corpus_tokens * 1000 DIV cf"),
-          lit(TextQueries.RarityCap))).cast("long").as("rs"))
-      .select(col("doc_id"), (expr("rs DIV nt") >= MaxRarityMilli).as("too_rare"))
+    // stage 4 signal: mean inverse-corpus-frequency rarity — THE q72 score
+    // (shared helper, so score and filter cannot drift), stats drawn from
+    // the training corpus, not the eval split
+    val rarity = TextQueries.rarityScores(corpus)
+      .select(col("doc_id"), (col("rarity_milli") >= MaxRarityMilli).as("too_rare"))
 
     // stages 1 + 3 inline: dedup window + repetition projection
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)

@@ -57,7 +57,7 @@ object DedupQueries {
     * candidate generation and verify re-join plain scans of the persisted
     * table. A production pipeline writes this to a parquet signature table;
     * localCheckpoint is the single-job equivalent. */
-  private def withShinglesAndSignature(spark: SparkSession, docs: DataFrame): DataFrame =
+  private def withShinglesAndSignature(docs: DataFrame): DataFrame =
     signedDocs(docs).localCheckpoint()
 
   /** The shingle/sign transform itself, WITHOUT the materialization —
@@ -128,7 +128,7 @@ object DedupQueries {
     * in one reducer; everything upstream is narrow. Zero cartesian products
     * (the 100 TB survival property VERDICT demanded). */
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    candidatePairs(bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+    candidatePairs(bands(withShinglesAndSignature(Tables.documents(spark, dir))))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
 
   /** Distinct (doc_a < doc_b) candidate pairs — unsorted; oracle-facing
@@ -166,7 +166,7 @@ object DedupQueries {
   def q24JaccardVerify(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    val signed = withShinglesAndSignature(spark, uniq)
+    val signed = withShinglesAndSignature(uniq)
     val sh = signed.select(col("doc_id"), col("shingles"))
     val ujac = candidatePairs(bands(signed))
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -252,7 +252,7 @@ object DedupQueries {
     * instead). */
   def q56DupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = candidatePairs(
-      bands(withShinglesAndSignature(spark, Tables.documents(spark, dir))))
+      bands(withShinglesAndSignature(Tables.documents(spark, dir))))
     resolveClusters(pairs)
       .orderBy(col("doc_id").asc)
   }
@@ -437,16 +437,27 @@ object DedupQueries {
     * fixed relation shuffled once into the index layout, and the batch side
     * is small; never a corpus self-join. */
   def q74IncrementalNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val b = bands(withShinglesAndSignature(spark, Tables.documents(spark, dir)))
-    val nb = b.filter(col("doc_id") % IncrMod === IncrRes)
-      .select(col("band").as("nband"), col("bsig").as("nbsig"),
-        col("doc_id").as("new_doc"))
-    val cb = b.filter(col("doc_id") % IncrMod =!= IncrRes)
-      .select(col("band"), col("bsig"), col("doc_id").as("corpus_doc"))
-    nb.join(cb, nb("nband") === cb("band") && nb("nbsig") === cb("bsig"))
-      .select(col("new_doc"), col("corpus_doc"))
+    val b = bands(withShinglesAndSignature(Tables.documents(spark, dir)))
+    probeBands(
+        b.filter(col("doc_id") % IncrMod === IncrRes),
+        b.filter(col("doc_id") % IncrMod =!= IncrRes))
       .distinct()
       .orderBy(col("new_doc").asc, col("corpus_doc").asc)
+  }
+
+  /** THE ingest probe join, shared by the inline split (q74), the persisted
+    * index ([[nearDupAgainstIndex]]), and the streaming form
+    * (StreamingOps.nearDupArrivals) — one definition, three execution
+    * modes, so the spec-pinned equivalence between them cannot drift.
+    * (new_doc, corpus_doc) pairs, NOT deduplicated — each caller applies
+    * its own distinct/dropDuplicates discipline. */
+  private[graft] def probeBands(newBands: DataFrame, indexBands: DataFrame): DataFrame = {
+    val nb = newBands.select(col("band").as("nband"), col("bsig").as("nbsig"),
+      col("doc_id").as("new_doc"))
+    val idx = indexBands.select(col("band"), col("bsig"),
+      col("doc_id").as("corpus_doc"))
+    nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))
+      .select(col("new_doc"), col("corpus_doc"))
   }
 
   /** Persist the corpus' LSH band table as the near-dup INDEX — (doc_id,
@@ -457,7 +468,7 @@ object DedupQueries {
     * so its size is a small constant factor of the doc count regardless of
     * document length. */
   def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
-    bands(withShinglesAndSignature(spark, docs))
+    bands(withShinglesAndSignature(docs))
       .write.mode("overwrite").parquet(s"$indexDir/bands.parquet")
 
   /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
@@ -466,17 +477,10 @@ object DedupQueries {
     * them to a Jaccard verify (the q24 shape) or straight into cluster
     * resolution. Reproduces [[q74IncrementalNearDup]] bit-for-bit when the
     * index holds the corpus split (DedupSpec). */
-  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame = {
-    val idx = spark.read.parquet(s"$indexDir/bands.parquet")
-      .select(col("band"), col("bsig"), col("doc_id").as("corpus_doc"))
+  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame =
     // single consumer of the signature pass -> no materialization needed
-    val nb = bandDocs(newDocs)
-      .select(col("band").as("nband"), col("bsig").as("nbsig"),
-        col("doc_id").as("new_doc"))
-    nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))
-      .select(col("new_doc"), col("corpus_doc"))
+    probeBands(bandDocs(newDocs), spark.read.parquet(s"$indexDir/bands.parquet"))
       .distinct()
-  }
 
   /** Q62 — minhash-LSH near-dup over COLLAPSED unique texts: the text twin
     * of q61 (see the 30x smoke — q23's pair output grows quadratically in
@@ -491,7 +495,7 @@ object DedupQueries {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cnt"))
     val cnts = uniq.select(col("doc_id"), col("cnt"))
-    candidatePairs(bands(withShinglesAndSignature(spark, uniq)))
+    candidatePairs(bands(withShinglesAndSignature(uniq)))
       .join(cnts.select(col("doc_id").as("doc_a"), col("cnt").as("cnt_a")), "doc_a")
       .join(cnts.select(col("doc_id").as("doc_b"), col("cnt").as("cnt_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), (col("cnt_a") * col("cnt_b")).as("pair_mult"))

@@ -364,7 +364,7 @@ object SimilarityQueries {
       cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame =
     topKScored(ivfAnnScored(spark, dir, cells, probes, lloydRounds))
 
-  private def topKScored(scored: DataFrame): DataFrame = {
+  private[graft] def topKScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
     scored

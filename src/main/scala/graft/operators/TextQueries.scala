@@ -396,13 +396,26 @@ object TextQueries {
     * big-big join; corpus token count rides in as a broadcast 1-row
     * aggregate (the q53/q60 scalar-stats shape). AQE's skew-join splits any
     * residual hot word. */
-  def q72Rarity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  def q72Rarity(spark: SparkSession, dir: String): DataFrame =
+    rarityScores(Tables.documents(spark, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** Per-doc rarity scores for ANY document frame — (doc_id, n_tokens,
+    * rarity_sum, rarity_milli). Shared by q72 (whole corpus) and the q75
+    * pipeline (the decontaminated corpus), so the formula cannot drift
+    * between the score and the filter that applies it. The collapsed tf
+    * frame is MATERIALIZED once: it feeds three consumers (vocab census,
+    * corpus token count, the scoring join) and is per-(doc, distinct word)
+    * sized — far smaller than the token stream it collapses;
+    * corpus_tokens = SUM(tf) rides off it instead of re-exploding. */
+  private[operators] def rarityScores(docs: DataFrame): DataFrame = {
+    val tf = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
-    val totN = toks.agg(count(lit(1)).as("corpus_tokens"))
+    val totN = tf.agg(sum(col("tf")).as("corpus_tokens"))
     tf.join(vocab, "word")
       .crossJoin(broadcast(totN))
       .groupBy(col("doc_id"))
@@ -412,7 +425,6 @@ object TextQueries {
           least(expr("corpus_tokens * 1000 DIV cf"), lit(RarityCap)))
           .cast("long").as("rarity_sum"))
       .withColumn("rarity_milli", expr("rarity_sum DIV n_tokens"))
-      .orderBy(col("doc_id").asc)
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

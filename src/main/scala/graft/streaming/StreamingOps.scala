@@ -118,16 +118,10 @@ object StreamingOps {
     * (new_doc, corpus_doc) candidate pairs exactly once across
     * micro-batches; the dedup state is bounded by the match-pair set, not
     * the stream. */
-  def nearDupArrivals(docsStream: DataFrame, bandIndex: DataFrame): DataFrame = {
-    val nb = graft.operators.DedupQueries.bandDocs(docsStream)
-      .select(col("band").as("nband"), col("bsig").as("nbsig"),
-        col("doc_id").as("new_doc"))
-    val idx = bandIndex.select(col("band"), col("bsig"),
-      col("doc_id").as("corpus_doc"))
-    nb.join(idx, nb("nband") === idx("band") && nb("nbsig") === idx("bsig"))
-      .select(col("new_doc"), col("corpus_doc"))
+  def nearDupArrivals(docsStream: DataFrame, bandIndex: DataFrame): DataFrame =
+    graft.operators.DedupQueries
+      .probeBands(graft.operators.DedupQueries.bandDocs(docsStream), bandIndex)
       .dropDuplicates("new_doc", "corpus_doc")
-  }
 
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 

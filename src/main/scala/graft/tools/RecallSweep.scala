@@ -62,23 +62,27 @@ object RecallSweep {
       emit("lsh-multi", s"bits=$bits,tables=$tables", cand, recallOf(top), sec)
     }
 
+    // each config trains its codebook ONCE: scored is built a single time
+    // (training collects happen at construction) and both the top-k and the
+    // candidate count derive from it
     for ((cells, probes) <- Seq((8, 2), (16, 2), (32, 4), (64, 8))) {
       val t0 = System.nanoTime()
-      val top = SimilarityQueries.ivfAnnTopK(spark, dir, cells, probes)
+      val scored = SimilarityQueries.ivfAnnScored(spark, dir, cells, probes)
+      val top = SimilarityQueries.topKScored(scored)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val sec = (System.nanoTime() - t0) / 1e9
-      val cand = SimilarityQueries.ivfAnnScored(spark, dir, cells, probes).count()
-      emit("ivf", s"cells=$cells,probes=$probes", cand, recallOf(top), sec)
+      emit("ivf", s"cells=$cells,probes=$probes", scored.count(), recallOf(top), sec)
     }
 
     // does Lloyd refinement buy recall at a fixed (cells, probes) budget?
     for (rounds <- Seq(1, 2, 4, 8)) {
       val t0 = System.nanoTime()
-      val top = SimilarityQueries.ivfAnnTopK(spark, dir, 16, 2, rounds)
+      val scored = SimilarityQueries.ivfAnnScored(spark, dir, 16, 2, rounds)
+      val top = SimilarityQueries.topKScored(scored)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val sec = (System.nanoTime() - t0) / 1e9
-      val cand = SimilarityQueries.ivfAnnScored(spark, dir, 16, 2, rounds).count()
-      emit("ivf-lloyd", s"cells=16,probes=2,rounds=$rounds", cand, recallOf(top), sec)
+      emit("ivf-lloyd", s"cells=16,probes=2,rounds=$rounds", scored.count(),
+        recallOf(top), sec)
     }
     spark.stop()
   }

@@ -14,10 +14,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
   private val dir = "/root/testdata/sf0.001"
 
   /** Declared brute-force baselines (q26/q28: the BNLJ is the semantics),
-    * plus q53/q70/q72 whose BNLJ is a broadcast of a 1-ROW aggregate
-    * (corpus count / min lang count / corpus token count) — the
-    * scalar-subquery shape Spark itself plans for `(SELECT count(*) ...)`,
-    * constant-size at any corpus scale. */
+    * plus q53/q70/q72/q75 whose BNLJ is a broadcast of a 1-ROW aggregate
+    * (corpus count / min lang count / corpus token count — q75 inherits
+    * q72's via the shared rarityScores stage) — the scalar-subquery shape
+    * Spark itself plans for `(SELECT count(*) ...)`, constant-size at any
+    * corpus scale. */
   private val bnljAllowed = Set("q26_knn_exact", "q28_cosine_label_stats",
     "q53_doc_search", "q70_temperature_sample", "q72_rarity",
     "q75_curation_v2")
