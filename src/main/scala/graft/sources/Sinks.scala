@@ -53,6 +53,38 @@ object Sinks {
       }
       .start()
 
+  /** One micro-batch of [[streamShardedExactlyOnce]]: hash-shard
+    * assignment (the SAME expression as the q73 manifest and the batch
+    * writer — graft.operators.AnalyticsQueries.shardCol) plus batch-id
+    * keyed dynamic overwrite, so the layout is both balanced for
+    * downstream readers and replay-idempotent: a re-delivered batch
+    * replaces exactly its own (shard, batch_id) partitions. */
+  def writeShardedBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch
+      .withColumn("shard", graft.operators.AnalyticsQueries.shardCol)
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard", "batch_id")
+      .parquet(path)
+
+  /** Streaming SHARDED corpus writer — the streaming leg of the q73 shard
+    * discipline: a document stream lands as
+    * `shard=<k>/batch_id=<id>/part-*.parquet` training shards,
+    * exactly-once-observable across retries (the [[writeBatchIdempotent]]
+    * pattern, partitioned additionally by the shard hash). Requires a
+    * `doc_id` column for the assignment. */
+  def streamShardedExactlyOnce(
+      docs: DataFrame, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeShardedBatchIdempotent(batch, batchId, path)
+      }
+      .start()
+
   /** Compact a parquet directory's small files into ~`targetRecordsPerFile`
     * files — the maintenance half of the small-files discipline: streaming
     * sinks (one file per micro-batch) and fine-grained partitioned writes

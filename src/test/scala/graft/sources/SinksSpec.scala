@@ -111,4 +111,42 @@ class SinksSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkPlan
     q2.stop()
     assert(readBack() == Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("sharded streaming writer lands shard=K/batch_id=N partitions, " +
+      "replay-idempotent, assignment matching the q73 manifest rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sink = Files.createTempDirectory("graft_shard_sink").toString
+    val ckpt = Files.createTempDirectory("graft_shard_ckpt").toString
+    val docs = (0L until 40L).map(id => (id, s"text $id"))
+    def readBack(): Seq[(Long, Long)] =
+      spark.read.parquet(sink)
+        .select($"doc_id", $"shard".cast("long"))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+
+    val s = MemoryStream[(Long, String)](spark)
+    val q = Sinks.streamShardedExactlyOnce(
+      s.toDF().toDF("doc_id", "text"), sink, ckpt)
+    s.addData(docs.take(25))
+    q.processAllAvailable()
+    s.addData(docs.drop(25))
+    q.processAllAvailable()
+    q.stop()
+    // every doc exactly once, shard = first md5 hex digit of doc_id
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shard(id: Long): Long =
+      Character.digit(md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString.charAt(0), 16).toLong
+    assert(readBack() == docs.map { case (id, _) => (id, shard(id)) }.sortBy(_._1))
+    // physical layout: shard=K dirs containing batch_id=N dirs
+    val shardDirs = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("shard=")).toSeq
+    assert(shardDirs.nonEmpty)
+    assert(shardDirs.forall(
+      _.listFiles().exists(_.getName.startsWith("batch_id="))))
+    // at-least-once replay of batch 0 must replace, not duplicate
+    Sinks.writeShardedBatchIdempotent(
+      docs.take(25).toDF("doc_id", "text"), 0L, sink)
+    assert(readBack().size == docs.size, "replayed batch must not duplicate")
+  }
 }
