@@ -266,7 +266,7 @@ object SimilarityQueries {
     // in every job (VERDICT r4: the only top-5 query with avoidable local
     // overhead). At 100 TB the codebook trains on a SAMPLE, so the big scan
     // runs once either way — this aligns the local shape with that.
-    val emb = quantized(spark, dir).localCheckpoint()
+    val emb = Materialize.materialize(quantized(spark, dir))
     val centroids = trainCodebook(emb, cells, lloydRounds)
     if (centroids.isEmpty) {
       // empty corpus: no seeds -> no codebook; an empty probe array would
@@ -306,7 +306,7 @@ object SimilarityQueries {
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
       cells: Int = IvfCells, lloydRounds: Int = 1): Unit = {
     import spark.implicits._
-    val emb = quantized(spark, dir).localCheckpoint()
+    val emb = Materialize.materialize(quantized(spark, dir))
     val centroids = trainCodebook(emb, cells, lloydRounds)
     centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "centroid")

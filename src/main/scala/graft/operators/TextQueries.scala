@@ -407,13 +407,14 @@ object TextQueries {
     * frame is MATERIALIZED once: it feeds three consumers (vocab census,
     * corpus token count, the scoring join) and is per-(doc, distinct word)
     * sized — far smaller than the token stream it collapses;
-    * corpus_tokens = SUM(tf) rides off it instead of re-exploding. */
+    * corpus_tokens = SUM(tf) rides off it instead of re-exploding. The
+    * materialization is the shared [[Materialize.materialize]] — reliable
+    * (cluster-safe) when `spark.graft.checkpointDir` is set. */
   private[operators] def rarityScores(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val tf = Materialize.materialize(docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
     val totN = tf.agg(sum(col("tf")).as("corpus_tokens"))
     tf.join(vocab, "word")

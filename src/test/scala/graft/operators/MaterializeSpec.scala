@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared [[Materialize]] helper: every materialization site (minhash
+  * signature table, rarity tf collapse, IVF quantized frame, the
+  * connected-components rounds) must flip from executor-local blocks to
+  * RELIABLE checkpoint files when `spark.graft.checkpointDir` is set, with
+  * byte-identical results — the cluster-restartability guarantee
+  * (VERDICT r5 next-round #1).
+  */
+class MaterializeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Count reliable-checkpoint part files under `d`, recursively. */
+  private def partFiles(d: java.io.File): Long =
+    if (d.isDirectory) d.listFiles().map(partFiles).sum
+    else if (d.getName.startsWith("part-")) 1L else 0L
+
+  /** Run `q` twice — default (localCheckpoint) and reliable mode — and
+    * assert identical output plus real checkpoint part files on disk. */
+  private def assertReliableParity(name: String)(
+      q: () => org.apache.spark.sql.DataFrame): Unit = {
+    val baseline = q().collect().map(_.toString).sorted
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name").toString
+    spark.conf.set(Materialize.ConfKey, ckptDir)
+    try {
+      val reliable = q().collect().map(_.toString).sorted
+      assert(reliable.sameElements(baseline),
+        s"$name: reliable-mode output differs from default mode")
+      assert(partFiles(new java.io.File(ckptDir)) > 0,
+        s"$name: reliable mode must persist checkpoint part files")
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("minhash signature table checkpoints reliably (q23)") {
+    assertReliableParity("q23")(() => DedupQueries.q23MinhashLsh(spark, dir))
+  }
+
+  test("rarity tf collapse checkpoints reliably (q72)") {
+    assertReliableParity("q72")(() => TextQueries.q72Rarity(spark, dir))
+  }
+
+  test("IVF quantized frame checkpoints reliably (q42)") {
+    assertReliableParity("q42")(() => SimilarityQueries.q42IvfAnn(spark, dir))
+  }
+
+  test("legacy cc conf key still switches the shared helper") {
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory("graft_ckpt_legacy").toString
+    spark.conf.set(Materialize.LegacyConfKey, ckptDir)
+    try {
+      import spark.implicits._
+      val got = DedupQueries.resolveClusters(
+        Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")).collect()
+      assert(got.length == 3)
+      assert(partFiles(new java.io.File(ckptDir)) > 0,
+        "legacy key must still persist checkpoint part files")
+    } finally spark.conf.unset(Materialize.LegacyConfKey)
+  }
+}
