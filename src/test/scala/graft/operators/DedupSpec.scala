@@ -260,6 +260,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(expected.count(_._3 > 0) >= 3, "differential corpus too clean")
   }
 
+  test("q71 skew-safe census+rejoin form is output-identical to the window " +
+      "form on a hot-span corpus (one span in >= 50% of docs)") {
+    import spark.implicits._
+    // the adversarial shape from VERDICT r5: one universal boilerplate span
+    // (license header) in half the corpus — the window form funnels every
+    // row of that span into ONE partition; the skew-safe form must agree
+    // exactly while staying AQE-splittable
+    val header = (1 to DedupQueries.SpanTokens).map(i => s"lic$i").mkString(" ")
+    val docs = (0L until 400L).map { id =>
+      if (id % 2 == 0) (id, s"$header unique${id}a unique${id}b unique${id}c")
+      else (id, (1 to 12).map(j => s"w${id}_$j").mkString(" "))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("q71skew").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val frame = spark.read.parquet(s"$tmp/documents.parquet")
+    val window = DedupQueries.spanDupFlags(frame, skewSafe = false)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    val skewSafe = DedupQueries.spanDupFlags(frame, skewSafe = true)
+      .orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(skewSafe == window)
+    // every even doc is dominated by the shared header span
+    assert(window.length == 400)
+    // plan shape: the skew-safe form must not contain a Window operator
+    // (windows cannot be skew-split by AQE; the agg+join form can)
+    val plan = DedupQueries.spanDupFlags(frame, skewSafe = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    // and the conf flag routes q71 through it
+    spark.conf.set("spark.graft.spans.skewSafe", "true")
+    try {
+      val viaFlag = DedupQueries.q71ExactSpans(spark, tmp)
+        .collect().map(_.toString).toSeq
+      assert(viaFlag == window)
+    } finally spark.conf.unset("spark.graft.spans.skewSafe")
+  }
+
   test("q76 source-overlap matrix counts distinct shared spans per source " +
       "pair; per-source repeats collapse") {
     import spark.implicits._
