@@ -414,6 +414,77 @@ object DedupQueries {
         col("n_dup_spans") * 1000L >= col("n_spans") * SpanSharedPermille)
   }
 
+  /** Q77 — span-level exact-substring dedup, the EXECUTABLE drop stage the
+    * q71 census only flags (Lee et al. 2021's "deduplicating training data"
+    * operator, at the repo's [[SpanTokens]] stand-in for the published
+    * ~50-token setting): per doc, remove every word covered by a duplicated
+    * span occurrence, KEEPING the corpus' first copy — the occurrence in
+    * the lowest doc_id carrying the span survives, so exactly one copy of
+    * every duplicated passage remains corpus-wide.
+    *
+    * Definitions: a span (verbatim [[SpanTokens]]-word window) is
+    * duplicated when it occurs in >= 2 distinct docs; an occurrence in doc
+    * d is removed when d is not the span's keeper (min doc_id); a word is
+    * removed when ANY removed occurrence covers its position. Output per
+    * doc: word counts and the cleaned text (kept words re-joined in order;
+    * docs below the span floor pass through whole).
+    *
+    * Plan shape — census-then-rejoin (the skew-SAFE q71 formulation, which
+    * is the only correct choice here since the rejoin must carry keeper):
+    *   1. positional span stream via posexplode of the native
+    *      [[graft.functions.WordNGrams]] kernel (NOT distinct — removal is
+    *      per occurrence), md5'd so shuffles carry 32 uniform bytes;
+    *   2. census = groupBy(h) with min-doc keeper, filtered to duplicated
+    *      spans only — map-side partials collapse hot spans per task, and
+    *      the rejoin is AQE-skew-splittable;
+    *   3. coverage expansion: explode each removed start into its
+    *      [[SpanTokens]] positions, distinct on uniform (doc_id, pos);
+    *   4. one anti-join removes covered words; per-doc sort_array over
+    *      collect_list rebuilds the cleaned text (bounded by doc length —
+    *      the same per-doc bound every text operator here carries).
+    * Every shuffle key is a hash or (doc_id, pos) — uniform; output is one
+    * row per doc, so cardinality never expands on duplicated corpora. */
+  def q77SpanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  /** The drop stage over any document frame — (doc_id, n_words, n_removed,
+    * cleaned_text), one row per non-null-text doc. */
+  private[graft] def spanDedup(docs: DataFrame): DataFrame = {
+    val text = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val words = text.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val spanStarts = text.select(col("doc_id"),
+      posexplode(graft.functions.WordNGrams(col("text"), SpanTokens))
+        .as(Seq("spos", "span")))
+      .select(col("doc_id"), col("spos"), md5(col("span")).as("h"))
+    val census = spanStarts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("keeper"))
+    val removedPos = spanStarts.join(census, "h")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("spos"), col("spos") + lit(SpanTokens - 1)))
+          .as("pos"))
+      .distinct()
+    val kept = words.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+    val total = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"))
+    val keptAgg = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("cleaned_text"))
+    total.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Q76 — cross-SOURCE contamination matrix: for every pair of sources,
     * the number of verbatim [[SpanTokens]]-word spans they share, plus an
     * overlap permille against the smaller side — the provenance audit a
@@ -543,6 +614,7 @@ object DedupQueries {
     "q71_exact_spans" -> (q71ExactSpans _),
     "q74_incremental_neardup" -> (q74IncrementalNearDup _),
     "q76_source_overlap" -> (q76SourceOverlap _),
+    "q77_span_dedup" -> (q77SpanDedup _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -599,6 +671,35 @@ object DedupQueries {
          |  CAST(COALESCE(d.n_dup_spans, 0) * 1000 // t.n_spans AS BIGINT) AS dup_permille,
          |  COALESCE(d.n_dup_spans, 0) * 1000 >= t.n_spans * $SpanSharedPermille AS cloned
          |FROM tot t LEFT JOIN dup d USING (doc_id)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q77_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL),
+         |words AS (SELECT doc_id,
+         |    CAST(unnest(range(len(w))) AS INT) AS pos, unnest(w) AS word
+         |  FROM t),
+         |spans AS (SELECT doc_id,
+         |    CAST(unnest(range(len(w) - ${SpanTokens - 1})) AS INT) AS spos,
+         |    unnest(list_transform(range(1, len(w) - ${SpanTokens - 2}),
+         |      i -> md5(array_to_string(list_slice(w, i, i + ${SpanTokens - 1}), ' ')))) AS h
+         |  FROM t WHERE len(w) >= $SpanTokens),
+         |census AS (SELECT h, MIN(doc_id) AS keeper FROM spans
+         |  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+         |rem AS (SELECT DISTINCT s.doc_id, s.spos + r.range AS pos
+         |  FROM spans s JOIN census c USING (h)
+         |  CROSS JOIN range(0, $SpanTokens) r
+         |  WHERE s.doc_id <> c.keeper),
+         |kept AS (SELECT w.doc_id, w.pos, w.word FROM words w
+         |  WHERE NOT EXISTS (SELECT 1 FROM rem r
+         |    WHERE r.doc_id = w.doc_id AND r.pos = w.pos)),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY 1),
+         |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(word, ' ' ORDER BY pos) AS cleaned_text
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+         |  CAST(t.n_words - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.cleaned_text, '') AS cleaned_text
+         |FROM tot t LEFT JOIN ka USING (doc_id)
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q76_source_overlap" ->
       s"""WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents

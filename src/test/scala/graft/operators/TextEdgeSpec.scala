@@ -252,4 +252,37 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("q77 span dedup removes exact word ranges, keeps the first copy " +
+      "corpus-wide, and passes short docs through whole") {
+    import spark.implicits._
+    // SpanTokens = 8. The shared passage s1..s8 appears in docs 1, 2, 3, 6;
+    // doc 1 (min id) is its keeper. Docs 3/6 are full copies of docs 1/2,
+    // so every one of their spans has an earlier keeper -> fully removed.
+    // Doc 2 is keeper of its OWN b-prefixed spans but not of s1..s8 ->
+    // exactly positions 2..9 drop, pinning the coverage boundary.
+    val s = (1 to 8).map("s" + _).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("q77edge").toString
+    Seq(
+      (1L, s"$s a1 a2"),
+      (2L, s"b1 b2 $s b3"),
+      (3L, s"$s a1 a2"),      // copy of doc 1
+      (4L, "short doc"),       // below the span floor: passes through
+      (5L, null.asInstanceOf[String]),
+      (6L, s"b1 b2 $s b3"),   // copy of doc 2
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q77SpanDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 10L, 0L, s"$s a1 a2"), // keeper: untouched
+      (2L, 11L, 8L, "b1 b2 b3"),   // exactly the span range [2, 9] removed
+      (3L, 10L, 10L, ""),          // full copy: everything covered
+      (4L, 2L, 0L, "short doc"),
+      (6L, 11L, 11L, ""),
+    ), got)
+    // the corpus-wide guarantee: exactly one copy of the passage survives
+    assert(got.count(_._4.contains(s)) == 1)
+  }
 }
