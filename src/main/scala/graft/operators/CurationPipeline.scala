@@ -109,23 +109,25 @@ object CurationPipeline {
     * byte for byte. */
   def q75CurationV2(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val corpus = base.filter(
-      col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes)
+    curationV2(
+      base.filter(
+        col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes),
+      base.filter(
+        col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes))
+  }
 
+  /** The drop-chain against an EXTERNAL benchmark frame — the production
+    * form: `benchmark` is any frame with a `text` column (an eval-suite
+    * parquet), `corpus` the documents to curate. [[q75CurationV2]] pins the
+    * oracle by carving the benchmark from the corpus split (doc_id % 10 ==
+    * 7) and routing here, so the pinned and external forms share one body
+    * (VERDICT r5 next-round #5). */
+  def curationV2(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
     // stage 2 signal: contamination permille vs the broadcast benchmark set
-    val grams = TextQueries.docGrams3(base)
-    val bench = grams
-      .filter(col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes)
-      .select(col("gram")).distinct()
-    val train = grams
-      .filter(col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes)
-    val tot3 = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams3"))
-    val hits = train.join(broadcast(bench), "gram")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-    val contam = tot3.join(hits, Seq("doc_id"), "left")
+    val contam = TextQueries.contaminationCounts(corpus, benchmark)
       .select(col("doc_id"),
-        (coalesce(col("n_hits"), lit(0L)) * 1000L >=
-          col("n_grams3") * MaxHitPermille).as("contaminated"))
+        (col("n_hits") * 1000L >=
+          col("n_grams") * MaxHitPermille).as("contaminated"))
 
     // stage 4 signal: mean inverse-corpus-frequency rarity — THE q72 score
     // (shared helper, so score and filter cannot drift), stats drawn from

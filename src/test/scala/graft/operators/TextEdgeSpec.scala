@@ -253,6 +253,39 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("decontamination and curation v2 accept an EXTERNAL benchmark " +
+      "parquet (production form == the carved oracle pin)") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // write the q75 eval split to its OWN parquet — the external eval-suite
+    // shape — and feed it back through the parameterized pipeline: output
+    // must equal the pinned q75 entry exactly
+    val base = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val benchPath = java.nio.file.Files.createTempDirectory("bench").toString
+    base.filter(col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes)
+      .write.mode("overwrite").parquet(benchPath)
+    val external = spark.read.parquet(benchPath)
+    val corpus = base.filter(
+      col("doc_id") % TextQueries.DecontamMod =!= TextQueries.DecontamRes)
+    val viaExternal = CurationPipeline.curationV2(corpus, external)
+      .collect().map(_.toString).toSeq
+    val pinned = CurationPipeline.q75CurationV2(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(viaExternal == pinned && pinned.nonEmpty)
+
+    // and the raw probe counts against a hand-built benchmark table
+    val b2 = java.nio.file.Files.createTempDirectory("bench2").toString
+    Seq(900L -> "x y z w").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(b2)
+    val train = Seq(
+      (1L, "x y z q"),   // shares gram "x y z" of 2 distinct grams
+      (2L, "a b c d"),   // no overlap: n_hits must be 0, row still present
+    ).toDF("doc_id", "text")
+    val got = TextQueries.contaminationCounts(train, spark.read.parquet(b2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 2L), (2L, 0L, 2L)), got)
+  }
+
   test("q77 span dedup removes exact word ranges, keeps the first copy " +
       "corpus-wide, and passes short docs through whole") {
     import spark.implicits._
