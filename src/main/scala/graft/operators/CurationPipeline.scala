@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q52 — the flagship TRAINING-CORPUS CURATION PIPELINE: the catalog's
@@ -9,8 +8,10 @@ import org.apache.spark.sql.functions._
   * executes, end to end in ONE Spark plan:
   *
   *   1. exact dedup   — keep the smallest doc_id per md5(text) (q22's
-  *                      census as a filter; window row_number, not
-  *                      self-join);
+  *                      census as a filter, via the shared skew-safe
+  *                      [[DedupQueries.withCanonicalFlag]] census+rejoin —
+  *                      the form that survives a boilerplate page
+  *                      duplicated across half a web crawl);
   *   2. quality gate  — token count in [20, 400] and stopword ratio >= 0.05
   *                      (q29's metrics as predicates);
   *   3. stratified    — per-lang md5 hash-mod sampling (q50's primitive):
@@ -21,10 +22,12 @@ import org.apache.spark.sql.functions._
   *                      auditable (silent data loss is the cardinal sin of
   *                      curation pipelines).
   *
-  * Every stage is a narrow predicate or a single keyed window — the whole
-  * pipeline is 2 shuffles (dedup key, final group) regardless of SF, and
-  * every decision is deterministic (md5, not RNG), so a re-run or a
-  * per-partition retry reproduces the same corpus byte-for-byte. */
+  * Every stage is a narrow predicate or a single keyed aggregate — the
+  * whole pipeline is 3 shuffles (family census, canonical rejoin, final
+  * group; the census shuffle is map-side-collapsed so it's nearly free)
+  * regardless of SF, and every decision is deterministic (md5, not RNG),
+  * so a re-run or a per-partition retry reproduces the same corpus
+  * byte-for-byte. */
 object CurationPipeline {
 
   val MinTokens = 20
@@ -40,10 +43,9 @@ object CurationPipeline {
         size(filter(col("tokens"), t => t.isInCollection(Stopwords)))
           .cast("double") / col("n_tokens"))
 
-    // stage 1: exact dedup — canonical representative per content hash
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
-    val deduped = docs.withColumn("rn", row_number().over(w))
-      .withColumn("is_canonical", col("rn") === 1)
+    // stage 1: exact dedup — canonical representative per content hash,
+    // through the shared skew-safe form (VERDICT r6 #1)
+    val deduped = DedupQueries.withCanonicalFlagAuto(docs)
 
     // stage 2: quality predicates
     val qualified = col("is_canonical") &&
@@ -81,7 +83,9 @@ object CurationPipeline {
     *   0. corpus split   — the held-out benchmark docs (doc_id % 10 == 7)
     *                       are the EVAL set: excluded from the corpus AND
     *                       the source of the contamination gram set;
-    *   1. exact dedup    — canonical doc per md5(text) (keyed window);
+    *   1. exact dedup    — canonical doc per md5(text) (the shared
+    *                       skew-safe census+rejoin, [[DedupQueries
+    *                       .withCanonicalFlag]]);
     *   2. decontamination— drop docs sharing >= [[MaxHitPermille]] of
     *                       their distinct 3-grams with the benchmark
     *                       (q66's probe as a filter; benchmark grams
@@ -95,9 +99,11 @@ object CurationPipeline {
     *   5. audit          — per-lang counts after each stage + surviving
     *                       token volume.
     *
-    * Stage costs at 100 TB: the window and the gram/tf/vocab aggregates
-    * shuffle on uniform keys (content hash / doc_id / word with the tf
-    * collapse capping Zipf skew); the contamination probe is map-side;
+    * Stage costs at 100 TB: the canonical census and the gram/tf/vocab
+    * aggregates shuffle on uniform keys (content hash / doc_id / word with
+    * the tf collapse capping Zipf skew — and the census collapses hot
+    * families map-side before its shuffle); the contamination probe is
+    * map-side;
     * the per-doc signal tables re-join the corpus on doc_id. The gram
     * stream feeds three consumers and is deliberately NOT materialized:
     * the native word_ngrams kernel re-rides the scan for pennies, while
@@ -135,12 +141,11 @@ object CurationPipeline {
     val rarity = TextQueries.rarityScores(corpus)
       .select(col("doc_id"), (col("rarity_milli") >= MaxRarityMilli).as("too_rare"))
 
-    // stages 1 + 3 inline: dedup window + repetition projection
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    // stages 1 + 3: shared skew-safe canonical selection (VERDICT r6 #1)
+    // + repetition projection
     val g2 = graft.functions.WordNGrams(col("text"), 2)
-    val flagged = corpus
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("is_canonical", row_number().over(w) === 1)
+    val flagged = DedupQueries.withCanonicalFlagAuto(corpus
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")))
       .withColumn("repetitive",
         when(size(g2) === 0, lit(false)).otherwise(
           (size(g2) - size(array_distinct(g2))).cast("long") * 1000L >=

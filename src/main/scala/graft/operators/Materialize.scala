@@ -20,6 +20,17 @@ import org.apache.spark.sql.DataFrame
   * tf collapse, the IVF quantized-embedding frame, and each
   * connected-components round — so "restartable at 100 TB" is a session conf,
   * not a per-operator rewrite (VERDICT r5 next-round #1).
+  *
+  * LIFECYCLE (ADVICE r6): Spark does NOT delete reliable checkpoints by
+  * default, and every materialize site writes a fresh directory — a
+  * long-lived session with the conf set accumulates them unboundedly. Two
+  * sanctioned regimes: (a) per-job dir that the orchestrator deletes after
+  * the job (the usual production shape — checkpoints are only useful while
+  * the lineage they cut is live); (b) set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` at session build
+  * so the ContextCleaner GCs a checkpoint when its RDD is collected. The
+  * helper deliberately does neither itself: deleting data out from under a
+  * running plan is the one failure mode worse than disk growth.
   */
 object Materialize {
   private[graft] val ConfKey = "spark.graft.checkpointDir"
@@ -36,7 +47,11 @@ object Materialize {
   def materialize(df: DataFrame): DataFrame =
     reliableDir(df) match {
       case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        // set-once: repeated setCheckpointDir calls each mkdir a fresh
+        // random subdir even when nothing checkpoints there (ADVICE r6)
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint()
       case None =>
         df.localCheckpoint()

@@ -271,7 +271,14 @@ object SimilarityQueries {
     * pipeline (seeding, one Lloyd step, assignment, probe ranking, top-k)
     * is exact integer math with lexicographic (distance, cell) tie-breaks,
     * so DuckDB reproduces it CTE-for-stage; recall vs q26 additionally
-    * ScalaTest-pinned. */
+    * ScalaTest-pinned.
+    *
+    * FAILURE MODE (ADVICE r6): a NON-EMPTY corpus with fewer than
+    * [[IvfCells]] vectors throws IllegalStateException from seeding —
+    * deliberate (a partially-seeded codebook is almost always a config
+    * error; the pre-r6 silent degradation was worse). Tiny corpora should
+    * run [[q26KnnExact]], or pass `cells <= corpus size` to the
+    * parameterized entry points. Empty corpora return an empty result. */
   def q42IvfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfAnnTopK(spark, dir, IvfCells, IvfProbes)
 
@@ -320,7 +327,10 @@ object SimilarityQueries {
     * re-derives both per call, which is the right shape for a one-shot
     * benchmark but not for a serving path). The assignment table carries
     * only (vec_id, cell) — vectors stay in the source table and re-join by
-    * id at query time, so the index is tiny relative to the corpus. */
+    * id at query time, so the index is tiny relative to the corpus.
+    * Like [[q42IvfAnn]], throws IllegalStateException when a non-empty
+    * corpus has fewer than `cells` vectors (ADVICE r6: intentional loud
+    * failure — pass a smaller `cells` for legitimately tiny corpora). */
   def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String,
       cells: Int = IvfCells, lloydRounds: Int = 1): Unit = {
     import spark.implicits._
@@ -560,6 +570,15 @@ object SimilarityQueries {
       .select(col("uid").as("ua"), col("uid").as("ub"),
         graft.functions.DotProductLong(col("qv"), col("qv")).as("dot"))
     val cand = cross.unionAll(self).filter(col("dot") > NearDupThreshold)
+    semanticDedupExpand(spark, dir, q, uniq, cand)
+  }
+
+  /** The q65 tail shared by the sign-LSH and IVF-index candidate
+    * generators: same-text group-level filter + id expansion. `cand` must
+    * be (ua, ub, dot) unique-FAMILY pairs with ua <= ub (ua == ub only for
+    * multiplied families) and dot already thresholded. */
+  private def semanticDedupExpand(spark: SparkSession, dir: String,
+      q: DataFrame, uniq: DataFrame, cand: DataFrame): DataFrame = {
     // members (id, uid, thash, lang): one bounded-width shuffle on the
     // 512-byte vector key to pick up uid, id-keyed doc join for the text
     // hash — everything past this point shuffles narrow columns only
@@ -591,6 +610,70 @@ object SimilarityQueries {
         when(col("ia") < col("ib"), col("lb")).otherwise(col("la")).as("lang_b"))
       .withColumn("same_lang", col("lang_a") === col("lang_b"))
       .orderBy(col("id_a").asc, col("id_b").asc)
+  }
+
+  /** [[q65SemanticDedup]]'s candidate stage served from a PERSISTED IVF
+    * index (VERDICT r5 #6 / r6 #2) instead of sign-LSH: the RecallSweep
+    * measured IVF dominating sign-LSH at equal candidate budget (0.96 vs
+    * 0.22 recall@5 on isotropic vectors), so a serving-shaped curation run
+    * that already maintains an IVF index ([[buildIvfIndex]]) should draw
+    * its semantic-dedup candidates from it rather than hashing planes.
+    *
+    * Candidate generation — symmetric multi-probe over unique families:
+    *  - HOME side: each unique family's cell comes from the persisted
+    *    assignment table (joined by the family's min vec_id — identical
+    *    vectors share a cell by construction), NOT recomputed: reusing the
+    *    batch assignment scan is the point of a persisted index;
+    *  - PROBE side: each family's `probes` nearest cells from the
+    *    persisted cells-row codebook (driver-collected, broadcast-sized —
+    *    the same train-small/broadcast shape as q42);
+    *  - a pair is a candidate when either member probes the other's home
+    *    cell (both directions emitted by the equi-join, collapsed by
+    *    dropDuplicates) — cell equi-join, never all-pairs, fan-out bounded
+    *    by probes x cell occupancy.
+    * The tail (exact integer dot threshold, same-text group filter, id
+    * expansion) is IDENTICAL to q65's — output rows are row-compatible by
+    * construction: any pair both generators surface carries the same
+    * (dot, lang, same_lang) values, and every emitted pair is a TRUE
+    * above-threshold cross-text pair (the dot filter is exact; candidate
+    * generation only affects recall). SimilaritySpec pins recall >= the
+    * sign-LSH form's against the brute-force truth set at sf0.001. */
+  def semanticDedupFromIvfIndex(spark: SparkSession, dir: String,
+      indexDir: String, probes: Int = IvfProbes): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val q = quantized(spark, dir)
+    val uniq = q.groupBy(col("qv"))
+      .agg(min(col("vec_id")).as("uid"), count(lit(1)).as("cnt"))
+    val cand =
+      if (centroids.isEmpty)
+        // empty index (built on an empty corpus): no candidates, but keep
+        // the tail so the output schema matches q65 exactly
+        Seq.empty[(Long, Long, Long)].toDF("ua", "ub", "dot")
+      else {
+        val home = uniq
+          .join(spark.read.parquet(s"$indexDir/assignments"),
+            uniq("uid") === col("vec_id"))
+          .select(col("uid").as("hb"), col("qv").as("qb"), col("cell"))
+        val probed = uniq
+          .select(col("uid").as("pa"), col("qv"),
+            explode(slice(sort_array(array(cellScores(centroids): _*)), 1,
+              math.min(probes, centroids.length))).as("probe"))
+          .select(col("pa"), col("qv").as("qa"), col("probe.cell").as("pcell"))
+        val cross = probed
+          .join(home, col("pcell") === col("cell") && col("pa") =!= col("hb"))
+          .select(
+            least(col("pa"), col("hb")).as("ua"),
+            greatest(col("pa"), col("hb")).as("ub"),
+            graft.functions.DotProductLong(col("qa"), col("qb")).as("dot"))
+          .dropDuplicates("ua", "ub")
+        val self = uniq.filter(col("cnt") > 1)
+          .select(col("uid").as("ua"), col("uid").as("ub"),
+            graft.functions.DotProductLong(col("qv"), col("qv")).as("dot"))
+        cross.unionAll(self).filter(col("dot") > NearDupThreshold)
+      }
+    semanticDedupExpand(spark, dir, q, uniq, cand)
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

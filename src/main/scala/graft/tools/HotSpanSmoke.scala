@@ -22,7 +22,8 @@ object HotSpanSmoke {
     val spark = Sessions.build("local[32]", 32, "graft-hotspan-smoke")
     import spark.implicits._
     val header = (1 to DedupQueries.SpanTokens).map(i => s"lic$i").mkString(" ")
-    // even ids: hot header + a unique tail (2 spans/doc, one hot);
+    // even ids: hot 8-word header + 2 unique tail words = 10 words -> 3
+    // sliding 8-token spans/doc, one hot (ADVICE r6 comment fix);
     // odd ids: fully unique 12-word text (5 spans/doc, none shared)
     val docs = spark.range(nDocs).select(
       col("id").as("doc_id"),
@@ -46,7 +47,16 @@ object HotSpanSmoke {
       math.min(run(), run())
     }
     val (win, safe) = (timed(skewSafe = false), timed(skewSafe = true))
-    println(f"""{"metric":"hotspan_smoke","n_docs":$nDocs,"hot_share":0.5,"window_sec":$win%.2f,"skew_safe_sec":$safe%.2f}""")
+    // the auto probe (VERDICT r6 #6) must pick census+rejoin here and the
+    // window form on a skew-free corpus; mirror q71's probe exactly
+    def autoPick(frame: DataFrame): Boolean =
+      graft.operators.SkewProbe.hasHotKey(
+        DedupQueries.docSpans(frame.sample(withReplacement = false,
+          graft.operators.SkewProbe.sampleFraction(spark),
+          graft.operators.SkewProbe.Seed)).select(col("h")))
+    val skewFree = docs.filter(col("doc_id") % 2 === 1)
+    val (pickHot, pickFree) = (autoPick(docs), autoPick(skewFree))
+    println(f"""{"metric":"hotspan_smoke","n_docs":$nDocs,"hot_share":0.5,"window_sec":$win%.2f,"skew_safe_sec":$safe%.2f,"auto_picks_skew_safe_on_hot":$pickHot,"auto_picks_skew_safe_on_skew_free":$pickFree}""")
     spark.stop()
   }
 }

@@ -4,10 +4,28 @@ under OUT_DIR (written by graft.Verify), run the matching oracle SQL from
 oracle_sql.json in DuckDB over the same parquet tables, sort columns by name,
 and compare row counts, schemas (loosely), and values.
 
-Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+Usage:
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
+  python3 tools/check_oracle.py --gate          # the full three-SF gate:
+      packages the jar, runs graft.Verify at sf0.001/sf0.01/sf0.1, checks
+      every SF against DuckDB; nonzero exit on ANY mismatch (VERDICT r6 #5 —
+      one command so every round's gate is three-SF by construction).
 """
-import json, sys, glob, os, math
+import json, sys, glob, os, math, subprocess
 import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATE_SFS = ["sf0.001", "sf0.01", "sf0.1"]
+JAR = os.path.join(REPO, "target/scala-2.13/flinkestimatorspark_2.13-0.1.0.jar")
+# Spark 4 on Java 17 outside spark-submit needs the module opens the
+# launcher scripts normally inject
+JAVA_OPENS = [
+    "-XX:+IgnoreUnrecognizedVMOptions",
+    *[f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in
+      ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+       "java.net", "java.nio", "java.util", "java.util.concurrent",
+       "java.util.concurrent.atomic", "jdk.internal.ref", "sun.nio.ch",
+       "sun.nio.cs", "sun.security.action", "sun.util.calendar"]]]
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -72,5 +90,24 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
+def gate():
+    subprocess.run(["sbt", "-batch", "package"], cwd=REPO, check=True)
+    rc = 0
+    for sf in GATE_SFS:
+        sf_dir = f"/root/testdata/{sf}"
+        out_dir = f"/tmp/verify_gate_{sf}"
+        print(f"\n=== {sf}: graft.Verify -> {out_dir} ===", flush=True)
+        env = dict(os.environ, SPARK_GRAFT_CPUS="16")
+        subprocess.run(
+            ["java", *JAVA_OPENS, "-cp", f"{JAR}:/opt/spark/jars/*",
+             "graft.Verify", sf_dir, out_dir],
+            cwd=REPO, check=True, env=env)
+        print(f"=== {sf}: DuckDB compare ===", flush=True)
+        rc |= main(sf_dir, out_dir)
+    print(f"\nGATE {'FAIL' if rc else 'PASS'} across {', '.join(GATE_SFS)}")
+    return rc
+
 if __name__ == "__main__":
+    if sys.argv[1:] == ["--gate"]:
+        sys.exit(gate())
     sys.exit(main(sys.argv[1], sys.argv[2]))
