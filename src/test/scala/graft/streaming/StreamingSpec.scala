@@ -515,6 +515,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long)].collect().toSet
     assert(batch == got.toSet, s"batch $batch != replay ${got.toSet}")
   }
+
+  test("composed ingest lifecycle: stream -> decontaminate -> near-dup " +
+      "filter -> sharded exactly-once landing equals the batch drop chain") {
+    import spark.implicits._
+    import graft.operators.{AnalyticsQueries, DedupQueries, TextQueries}
+    // standing corpus (near-dup source) + benchmark (contamination source)
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      4L -> "one two three four five six seven eight nine ten")
+    val bench = TextQueries.docGrams3(
+      Seq(7L -> "held out evaluation prompt text").toDF("doc_id", "text"))
+      .select($"gram").distinct()
+    val idxDir = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    DedupQueries.buildNearDupIndex(spark, corpus.toDF("doc_id", "text"), idxDir)
+    val index = spark.read.parquet(s"$idxDir/bands.parquet")
+
+    val arrivals = Seq(
+      // near-dup of corpus doc 1 -> dropped
+      StreamingSpec.Doc(20L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      // contains a benchmark 3-gram -> dropped
+      StreamingSpec.Doc(21L, "contains the held out evaluation prompt inside it"),
+      // clean -> lands
+      StreamingSpec.Doc(22L, "totally fresh document with new words never seen before"),
+      StreamingSpec.Doc(23L, "another clean arrival of unremarkable novel content here"))
+
+    val sink = java.nio.file.Files.createTempDirectory("ingest_sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val q = StreamingOps.ingestLifecycle(stream.toDF(), bench, index, sink, ckpt)
+    stream.addData(arrivals.take(2)) // batch 0: both dropped
+    q.processAllAvailable()
+    stream.addData(arrivals.drop(2)) // batch 1: both land
+    q.processAllAvailable()
+    q.stop()
+
+    def landed() = spark.read.parquet(sink)
+      .select($"doc_id", $"text", $"shard").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue()))
+      .toSet
+    val got = landed()
+    // batch twin: the SAME drop chain over all arrivals as one frame
+    val twin = StreamingOps.cleanIngestBatch(
+      arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), bench, index)
+      .withColumn("shard", AnalyticsQueries.shardCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == twin, s"landed $got != batch twin $twin")
+    assert(got.map(_._1) == Set(22L, 23L), got)
+    // shard assignment is the q73 manifest hash, not arrival order
+    assert(got.forall { case (id, _, s) =>
+      s == java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(1), 16)
+    }, got)
+    // exactly-once: re-deliver the last batch (crash-replay) -> unchanged
+    val lastBatch = spark.read.parquet(sink)
+      .select(org.apache.spark.sql.functions.max($"batch_id"))
+      .head().getAs[Number](0).longValue()
+    graft.sources.Sinks.writeShardedBatchIdempotent(
+      spark.read.parquet(sink)
+        .filter($"batch_id" === lastBatch).select($"doc_id", $"text"),
+      lastBatch, sink)
+    assert(landed() == got, "replayed batch must not duplicate landed docs")
+  }
 }
 
 object StreamingSpec {
