@@ -171,14 +171,89 @@ object CurationPipeline {
       .orderBy(col("lang").asc)
   }
 
+  /** Q78 — the composed INGEST drop chain as a batch catalog entry: the
+    * per-arrival decision surface of the streaming lifecycle
+    * ([[graft.streaming.StreamingOps.ingestLifecycle]]), pinned to the
+    * DuckDB oracle. Splits the documents table the way the standing
+    * deployments do — arrivals = doc_id % [[DedupQueries.IncrMod]] ==
+    * [[DedupQueries.IncrRes]] (q74's ingest split), standing corpus = the
+    * rest, benchmark = the q66/q75 eval split — and reports, per arrival:
+    * `contaminated` (shares a 3-gram with the benchmark), `near_dup`
+    * (LSH-collides with the standing corpus' band index), and `kept`,
+    * where kept comes from the REAL drop chain
+    * ([[graft.streaming.StreamingOps.cleanIngestBatch]] — the exact body
+    * foreachBatch executes), so the oracle checks the production path,
+    * not a re-derivation.
+    *
+    * Scale shape: per-batch arrival side small; the corpus-side band index
+    * is the q74 incremental probe (built once, probed per batch — never a
+    * corpus self-join); the benchmark grams broadcast. The three probes
+    * here re-run the chain's two probes plus the chain itself — catalog
+    * transparency over minimal work; the production entry point is the
+    * drop chain alone. */
+  def q78IngestClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arrivals = docs.filter(
+      col("doc_id") % DedupQueries.IncrMod === DedupQueries.IncrRes)
+    val corpus = docs.filter(
+      col("doc_id") % DedupQueries.IncrMod =!= DedupQueries.IncrRes)
+    val benchGrams = TextQueries.docGrams3(docs.filter(
+        col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes))
+      .select(col("gram")).distinct()
+    val index = DedupQueries.bandDocs(corpus)
+    val contam = graft.streaming.StreamingOps
+      .contaminatedDocs(arrivals, benchGrams)
+      .withColumn("contaminated", lit(true))
+    val dup = graft.streaming.StreamingOps.nearDupArrivals(arrivals, index)
+      .select(col("new_doc").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    val kept = graft.streaming.StreamingOps
+      .cleanIngestBatch(arrivals, benchGrams, index)
+      .select(col("doc_id")).withColumn("kept", lit(true))
+    arrivals.select(col("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("kept"), lit(false)).as("kept"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q52_curation_pipeline" -> (q52Curation _),
     "q75_curation_v2" -> (q75CurationV2 _),
+    "q78_ingest_clean" -> (q78IngestClean _),
   )
 
   private val stopSqlList = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracle: Map[String, String] = Map(
+    "q78_ingest_clean" -> DedupQueries.minhashOracle(
+      s"""g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |    i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS gram
+         |  FROM w WHERE len(w) >= 3),
+         |bench AS (SELECT DISTINCT gram FROM g
+         |  WHERE doc_id % ${TextQueries.DecontamMod} = ${TextQueries.DecontamRes}),
+         |contam AS (SELECT DISTINCT doc_id FROM g
+         |  WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes}
+         |    AND gram IN (SELECT gram FROM bench)),
+         |dup AS (SELECT DISTINCT doc_a AS doc_id FROM pairs),
+         |arr AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes})
+         |SELECT a.doc_id,
+         |  COALESCE(c.y, false) AS contaminated,
+         |  COALESCE(d.y, false) AS near_dup,
+         |  (NOT COALESCE(c.y, false) AND NOT COALESCE(d.y, false)) AS kept
+         |FROM arr a
+         |LEFT JOIN (SELECT doc_id, true AS y FROM contam) c USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, true AS y FROM dup) d USING (doc_id)
+         |ORDER BY a.doc_id NULLS FIRST""".stripMargin,
+      extraCtes = true,
+      pairsPredicate =
+        s"a.doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes} AND " +
+          s"b.doc_id % ${DedupQueries.IncrMod} <> ${DedupQueries.IncrRes}"),
     "q75_curation_v2" -> {
       val mod = TextQueries.DecontamMod
       val res = TextQueries.DecontamRes

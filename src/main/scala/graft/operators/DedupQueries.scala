@@ -832,7 +832,7 @@ object DedupQueries {
     * `extraCtes` appends the tail as further CTEs after `pairs` (the tail
     * then carries its own final SELECT); `recursive` emits WITH RECURSIVE
     * (DuckDB is fine with non-recursive CTEs under it). */
-  private def minhashOracle(
+  private[operators] def minhashOracle(
       tail: String, extraCtes: Boolean = false, recursive: Boolean = false,
       prelude: String = "", source: String = "documents",
       pairsPredicate: String = "a.doc_id < b.doc_id"): String =

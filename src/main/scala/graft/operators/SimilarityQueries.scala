@@ -676,6 +676,27 @@ object SimilarityQueries {
     semanticDedupExpand(spark, dir, q, uniq, cand)
   }
 
+  /** Brute-force q65 — the recall DENOMINATOR for the sweep tool and specs:
+    * every unique-family pair scored exactly (theta join on uid order →
+    * BNLJ by construction, declared baseline like q26), then the identical
+    * tail. Never the production path; candidates-by-bucket is the whole
+    * point of q65/[[semanticDedupFromIvfIndex]]. */
+  private[graft] def semanticDedupBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val uniq = q.groupBy(col("qv"))
+      .agg(min(col("vec_id")).as("uid"), count(lit(1)).as("cnt"))
+    val l = uniq.select(col("uid").as("ua"), col("qv").as("qa"))
+    val r = uniq.select(col("uid").as("ub"), col("qv").as("qb"))
+    val cross = l.join(r, col("ua") < col("ub"))
+      .select(col("ua"), col("ub"),
+        graft.functions.DotProductLong(col("qa"), col("qb")).as("dot"))
+    val self = uniq.filter(col("cnt") > 1)
+      .select(col("uid").as("ua"), col("uid").as("ub"),
+        graft.functions.DotProductLong(col("qv"), col("qv")).as("dot"))
+    semanticDedupExpand(spark, dir, q, uniq,
+      cross.unionAll(self).filter(col("dot") > NearDupThreshold))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q26_knn_exact" -> (q26KnnExact _),
     "q27_ann_lsh" -> (q27AnnLsh _),

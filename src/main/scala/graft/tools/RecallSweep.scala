@@ -84,6 +84,36 @@ object RecallSweep {
       emit("ivf-lloyd", s"cells=16,probes=2,rounds=$rounds", scored.count(),
         recallOf(top), sec)
     }
+
+    // q65 candidate generators (r7): PAIR-level recall of the sign-LSH form
+    // vs the persisted-IVF-index form against the brute-force truth set —
+    // the curves behind wiring the IVF index into semantic dedup
+    // (VERDICT r5 #6 / r6 #2)
+    val truth = SimilarityQueries.semanticDedupBruteForce(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairRecall(rows: Array[(Long, Long)]): Double =
+      if (truth.isEmpty) 0.0
+      else rows.count(truth.contains).toDouble / truth.size
+    locally {
+      val t0 = System.nanoTime()
+      val got = SimilarityQueries.q65SemanticDedup(spark, dir)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      emit("q65-lsh", s"bits=${SimilarityQueries.LshBits}", got.length,
+        pairRecall(got), (System.nanoTime() - t0) / 1e9)
+    }
+    for ((cells, probes) <- Seq((8, 1), (8, 2), (8, 4), (16, 2), (16, 4))) {
+      val idx = Files.createTempDirectory(s"q65idx_$cells").toString
+      SimilarityQueries.buildIvfIndex(spark, dir, idx, cells = cells)
+      val t0 = System.nanoTime()
+      val got = SimilarityQueries
+        .semanticDedupFromIvfIndex(spark, dir, idx, probes = probes)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      emit("q65-ivf", s"cells=$cells,probes=$probes", got.length,
+        pairRecall(got), (System.nanoTime() - t0) / 1e9)
+    }
     spark.stop()
   }
 }
