@@ -237,28 +237,80 @@ object DedupQueries {
         col("doc_a").as("uid_a"), col("doc_b").as("uid_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-    // doc_id -> uid through md5(text) so the mapping join never shuffles
-    // full texts (md5 equality == text equality, the q22 premise), then
-    // keep only docs whose text actually has a signature (>= 3 words).
-    // (A window-min over md5(text) would fuse uniq+mapping into one pass
-    // but adds a per-partition SORT and re-evaluates per consumer branch —
-    // measured 15% slower at sf0.1.)
+    expandUniquePairs(docs, uniq, signed, ujac, "jaccard", lit(1.0))
+  }
+
+  /** Expand verified UNIQUE-TEXT pairs (uid_a, uid_b, value) back to doc-id
+    * pairs — the shared tail of the collapse-first verifiers (q24 jaccard,
+    * q79 edit similarity): cross-family pairs inherit the family pair's
+    * value through id-only equi-joins; same-text pairs (identical
+    * signatures → always candidates) get `selfValue` directly.
+    *
+    * doc_id -> uid maps through md5(text) so the mapping join never shuffles
+    * full texts (md5 equality == text equality, the q22 premise), then keeps
+    * only docs whose text actually has a signature (>= 3 words). (A
+    * window-min over md5(text) would fuse uniq+mapping into one pass but
+    * adds a per-partition SORT and re-evaluates per consumer branch —
+    * measured 15% slower at sf0.1.) */
+  private def expandUniquePairs(docs: DataFrame, uniq: DataFrame,
+      signed: DataFrame, upairs: DataFrame, valueCol: String,
+      selfValue: org.apache.spark.sql.Column): DataFrame = {
     val mapping = docs
       .select(col("doc_id"), md5(col("text")).as("tkey"))
       .join(uniq.select(md5(col("text")).as("tkey"), col("doc_id").as("uid")), "tkey")
       .select(col("doc_id"), col("uid"))
       .join(signed.select(col("doc_id").as("uid")), Seq("uid"), "left_semi")
-    val cross = ujac
+    val cross = upairs
       .join(mapping.select(col("uid").as("uid_a"), col("doc_id").as("id_a")), "uid_a")
       .join(mapping.select(col("uid").as("uid_b"), col("doc_id").as("id_b")), "uid_b")
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col(valueCol))
     val within = mapping
       .join(mapping.select(col("uid"), col("doc_id").as("doc_b")), "uid")
       .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"), selfValue.as(valueCol))
     cross.unionByName(within)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Chars of each text the edit-distance verify compares. Levenshtein is
+    * O(|a|·|b|) PER PAIR — unbounded document length would make one
+    * pathological pair a straggler task, so the verify is defined over a
+    * fixed prefix (the published near-dup verifiers bound the comparison
+    * window the same way). 512 covers every sf document today; the cap is
+    * the contract, not a truncation bug. */
+  val EditPrefix = 512
+
+  /** Q79 — edit-distance verification of the LSH candidate pairs: the
+    * sequence-aware companion of q24's set-based Jaccard (3-shingle sets
+    * ignore word ORDER; edit similarity catches reorderings and
+    * insertions the shingle set washes out — the standard second verifier
+    * in published near-dup pipelines). Emits
+    * `edit_sim_milli = 1000 - (1000·levenshtein(a,b)) DIV max(|a|,|b|)`
+    * — integer-exact end to end (both engines implement classic
+    * Levenshtein and integral division identically; a DOUBLE ratio would
+    * hash-drift).
+    *
+    * Same collapse-first discipline as q24: candidates and the DP both
+    * depend only on the texts, so the O(|a|·|b|) dynamic program runs once
+    * per unique text PAIR — never once per candidate id pair — and
+    * same-text pairs short-circuit to 1000 without running the DP at all.
+    * On a duplication-heavy corpus (the near-dup regime) that bound is the
+    * difference between per-family and per-occurrence quadratic work. The
+    * per-pair cost itself is capped by [[EditPrefix]]. */
+  def q79EditVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val signed = withShinglesAndSignature(uniq)
+    val txt = uniq.select(col("doc_id"),
+      substring(col("text"), 1, EditPrefix).as("t"))
+    val usim = candidatePairs(bands(signed))
+      .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .select(col("doc_a").as("uid_a"), col("doc_b").as("uid_b"),
+        expr("1000 - (1000 * levenshtein(ta, tb)) DIV greatest(length(ta), length(tb))")
+          .as("edit_sim_milli"))
+    expandUniquePairs(docs, uniq, signed, usim, "edit_sim_milli", lit(1000L))
   }
 
   /** Q25 — 64-bit SimHash fingerprint per document, emitted as a 64-char
@@ -693,6 +745,93 @@ object DedupQueries {
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
+  /** Target false-positive rate for [[bloomGatedMembership]]'s pre-filter.
+    * 1% keeps the filter ~1.2 GB per 10⁹ corpus keys (9.6 bits/key) —
+    * broadcastable once per executor — while sending only ~1% of truly-new
+    * arrivals to the exact backstop. */
+  val BloomFpp = 0.01
+
+  /** Q80 — bloom-gated EXACT-membership dedup of the ingest batch against
+    * the standing corpus (the q74 split): `is_dup` = "this arrival's text
+    * already exists verbatim in the corpus". Output is EXACT — the bloom
+    * filter only gates which rows reach the exact backstop join, and every
+    * maybe is re-verified — so the DuckDB oracle is the plain membership
+    * predicate, while the Spark plan is the one that survives 100 TB. */
+  def q80BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val corpus = docs.filter(col("doc_id") % IncrMod =!= IncrRes)
+      .select(md5(col("text")).as("tkey"))
+    val arrivals = docs.filter(col("doc_id") % IncrMod === IncrRes)
+      .select(col("doc_id"), md5(col("text")).as("tkey"))
+    bloomGatedMembership(spark, arrivals, corpus)
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** Exact membership of `probes.tkey` in `keys.tkey`, bloom-gated — the
+    * 100 TB plan for "is this text already in the corpus" when the arrival
+    * batch is too large to broadcast and the corpus is too large to
+    * shuffle casually:
+    *
+    *  1. the corpus collapses into a bloom filter via one distributed
+    *     aggregation (map-side partial filters OR-merge — the same combine
+    *     discipline as every census here; ~9.6 bits per key at 1% FPP);
+    *  2. the broadcast filter prunes the PROBE side to `maybes` — true
+    *     members plus ~FPP of the new material — BEFORE any join, exactly
+    *     the InjectRuntimeFilter/DPP pattern, but applied to membership
+    *     semantics the optimizer can't derive on its own;
+    *  3. the exact backstop is a semi-join of the maybes' keys against the
+    *     corpus scan; in the low-duplication ingest regime maybes are a
+    *     small fraction of the batch, so the backstop broadcasts them and
+    *     the CORPUS NEVER SHUFFLES — its two passes (bloom agg + backstop
+    *     probe) are both scan-shaped. (A maybe set past the broadcast
+    *     threshold degrades to a shuffle join that still only moves the
+    *     pruned rows; AQE makes that call at runtime from the real size.)
+    *
+    * No false negatives by construction (bloom guarantees), and false
+    * positives die in the backstop — DedupSpec pins output parity against
+    * the plain anti-join form. The `mightContainString` probe is a Scala
+    * UDF deliberately: Spark's BloomFilterMightContain expression is
+    * internal to runtime filtering and not a public surface, and the probe
+    * sits on the already-narrow arrival side, outside any shuffle.
+    *
+    * `expectedKeys` sizes the filter without an extra counting pass when
+    * the caller knows the corpus cardinality (at 100 TB it comes from table
+    * stats); <= 0 falls back to one count() job. */
+  private[graft] def bloomGatedMembership(spark: SparkSession,
+      probes: DataFrame, keys: DataFrame,
+      expectedKeys: Long = -1L): DataFrame = {
+    val n = if (expectedKeys > 0) expectedKeys else keys.count()
+    // stat.bloomFilter NPEs on a zero-row frame (null aggregation buffer);
+    // an empty corpus has no members, so every probe is new
+    if (n == 0) {
+      probes.select(col("doc_id"), lit(false).as("is_dup"))
+    } else {
+    val bf = keys.stat.bloomFilter("tkey", math.max(n, 1L), BloomFpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
+    val maybeKeys = probes.filter(mightContain(col("tkey")))
+      .select(col("tkey")).distinct()
+    val confirmed = keys
+      .join(broadcast(maybeKeys), Seq("tkey"), "left_semi")
+      .select(col("tkey")).distinct()
+      .withColumn("is_dup", lit(true))
+    probes
+      .join(broadcast(confirmed), Seq("tkey"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    }
+  }
+
+  /** The un-gated twin of [[q80BloomDedup]] — plain exact-membership via a
+    * corpus-side semi/anti join. DedupSpec pins q80 output-identical to
+    * this; it is also the honest fallback when the corpus side is SMALL
+    * enough that a bloom build isn't worth a pass. */
+  private[graft] def membershipPlain(probes: DataFrame, keys: DataFrame): DataFrame =
+    probes
+      .join(keys.select(col("tkey")).distinct().withColumn("is_dup", lit(true)),
+        Seq("tkey"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),
     "q23_dedup_minhash_lsh" -> (q23MinhashLsh _),
@@ -704,6 +843,8 @@ object DedupQueries {
     "q74_incremental_neardup" -> (q74IncrementalNearDup _),
     "q76_source_overlap" -> (q76SourceOverlap _),
     "q77_span_dedup" -> (q77SpanDedup _),
+    "q79_edit_verify" -> (q79EditVerify _),
+    "q80_bloom_dedup" -> (q80BloomDedup _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -712,6 +853,24 @@ object DedupQueries {
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique, " +
         "CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup FROM documents"),
     "q23_dedup_minhash_lsh" -> minhashOracle("SELECT doc_a, doc_b FROM pairs ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST"),
+    "q79_edit_verify" -> minhashOracle(
+      s"""t AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(1000 - (1000 * levenshtein(a.t, b.t))
+         |    // greatest(length(a.t), length(b.t)) AS BIGINT) AS edit_sim_milli
+         |FROM pairs p
+         |JOIN t a ON a.doc_id = p.doc_a
+         |JOIN t b ON b.doc_id = p.doc_b
+         |ORDER BY p.doc_a NULLS FIRST, p.doc_b NULLS FIRST""".stripMargin,
+      extraCtes = true),
+    "q80_bloom_dedup" ->
+      s"""WITH corp AS (SELECT DISTINCT md5(text) AS tkey FROM documents
+         |  WHERE doc_id % $IncrMod <> $IncrRes AND text IS NOT NULL),
+         |arr AS (SELECT doc_id, md5(text) AS tkey FROM documents
+         |  WHERE doc_id % $IncrMod = $IncrRes AND text IS NOT NULL)
+         |SELECT a.doc_id, (a.tkey IN (SELECT tkey FROM corp)) AS is_dup
+         |FROM arr a ORDER BY a.doc_id NULLS FIRST""".stripMargin,
     "q24_dedup_jaccard" -> minhashOracle(
       """SELECT p.doc_a, p.doc_b,
         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
