@@ -709,10 +709,36 @@ object DedupQueries {
     * pass, and it happens once here instead of once per ingest batch. The
     * index carries ids + band signatures only (no text, no shingle arrays),
     * so its size is a small constant factor of the doc count regardless of
-    * document length. */
+    * document length.
+    *
+    * Layout: partitioned by `batch_id` (the base build is partition -1) so
+    * [[appendToNearDupIndex]] can grow the index one ingest batch at a time
+    * with idempotent replay — each append dynamically overwrites ONLY its
+    * own partition, the same exactly-once discipline as the sharded corpus
+    * writer (Sinks.writeShardedBatchIdempotent). */
   def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
     bands(withShinglesAndSignature(docs))
-      .write.mode("overwrite").parquet(s"$indexDir/bands.parquet")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$indexDir/bands.parquet")
+
+  /** Append one ingest batch's band rows to a persisted
+    * [[buildNearDupIndex]] — the index MAINTENANCE path: accepted arrivals
+    * join the corpus, so tomorrow's batch dedups against today's accepted
+    * docs without ever re-signing the standing corpus. Dynamic partition
+    * overwrite of the batch's OWN partition only: a crash-replayed batch
+    * replaces its previous (possibly partial) append instead of
+    * duplicating it, and every other partition — the base build and all
+    * other batches — is untouched. The caller probing during replay must
+    * exclude the current batch's partition (see
+    * StreamingOps.ingestLifecycleGrowing) so the probe sees the exact
+    * pre-append state. */
+  def appendToNearDupIndex(docs: DataFrame, indexDir: String, batchId: Long): Unit =
+    bandDocs(docs).withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$indexDir/bands.parquet")
 
   /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
     * shingle/sign/band ONLY the batch, equi-join its bands against the index

@@ -177,6 +177,41 @@ object StreamingOps {
       }
       .start()
 
+  /** [[ingestLifecycle]] with a GROWING index — the standing deployment's
+    * actual shape: every batch's ACCEPTED docs join the persisted band
+    * index ([[graft.operators.DedupQueries.appendToNearDupIndex]]), so
+    * batch N+1 near-dups against the base corpus AND every doc accepted in
+    * batches 0..N, while the expensive signature pass still runs only over
+    * each batch once.
+    *
+    * Replay discipline (the part that makes growth exactly-once-safe): the
+    * per-batch probe reads the index EXCLUDING the current batch's own
+    * partition — a crash between the shard landing and the index append
+    * (or after both) re-runs the batch against the exact pre-append index
+    * state, reproducing the same kept set, whose landing and append both
+    * idempotently replace their own partitions. The filter is partition
+    * pruning on the `batch_id` directory key, so exclusion costs a listing,
+    * not a scan. */
+  def ingestLifecycleGrowing(docs: DataFrame, benchGrams: DataFrame,
+      indexDir: String, path: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val index = sp.read.parquet(s"$indexDir/bands.parquet")
+          .filter(col("batch_id") =!= lit(batchId))
+        // materialized once: the kept set feeds BOTH the shard landing and
+        // the index append, and the drop chain must not run twice
+        val kept = graft.operators.Materialize.materialize(
+          cleanIngestBatch(batch, benchGrams, index)
+            .select(col("doc_id"), col("text")))
+        graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
+        graft.operators.DedupQueries.appendToNearDupIndex(kept, indexDir, batchId)
+      }
+      .start()
+
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -577,6 +577,65 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       lastBatch, sink)
     assert(landed() == got, "replayed batch must not duplicate landed docs")
   }
+
+  test("growing-index ingest lifecycle: accepted arrivals join the index, " +
+      "a later near-dup of them is dropped, and replayed appends are idempotent") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val bench = graft.operators.TextQueries.docGrams3(
+      Seq(7L -> "held out evaluation prompt text").toDF("doc_id", "text"))
+      .select($"gram").distinct()
+    val idxDir = java.nio.file.Files.createTempDirectory("grow_idx").toString
+    DedupQueries.buildNearDupIndex(spark, corpus.toDF("doc_id", "text"), idxDir)
+
+    val fresh = "totally fresh document with new words never seen before"
+    val batch0 = Seq(StreamingSpec.Doc(30L, fresh))
+    // near-dup of doc 30 (LAST word changed — only the final shingle
+    // differs, so band signatures still collide) — dropped ONLY if doc
+    // 30's acceptance grew the index; the frozen lifecycle would keep it
+    val batch1 = Seq(
+      StreamingSpec.Doc(31L, fresh.replace("before", "previously")),
+      StreamingSpec.Doc(32L, "independent clean arrival with other novel vocabulary"))
+
+    val sink = java.nio.file.Files.createTempDirectory("grow_sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("grow_ckpt").toString
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val q = StreamingOps.ingestLifecycleGrowing(stream.toDF(), bench, idxDir, sink, ckpt)
+    stream.addData(batch0)
+    q.processAllAvailable()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(sink).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(30L, 32L),
+      s"doc 31 must near-dup against accepted doc 30: $landed")
+    // the frozen chain against the BASE index alone would have kept 31
+    val frozenKept = StreamingOps.cleanIngestBatch(
+      batch1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), bench,
+      spark.read.parquet(s"$idxDir/bands.parquet")
+        .filter($"batch_id" === -1L))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(frozenKept == Set(31L, 32L), s"frozen twin sanity: $frozenKept")
+    // index holds base + one partition per batch, only accepted docs' bands
+    val idx = spark.read.parquet(s"$idxDir/bands.parquet")
+      .select($"doc_id", $"band", $"bsig", $"batch_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](3).longValue()))
+    assert(idx.map(_._2).toSet == Set(-1L, 0L, 1L))
+    assert(idx.filter(_._2 >= 0L).map(_._1).toSet == Set(30L, 32L))
+    // crash-replay of batch 1's append: same rows, same count — idempotent
+    val before = spark.read.parquet(s"$idxDir/bands.parquet").collect()
+      .map(_.toString).sorted.toSeq
+    DedupQueries.appendToNearDupIndex(
+      Seq(32L -> "independent clean arrival with other novel vocabulary")
+        .toDF("doc_id", "text"), idxDir, 1L)
+    val after = spark.read.parquet(s"$idxDir/bands.parquet").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before, "replayed append must replace, not duplicate")
+  }
 }
 
 object StreamingSpec {
