@@ -342,7 +342,11 @@ object SimilarityQueries {
     val assigned =
       if (centroids.isEmpty) emb.select(col("vec_id"), lit(0).as("cell")) // empty corpus
       else emb.withColumn("cell", nearestCellExpr(centroids)).select(col("vec_id"), col("cell"))
-    assigned.write.mode("overwrite").parquet(s"$indexDir/assignments")
+    // batch_id-partitioned like the band index (base build = -1) so the
+    // delta-assign path can append with idempotent replay
+    assigned.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$indexDir/assignments")
   }
 
   /** Incremental index maintenance: assign NEW vectors against the
@@ -352,10 +356,15 @@ object SimilarityQueries {
     * native [[graft.functions.NearestCellLong]] assignment the builder
     * used — appended rows are bit-identical to what a full rebuild with
     * the same codebook would produce (pinned by SimilaritySpec). Input:
-    * any frame with (vec_id, embedding); output: (vec_id, cell), appended
-    * to the index when `append = true`. */
+    * any frame with (vec_id, embedding); output: (vec_id, cell).
+    *
+    * `appendBatchId = Some(n)` persists the delta into the index as
+    * partition `batch_id = n` via dynamic partition overwrite — the same
+    * exactly-once replay discipline as the band index's
+    * appendToNearDupIndex: a crash-replayed batch replaces its own
+    * previous rows and touches nothing else. */
   def assignToIvfIndex(newVectors: DataFrame, indexDir: String,
-      append: Boolean = false): DataFrame = {
+      appendBatchId: Option[Long] = None): DataFrame = {
     val spark = newVectors.sparkSession
     val centroids = spark.read.parquet(s"$indexDir/codebook")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
@@ -365,7 +374,13 @@ object SimilarityQueries {
         .withColumn("qv", quantizeExpr(col("embedding")))
         .withColumn("cell", nearestCellExpr(centroids))
         .select(col("vec_id"), col("cell"))
-    if (append) assigned.write.mode("append").parquet(s"$indexDir/assignments")
+    appendBatchId.foreach { b =>
+      assigned.withColumn("batch_id", lit(b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$indexDir/assignments")
+    }
     assigned
   }
 

@@ -37,7 +37,8 @@ object ScaleSmoke {
     "q58_approx_percentile", "q59_funnel",
     "q65_semantic_dedup", "q66_decontamination", "q67_repetition",
     "q68_bpe_pairs", "q71_exact_spans", "q72_rarity", "q73_shard_stats",
-    "q74_incremental_neardup", "q75_curation_v2", "q76_source_overlap")
+    "q74_incremental_neardup", "q75_curation_v2", "q76_source_overlap",
+    "q77_span_dedup", "q78_ingest_clean", "q79_edit_verify", "q80_bloom_dedup")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsNanosCol: Option[String] = None): DataFrame =

@@ -168,7 +168,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val cb = spark.read.parquet(s"$idx/codebook")
     assert(cb.count() <= SimilarityQueries.IvfCells)
     assert(spark.read.parquet(s"$idx/assignments").columns.toSeq ==
-      Seq("vec_id", "cell"))
+      Seq("vec_id", "cell", "batch_id"))
 
     // incremental maintenance: delta-assigning the same vectors against the
     // persisted codebook reproduces the builder's assignment bit-for-bit
@@ -181,10 +181,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // append mode extends the assignment table with shifted ids, and the
     // served top-k still matches (old ids unchanged, new ids queryable)
     val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-    SimilarityQueries.assignToIvfIndex(shifted, idx, append = true)
+    SimilarityQueries.assignToIvfIndex(shifted, idx, appendBatchId = Some(0L))
     val after = spark.read.parquet(s"$idx/assignments")
     assert(after.count() == 2 * built.size)
     assert(after.filter(col("vec_id") >= 1000000L).count() == built.size)
+    // crash-replay of the same append batch replaces, never duplicates
+    SimilarityQueries.assignToIvfIndex(shifted, idx, appendBatchId = Some(0L))
+    assert(spark.read.parquet(s"$idx/assignments").count() == 2 * built.size)
   }
 
   test("Lloyd codebook refinement: round 1 IS the q42 codebook; the " +
@@ -378,7 +381,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // answers the dense corpus's queries identically to the dense-trained
     // index — pins the full probe/score/top-k path end-to-end
     SimilarityQueries.assignToIvfIndex(
-      graft.operators.Tables.embeddings(spark, dir), idxShift, append = true)
+      graft.operators.Tables.embeddings(spark, dir), idxShift,
+      appendBatchId = Some(0L))
     def serve(idx: String) = SimilarityQueries.ivfAnnTopKFromIndex(spark, dir, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val served = serve(idxShift)
