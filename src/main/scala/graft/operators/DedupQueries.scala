@@ -807,11 +807,14 @@ object DedupQueries {
     *     semantics the optimizer can't derive on its own;
     *  3. the exact backstop is a semi-join of the maybes' keys against the
     *     corpus scan; in the low-duplication ingest regime maybes are a
-    *     small fraction of the batch, so the backstop broadcasts them and
-    *     the CORPUS NEVER SHUFFLES — its two passes (bloom agg + backstop
-    *     probe) are both scan-shaped. (A maybe set past the broadcast
-    *     threshold degrades to a shuffle join that still only moves the
-    *     pruned rows; AQE makes that call at runtime from the real size.)
+    *     small fraction of the batch, so AQE's runtime size stats convert
+    *     the backstop to a broadcast join and the CORPUS NEVER SHUFFLES —
+    *     its two passes (bloom agg + backstop probe) are both scan-shaped.
+    *     The broadcast decision is deliberately LEFT TO AQE (no hard
+    *     `broadcast()` hint): in the adversarial all-duplicates regime the
+    *     maybe set is the whole batch, and a forced broadcast would OOM
+    *     exactly where a shuffle join that only moves the pruned rows is
+    *     the right degradation.
     *
     * No false negatives by construction (bloom guarantees), and false
     * positives die in the backstop — DedupSpec pins output parity against
@@ -838,11 +841,11 @@ object DedupQueries {
     val maybeKeys = probes.filter(mightContain(col("tkey")))
       .select(col("tkey")).distinct()
     val confirmed = keys
-      .join(broadcast(maybeKeys), Seq("tkey"), "left_semi")
+      .join(maybeKeys, Seq("tkey"), "left_semi")
       .select(col("tkey")).distinct()
       .withColumn("is_dup", lit(true))
     probes
-      .join(broadcast(confirmed), Seq("tkey"), "left")
+      .join(confirmed, Seq("tkey"), "left")
       .select(col("doc_id"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
     }

@@ -260,11 +260,22 @@ object TextQueries {
     * interpreted lambdas per gram per doc; the kernel emits zero-copy byte
     * slices in one scan). Rides the scan; works identically on a batch or
     * streaming frame; short/empty docs vanish at the explode. */
+  /** Gram length for the decontamination family. Default 3 — the oracle
+    * pin (short grams are the sf-testdata-visible setting); published
+    * decontamination runs 8–13-word grams (GPT-3's 13-gram overlap filter
+    * and its descendants), one conf away. Plan shape is
+    * length-independent: longer grams mean FEWER rows after the per-doc
+    * distinct (fewer docs clear the n-word floor) and a smaller benchmark
+    * gram set to broadcast. */
+  private[graft] val DecontamGramsKey = "spark.graft.decontam.grams"
+  private[graft] def decontamGrams(df: DataFrame): Int =
+    df.sparkSession.conf.get(DecontamGramsKey, "3").toInt
+
   def docGrams3(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(
-        graft.functions.WordNGrams(col("text"), 3))).as("gram"))
+        graft.functions.WordNGrams(col("text"), decontamGrams(docs)))).as("gram"))
 
   /** Distinct word-3-gram set of a benchmark/eval frame — needs only a
     * `text` column, so ANY external eval-suite table (its own parquet, a
@@ -273,7 +284,7 @@ object TextQueries {
   def benchmarkGrams(benchmark: DataFrame): DataFrame =
     benchmark.filter(col("text").isNotNull)
       .select(explode(array_distinct(
-        graft.functions.WordNGrams(col("text"), 3))).as("gram"))
+        graft.functions.WordNGrams(col("text"), decontamGrams(benchmark)))).as("gram"))
       .distinct()
 
   /** Per-train-doc contamination counts against an EXTERNAL benchmark
