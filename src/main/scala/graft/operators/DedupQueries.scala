@@ -740,6 +740,24 @@ object DedupQueries {
       .partitionBy("batch_id")
       .parquet(s"$indexDir/bands.parquet")
 
+  /** Fold every appended batch partition back into the base (-1) — the
+    * nightly compaction that closes the index lifecycle (build → append*
+    * → compact): probe cost stays a function of index SIZE, not of how
+    * many ingest batches ever ran, and the per-batch partition listing
+    * stops growing. Contents are unchanged (spec-pinned); the read is
+    * materialized through [[Materialize.materialize]] before the
+    * overwrite because the write targets the directory being read. On a
+    * real deployment this is the generation-rollover write (new dir +
+    * catalog pointer swap — object-store renames aren't atomic); the
+    * in-place overwrite is the single-filesystem equivalent. */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit =
+    Materialize.materialize(
+        spark.read.parquet(s"$indexDir/bands.parquet")
+          .select(col("doc_id"), col("band"), col("bsig")))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$indexDir/bands.parquet")
+
   /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
     * shingle/sign/band ONLY the batch, equi-join its bands against the index
     * table. Returns distinct (new_doc, corpus_doc) candidate pairs — feed

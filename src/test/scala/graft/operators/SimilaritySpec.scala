@@ -188,6 +188,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // crash-replay of the same append batch replaces, never duplicates
     SimilarityQueries.assignToIvfIndex(shifted, idx, appendBatchId = Some(0L))
     assert(spark.read.parquet(s"$idx/assignments").count() == 2 * built.size)
+    // compaction folds appends into the base partition, contents unchanged
+    val preCompact = spark.read.parquet(s"$idx/assignments")
+      .select(col("vec_id"), col("cell")).collect().map(_.toString).sorted.toSeq
+    SimilarityQueries.compactIvfIndex(spark, idx)
+    val compacted = spark.read.parquet(s"$idx/assignments")
+    assert(compacted.select(col("vec_id"), col("cell")).collect()
+      .map(_.toString).sorted.toSeq == preCompact)
+    assert(compacted.select(col("batch_id")).distinct().collect()
+      .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
   }
 
   test("Lloyd codebook refinement: round 1 IS the q42 codebook; the " +

@@ -635,6 +635,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val after = spark.read.parquet(s"$idxDir/bands.parquet").collect()
       .map(_.toString).sorted.toSeq
     assert(after == before, "replayed append must replace, not duplicate")
+    // nightly compaction folds the batch partitions into the base:
+    // contents identical, one partition remains
+    val preCompact = spark.read.parquet(s"$idxDir/bands.parquet")
+      .select($"doc_id", $"band", $"bsig").collect().map(_.toString).sorted.toSeq
+    DedupQueries.compactNearDupIndex(spark, idxDir)
+    val compacted = spark.read.parquet(s"$idxDir/bands.parquet")
+    assert(compacted.select($"doc_id", $"band", $"bsig").collect()
+      .map(_.toString).sorted.toSeq == preCompact)
+    assert(compacted.select($"batch_id").distinct().collect()
+      .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
   }
 }
 
