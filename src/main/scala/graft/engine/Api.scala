@@ -42,7 +42,17 @@ object Api {
     * normalization, then the same validate+estimate path as everything
     * else. Missing required params / bad numbers / validation errors all
     * come back as Left (the 400 path). */
-  def estimateFromParams(params: Map[String, String]): Either[String, EstimationResult] = {
+  def estimateFromParams(params: Map[String, String]): Either[String, EstimationResult] =
+    estimateFromParamsWithInput(params).map(_._2)
+
+  /** [[estimateFromParams]] returning the VALIDATED input alongside the
+    * result — the save path persists exactly what was estimated (t-shirt
+    * rewrite applied, strings trimmed), the same contract as the JSON
+    * surface; a second independent parse of the raw params would be a
+    * drift site (it was: the HTTP form save used to re-parse and could
+    * persist an input that disagreed with the rendered estimate). */
+  def estimateFromParamsWithInput(params: Map[String, String])
+      : Either[String, (EstimationInput, EstimationResult)] = {
     val p = GetDefaults ++ params
     def req(k: String): Either[String, String] =
       p.get(k).toRight(s"missing required parameter: $k")
@@ -86,7 +96,7 @@ object Api {
         worker_node_t_size = tsize)
       validated <- Validation.validate(in).left.map(_.mkString("; "))
       result <- Estimator.estimate(validated)
-    } yield result
+    } yield (validated, result)
   }
 
   /** B10 inverse codec — EstimationInput to form-field map: memory MB->GB,

@@ -42,15 +42,20 @@ final class HttpApi(store: RunStore, port: Int = 0) {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
 
+  private val executor = java.util.concurrent.Executors.newFixedThreadPool(8)
+
   private val server: HttpServer = {
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/", (ex: HttpExchange) => route(ex))
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    s.setExecutor(executor)
     s
   }
 
   def start(): HttpApi = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  /** Stops the server AND its executor — HttpServer.stop does not shut
+    * down a user-supplied pool, and its 8 non-daemon threads would pin the
+    * embedding JVM alive (and leak per start/stop cycle) otherwise. */
+  def stop(): Unit = { server.stop(0); executor.shutdown() }
   /** The bound port (ephemeral when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
 
@@ -146,11 +151,15 @@ final class HttpApi(store: RunStore, port: Int = 0) {
   /** DELETE /delete-estimation/{filename} (main.py:388-419): traversal
     * guard 400, missing 404. */
   private def delete(ex: HttpExchange, filename: String): Unit =
-    store.delete(filename) match {
+    // the 400-vs-404 split keys off the TYPED traversal check, not the
+    // wording of RunStore's error string (a sentinel-string match here
+    // would silently turn traversal attempts into 404s if reworded)
+    if (!store.traversalSafe(filename))
+      json(ex, 400, mapper.writeValueAsString(
+        Map("success" -> false, "message" -> "Invalid filename")))
+    else store.delete(filename) match {
       case Right(msg) => json(ex, 200, mapper.writeValueAsString(
         Map("success" -> true, "message" -> msg)))
-      case Left("Invalid filename") => json(ex, 400, mapper.writeValueAsString(
-        Map("success" -> false, "message" -> "Invalid filename")))
       case Left(_) => json(ex, 404, mapper.writeValueAsString(
         Map("success" -> false, "message" -> "File not found")))
     }
@@ -199,13 +208,15 @@ final class HttpApi(store: RunStore, port: Int = 0) {
     }
   }
 
-  /** POST /save-estimation — form flow save (main.py:286-346). */
+  /** POST /save-estimation — form flow save (main.py:286-346). Persists
+    * the VALIDATED input (t-shirt rewrite applied) from the same parse
+    * that produced the estimate — the reference saves the
+    * pydantic-validated model, and the JSON surface (apiSave) does the
+    * equivalent, so the stored artifact is internally consistent whichever
+    * surface wrote it. */
   private def saveForm(ex: HttpExchange): Unit = {
     val params = formParams(ex)
-    (for {
-      r <- Api.estimateFromParams(params)
-      in <- inputFromParams(params)
-    } yield (in, r)) match {
+    Api.estimateFromParamsWithInput(params) match {
       case Right((in, r)) =>
         val filename = store.save(in, r)
         html(ex, 200, resultsHtml(params, r,
@@ -251,14 +262,24 @@ final class HttpApi(store: RunStore, port: Int = 0) {
       catch { case e: Exception => return Left(s"invalid JSON: ${e.getMessage}") }
     if (node == null || !node.isObject) return Left("invalid JSON: expected an object")
     val d = EstimationInput(project_name = "")
+    // pydantic-parity lenience: JSON null reads as "absent" (Optional
+    // fields accept null), and numeric STRINGS lax-coerce to numbers —
+    // both accepted-with-200 by the reference, so a strict decode here
+    // would 500 where it 200s
     def str(f: String, dv: String): Either[String, String] =
-      Option(node.get(f)).map(n =>
+      Option(node.get(f)).filterNot(_.isNull).map(n =>
         if (n.isTextual) Right(n.asText) else Left(s"$f: expected string"))
         .getOrElse(Right(dv))
     def num[T](f: String, dv: T, conv: JsonNode => T): Either[String, T] =
-      Option(node.get(f)).map(n =>
-        if (n.isNumber) Right(conv(n)) else Left(s"$f: expected number"))
-        .getOrElse(Right(dv))
+      Option(node.get(f)).filterNot(_.isNull).map {
+        case n if n.isNumber => Right(conv(n))
+        case n if n.isTextual =>
+          (try Option(mapper.readTree(n.asText.trim))
+           catch { case _: Exception => None })
+            .filter(_.isNumber).map(p => Right(conv(p)))
+            .getOrElse(Left(s"$f: expected number"))
+        case _ => Left(s"$f: expected number")
+      }.getOrElse(Right(dv))
     for {
       name <- Option(node.get("project_name"))
         .toRight("missing required field: project_name")
@@ -289,49 +310,6 @@ final class HttpApi(store: RunStore, port: Int = 0) {
       complex_statements = cmplx, worker_node_memory_mb = mem,
       worker_node_cpu_max = cpu, nb_worker_nodes = nodes,
       worker_node_type = wtype, worker_node_t_size = tsize)
-  }
-
-  /** Form/query params -> EstimationInput with the GET/form defaults (so
-    * save persists exactly what the form estimated; callers run
-    * [[Api.estimateFromParams]] first, which validates). */
-  private def inputFromParams(params: Map[String, String])
-      : Either[String, EstimationInput] = {
-    for {
-      name <- params.get("project_name").toRight("missing project_name")
-      mem = params.get("worker_node_memory_gb")
-        .flatMap(_.toDoubleOption).map(_ * 1024.0)
-      tsize <- Api.normalizeTsize(params.get("worker_node_t_size"))
-    } yield {
-      val d = EstimationInput(project_name = name)
-      EstimationInput(
-        project_name = name,
-        messages_per_second = params.get("messages_per_second")
-          .flatMap(_.toIntOption).getOrElse(d.messages_per_second),
-        avg_record_size_bytes = params.get("avg_record_size_bytes")
-          .flatMap(_.toIntOption).getOrElse(d.avg_record_size_bytes),
-        number_flink_applications = params.get("number_flink_applications")
-          .flatMap(_.toIntOption).getOrElse(1),
-        num_distinct_keys = params.get("num_distinct_keys")
-          .flatMap(_.toLongOption).getOrElse(100000L),
-        data_skew_risk = params.getOrElse("data_skew_risk", "medium"),
-        bandwidth_capacity_gbps = params.get("bandwidth_capacity_gbps")
-          .flatMap(_.toIntOption).getOrElse(10),
-        expected_latency_seconds = params.get("expected_latency_seconds")
-          .flatMap(_.toDoubleOption).getOrElse(1.0),
-        simple_statements = params.get("simple_statements")
-          .flatMap(_.toIntOption).getOrElse(0),
-        medium_statements = params.get("medium_statements")
-          .flatMap(_.toIntOption).getOrElse(0),
-        complex_statements = params.get("complex_statements")
-          .flatMap(_.toIntOption).getOrElse(0),
-        worker_node_memory_mb = mem.getOrElse(2048.0),
-        worker_node_cpu_max = params.get("worker_node_cpu_max")
-          .flatMap(_.toIntOption).getOrElse(8),
-        nb_worker_nodes = params.get("nb_worker_nodes")
-          .flatMap(_.toIntOption).getOrElse(3),
-        worker_node_type = params.getOrElse("worker_node_type", "bare_metal"),
-        worker_node_t_size = tsize)
-    }
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =

@@ -197,9 +197,8 @@ object CurationPipeline {
       col("doc_id") % DedupQueries.IncrMod === DedupQueries.IncrRes)
     val corpus = docs.filter(
       col("doc_id") % DedupQueries.IncrMod =!= DedupQueries.IncrRes)
-    val benchGrams = TextQueries.docGrams3(docs.filter(
-        col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes))
-      .select(col("gram")).distinct()
+    val benchGrams = TextQueries.benchmarkGrams(docs.filter(
+      col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes))
     val index = DedupQueries.bandDocs(corpus)
     val contam = graft.streaming.StreamingOps
       .contaminatedDocs(arrivals, benchGrams)

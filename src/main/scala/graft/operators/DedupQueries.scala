@@ -734,7 +734,16 @@ object DedupQueries {
     * StreamingOps.ingestLifecycleGrowing) so the probe sees the exact
     * pre-append state. */
   def appendToNearDupIndex(docs: DataFrame, indexDir: String, batchId: Long): Unit =
-    bandDocs(docs).withColumn("batch_id", lit(batchId))
+    appendBandsToNearDupIndex(bandDocs(docs), indexDir, batchId)
+
+  /** Band-level append — for callers that already computed the batch's
+    * band rows (the growing lifecycle signs each batch exactly once and
+    * reuses the rows for probe and append). `bands` must be (doc_id,
+    * band, bsig)-shaped, i.e. [[bandDocs]] output or a subset of it. */
+  def appendBandsToNearDupIndex(bands: DataFrame, indexDir: String,
+      batchId: Long): Unit =
+    bands.select(col("doc_id"), col("band"), col("bsig"))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
@@ -744,19 +753,39 @@ object DedupQueries {
     * nightly compaction that closes the index lifecycle (build → append*
     * → compact): probe cost stays a function of index SIZE, not of how
     * many ingest batches ever ran, and the per-batch partition listing
-    * stops growing. Contents are unchanged (spec-pinned); the read is
-    * materialized through [[Materialize.materialize]] before the
-    * overwrite because the write targets the directory being read. On a
-    * real deployment this is the generation-rollover write (new dir +
-    * catalog pointer swap — object-store renames aren't atomic); the
-    * in-place overwrite is the single-filesystem equivalent. */
+    * stops growing. Contents are unchanged (spec-pinned).
+    *
+    * Generation-rollover write: the compacted generation is FULLY written
+    * to a sibling `.compacting` directory before the live one is touched,
+    * then swapped in — a failure mid-compaction leaves the standing index
+    * intact. (The first cut overwrote in place behind a materialize; a
+    * crash after the delete-before-rewrite would have destroyed the only
+    * copy of the index when the materialization was executor-local.) The
+    * remaining crash window, between delete and rename, leaves the
+    * complete new generation at the `.compacting` path — recoverable by
+    * rename, never data loss. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit =
-    Materialize.materialize(
-        spark.read.parquet(s"$indexDir/bands.parquet")
-          .select(col("doc_id"), col("band"), col("bsig")))
+    compactGeneration(spark, s"$indexDir/bands.parquet",
+      df => df.select(col("doc_id"), col("band"), col("bsig")))
+
+  /** Shared generation-rollover compaction: rewrite `target`'s rows (via
+    * `project`, which must drop `batch_id`) into base partition -1 at a
+    * sibling path, then swap. Used by both persisted indexes. */
+  private[operators] def compactGeneration(spark: SparkSession,
+      target: String, project: DataFrame => DataFrame): Unit = {
+    val tmp = s"$target.compacting"
+    project(spark.read.parquet(target))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(s"$indexDir/bands.parquet")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val livePath = new org.apache.hadoop.fs.Path(target)
+    fs.delete(livePath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath))
+      throw new IllegalStateException(
+        s"compaction swap failed: new generation is at $tmp")
+  }
 
   /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
     * shingle/sign/band ONLY the batch, equi-join its bands against the index

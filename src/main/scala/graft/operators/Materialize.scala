@@ -49,9 +49,16 @@ object Materialize {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         // set-once: repeated setCheckpointDir calls each mkdir a fresh
-        // random subdir even when nothing checkpoints there (ADVICE r6)
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // random subdir even when nothing checkpoints there (ADVICE r6).
+        // The "already set to this dir" check compares the PARENT of the
+        // current checkpoint dir (setCheckpointDir appends a random UUID
+        // segment) path-wise — a substring test would treat a conf dir
+        // that merely prefixes the old one (/tmp/ck vs /tmp/ck2) as
+        // already set and silently keep checkpointing to the old location.
+        val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val current = sc.getCheckpointDir
+          .map(d => new org.apache.hadoop.fs.Path(d).getParent.toUri.getPath)
+        if (!current.contains(wanted)) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None =>
         df.localCheckpoint()

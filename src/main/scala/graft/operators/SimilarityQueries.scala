@@ -385,17 +385,14 @@ object SimilarityQueries {
   }
 
   /** Fold appended assignment partitions back into the base (-1) — the
-    * IVF twin of DedupQueries.compactNearDupIndex; see there for the
-    * materialize-before-overwrite and generation-rollover rationale. The
-    * codebook is untouched: compaction is a layout operation, retraining
-    * ([[buildIvfIndex]]) is a different decision. */
+    * IVF twin of DedupQueries.compactNearDupIndex, sharing its
+    * generation-rollover write (the new generation is fully on disk
+    * before the live directory is touched). The codebook is untouched:
+    * compaction is a layout operation, retraining ([[buildIvfIndex]]) is
+    * a different decision. */
   def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
-    Materialize.materialize(
-        spark.read.parquet(s"$indexDir/assignments")
-          .select(col("vec_id"), col("cell")))
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(s"$indexDir/assignments")
+    DedupQueries.compactGeneration(spark, s"$indexDir/assignments",
+      df => df.select(col("vec_id"), col("cell")))
 
   /** IVF top-k served from a persisted index: one bounded collect of the
     * cells-row codebook, an id equi-join to re-attach vectors to their

@@ -140,9 +140,21 @@ object StreamingOps {
     * small, so at 100 TB/day the cost is dominated by the index probe,
     * which is the q74 incremental shape (never a corpus self-join). */
   def cleanIngestBatch(batch: DataFrame, benchGrams: DataFrame,
-      bandIndex: DataFrame): DataFrame = {
+      bandIndex: DataFrame): DataFrame =
+    cleanIngestBatchWithBands(batch,
+      graft.operators.DedupQueries.bandDocs(batch), benchGrams, bandIndex)
+
+  /** [[cleanIngestBatch]] with the batch's band rows supplied by the
+    * caller — the growing lifecycle computes them ONCE (the minhash
+    * signature loop is the CPU-dominant stage) and reuses them for both
+    * the probe and the index append; the plain form derives them inline.
+    * `batchBands` must be `bandDocs(batch)` (or a cached/materialized copy
+    * of it) — supplying anything else breaks the q74 probe contract. */
+  def cleanIngestBatchWithBands(batch: DataFrame, batchBands: DataFrame,
+      benchGrams: DataFrame, bandIndex: DataFrame): DataFrame = {
     val contaminated = contaminatedDocs(batch, benchGrams)
-    val dupped = nearDupArrivals(batch, bandIndex)
+    val dupped = graft.operators.DedupQueries.probeBands(batchBands, bandIndex)
+      .dropDuplicates("new_doc", "corpus_doc")
       .select(col("new_doc").as("doc_id")).distinct()
     batch
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -202,13 +214,21 @@ object StreamingOps {
         val sp = batch.sparkSession
         val index = sp.read.parquet(s"$indexDir/bands.parquet")
           .filter(col("batch_id") =!= lit(batchId))
-        // materialized once: the kept set feeds BOTH the shard landing and
-        // the index append, and the drop chain must not run twice
-        val kept = graft.operators.Materialize.materialize(
-          cleanIngestBatch(batch, benchGrams, index)
-            .select(col("doc_id"), col("text")))
-        graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
-        graft.operators.DedupQueries.appendToNearDupIndex(kept, indexDir, batchId)
+        // the batch is signed ONCE (the minhash loop is the CPU-dominant
+        // stage): the cached band rows feed both the probe and the index
+        // append. persist(), not checkpoint: a per-micro-batch reliable
+        // checkpoint on an unbounded stream is unbounded disk growth, and
+        // within one foreachBatch invocation cached blocks (with lineage
+        // retained for executor-loss recompute) are the right pin.
+        val bands = graft.operators.DedupQueries.bandDocs(batch).persist()
+        val kept = cleanIngestBatchWithBands(batch, bands, benchGrams, index)
+          .select(col("doc_id"), col("text")).persist()
+        try {
+          graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
+          graft.operators.DedupQueries.appendBandsToNearDupIndex(
+            bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+            indexDir, batchId)
+        } finally { kept.unpersist(); bands.unpersist() }
       }
       .start()
 

@@ -176,4 +176,46 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
     assert(get("/considerations").statusCode == 200)
     assert(get("/nope").statusCode == 404)
   }
+
+  test("JSON decode is pydantic-lenient: null Optional and numeric strings " +
+      "estimate 200 instead of 500") {
+    val withNull = post("/api/estimate",
+      """{"project_name":"lenient","worker_node_t_size":null}""",
+      "application/json")
+    assert(withNull.statusCode == 200, withNull.body)
+    val strNum = post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":"5000"}""",
+      "application/json")
+    assert(strNum.statusCode == 200, strNum.body)
+    // and the coerced value is actually used, not a default
+    val r = mapper.readTree(strNum.body)
+    assert(r.get("input_summary").get("messages_per_second").asInt == 5000, strNum.body)
+    // genuinely non-numeric still fails with the reference's 500 envelope
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":"abc"}""",
+      "application/json").statusCode == 500)
+  }
+
+  test("form save persists the VALIDATED input: t-shirt rewrite applied, " +
+      "identical to what the JSON surface stores") {
+    val form = "project_name=tshirt+form+save&messages_per_second=1000&" +
+      "avg_record_size_bytes=512&worker_node_type=VM&worker_node_t_size=M"
+    val resp = post("/save-estimation", form, "application/x-www-form-urlencoded")
+    assert(resp.statusCode == 200 && resp.body.contains("saved successfully"), resp.body)
+    val listed = mapper.readTree(get("/saved-estimations").body)
+    val filename = (0 until listed.get("files").size)
+      .map(listed.get("files").get(_))
+      .find(_.get("project_name").asText == "tshirt form save")
+      .map(_.get("filename").asText)
+    assert(filename.isDefined, listed.toString)
+    val stored = mapper.readTree(get(s"/download/${filename.get}").body)
+    val in = stored.get("input_parameters")
+    // the t-shirt rewrite (B9) must be IN the stored input, as the
+    // reference's pydantic model_validator guarantees — not the raw form
+    // memory default alongside t-size-derived results
+    val (expectedMb, expectedCpu) = graft.core.Validation.VmTshirtMbCpu("M")
+    assert(in.get("worker_node_memory_mb").asDouble == expectedMb,
+      s"stored input must carry the rewritten memory: $in")
+    assert(in.get("worker_node_cpu_max").asInt == expectedCpu, in.toString)
+  }
 }

@@ -61,4 +61,21 @@ class MaterializeSpec extends AnyFunSuite with SparkTestSession {
         "legacy key must still persist checkpoint part files")
     } finally spark.conf.unset(Materialize.LegacyConfKey)
   }
+
+  test("switching to a checkpoint dir that PREFIXES the old one still " +
+      "re-points the checkpoint location (no substring false-positive)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ckpfx").toString
+    val (dirLong, dirShort) = (s"$base/ck2", s"$base/ck")
+    try {
+      spark.conf.set(Materialize.ConfKey, dirLong)
+      Materialize.materialize(Seq(1, 2).toDF("v")).count()
+      spark.conf.set(Materialize.ConfKey, dirShort)
+      Materialize.materialize(Seq(3, 4).toDF("v")).count()
+      val current = spark.sparkContext.getCheckpointDir.get
+      assert(new org.apache.hadoop.fs.Path(current).getParent.toUri.getPath
+        == dirShort,
+        s"checkpoints must land under $dirShort, still pointing at $current")
+    } finally spark.conf.unset(Materialize.ConfKey)
+  }
 }
