@@ -262,44 +262,49 @@ final class HttpApi(store: RunStore, port: Int = 0) {
       catch { case e: Exception => return Left(s"invalid JSON: ${e.getMessage}") }
     if (node == null || !node.isObject) return Left("invalid JSON: expected an object")
     val d = EstimationInput(project_name = "")
-    // pydantic-parity lenience: JSON null reads as "absent" (Optional
-    // fields accept null), and numeric STRINGS lax-coerce to numbers —
-    // both accepted-with-200 by the reference, so a strict decode here
-    // would 500 where it 200s
-    def str(f: String, dv: String): Either[String, String] =
-      Option(node.get(f)).filterNot(_.isNull).map(n =>
-        if (n.isTextual) Right(n.asText) else Left(s"$f: expected string"))
-        .getOrElse(Right(dv))
-    def num[T](f: String, dv: T, conv: JsonNode => T): Either[String, T] =
-      Option(node.get(f)).filterNot(_.isNull).map {
+    // pydantic-parity lenience, no further: numeric STRINGS lax-coerce via
+    // a strict per-target-type parse (pydantic rejects "5.5" for an int
+    // field and "123abc" for any number — so does this), and JSON null is
+    // accepted ONLY on the one field that is Optional in the reference
+    // model (worker_node_t_size); null on a required-typed field is a
+    // validation error there, so it errors here too.
+    def str(f: String, dv: String, nullAllowed: Boolean = false): Either[String, String] =
+      Option(node.get(f)).map {
+        case n if n.isTextual => Right(n.asText)
+        case n if n.isNull && nullAllowed => Right(dv)
+        case _ => Left(s"$f: expected string")
+      }.getOrElse(Right(dv))
+    def num[T](f: String, dv: T, conv: JsonNode => T,
+        parse: String => Option[T]): Either[String, T] =
+      Option(node.get(f)).map {
         case n if n.isNumber => Right(conv(n))
         case n if n.isTextual =>
-          (try Option(mapper.readTree(n.asText.trim))
-           catch { case _: Exception => None })
-            .filter(_.isNumber).map(p => Right(conv(p)))
-            .getOrElse(Left(s"$f: expected number"))
+          parse(n.asText.trim).toRight(s"$f: expected number")
         case _ => Left(s"$f: expected number")
       }.getOrElse(Right(dv))
+    def intp(s: String) = s.toIntOption
+    def longp(s: String) = s.toLongOption
+    def dblp(s: String) = s.toDoubleOption
     for {
       name <- Option(node.get("project_name"))
         .toRight("missing required field: project_name")
         .flatMap(n => if (n.isTextual) Right(n.asText)
           else Left("project_name: expected string"))
-      mps <- num("messages_per_second", d.messages_per_second, _.asInt)
-      bytes <- num("avg_record_size_bytes", d.avg_record_size_bytes, _.asInt)
-      apps <- num("number_flink_applications", d.number_flink_applications, _.asInt)
-      keys <- num("num_distinct_keys", d.num_distinct_keys, _.asLong)
+      mps <- num("messages_per_second", d.messages_per_second, _.asInt, intp)
+      bytes <- num("avg_record_size_bytes", d.avg_record_size_bytes, _.asInt, intp)
+      apps <- num("number_flink_applications", d.number_flink_applications, _.asInt, intp)
+      keys <- num("num_distinct_keys", d.num_distinct_keys, _.asLong, longp)
       skew <- str("data_skew_risk", d.data_skew_risk)
-      gbps <- num("bandwidth_capacity_gbps", d.bandwidth_capacity_gbps, _.asInt)
-      lat <- num("expected_latency_seconds", d.expected_latency_seconds, _.asDouble)
-      simple <- num("simple_statements", d.simple_statements, _.asInt)
-      medium <- num("medium_statements", d.medium_statements, _.asInt)
-      cmplx <- num("complex_statements", d.complex_statements, _.asInt)
-      mem <- num("worker_node_memory_mb", d.worker_node_memory_mb, _.asDouble)
-      cpu <- num("worker_node_cpu_max", d.worker_node_cpu_max, _.asInt)
-      nodes <- num("nb_worker_nodes", d.nb_worker_nodes, _.asInt)
+      gbps <- num("bandwidth_capacity_gbps", d.bandwidth_capacity_gbps, _.asInt, intp)
+      lat <- num("expected_latency_seconds", d.expected_latency_seconds, _.asDouble, dblp)
+      simple <- num("simple_statements", d.simple_statements, _.asInt, intp)
+      medium <- num("medium_statements", d.medium_statements, _.asInt, intp)
+      cmplx <- num("complex_statements", d.complex_statements, _.asInt, intp)
+      mem <- num("worker_node_memory_mb", d.worker_node_memory_mb, _.asDouble, dblp)
+      cpu <- num("worker_node_cpu_max", d.worker_node_cpu_max, _.asInt, intp)
+      nodes <- num("nb_worker_nodes", d.nb_worker_nodes, _.asInt, intp)
       wtype <- str("worker_node_type", d.worker_node_type)
-      tsizeRaw <- str("worker_node_t_size", "")
+      tsizeRaw <- str("worker_node_t_size", "", nullAllowed = true)
       tsize <- Api.normalizeTsize(Some(tsizeRaw))
     } yield EstimationInput(
       project_name = name, messages_per_second = mps,

@@ -774,15 +774,26 @@ object DedupQueries {
   private[operators] def compactGeneration(spark: SparkSession,
       target: String, project: DataFrame => DataFrame): Unit = {
     val tmp = s"$target.compacting"
+    val livePath = new org.apache.hadoop.fs.Path(target)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    // the TARGET's filesystem, not the default one — the index dir may
+    // live on a different FS (s3a index under an hdfs defaultFS)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // complete a previously interrupted swap: a crash between delete and
+    // rename leaves the full new generation at the tmp path and no live
+    // dir — finish the rename instead of failing on the missing read
+    if (!fs.exists(livePath) && fs.exists(tmpPath)) {
+      if (!fs.rename(tmpPath, livePath))
+        throw new IllegalStateException(
+          s"could not recover interrupted compaction: generation at $tmp")
+      return
+    }
     project(spark.read.parquet(target))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val livePath = new org.apache.hadoop.fs.Path(target)
     fs.delete(livePath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath))
+    if (!fs.rename(tmpPath, livePath))
       throw new IllegalStateException(
         s"compaction swap failed: new generation is at $tmp")
   }

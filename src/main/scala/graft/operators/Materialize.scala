@@ -52,12 +52,19 @@ object Materialize {
         // random subdir even when nothing checkpoints there (ADVICE r6).
         // The "already set to this dir" check compares the PARENT of the
         // current checkpoint dir (setCheckpointDir appends a random UUID
-        // segment) path-wise — a substring test would treat a conf dir
-        // that merely prefixes the old one (/tmp/ck vs /tmp/ck2) as
-        // already set and silently keep checkpointing to the old location.
-        val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        // segment) as fully-QUALIFIED paths — a substring test treated a
+        // conf dir that merely prefixes the old one (/tmp/ck vs /tmp/ck2)
+        // as already set, and a scheme-stripped compare would conflate
+        // same-path dirs on different filesystems (hdfs://nn/tmp/ck vs
+        // file:/tmp/ck) and never re-point; qualification also resolves a
+        // relative conf value so it doesn't regress to set-per-call.
+        def qualified(p: String): org.apache.hadoop.fs.Path = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(sc.hadoopConfiguration).makeQualified(path)
+        }
+        val wanted = qualified(dir)
         val current = sc.getCheckpointDir
-          .map(d => new org.apache.hadoop.fs.Path(d).getParent.toUri.getPath)
+          .map(d => qualified(d).getParent)
         if (!current.contains(wanted)) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None =>

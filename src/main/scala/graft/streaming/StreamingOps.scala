@@ -153,8 +153,9 @@ object StreamingOps {
   def cleanIngestBatchWithBands(batch: DataFrame, batchBands: DataFrame,
       benchGrams: DataFrame, bandIndex: DataFrame): DataFrame = {
     val contaminated = contaminatedDocs(batch, benchGrams)
+    // the doc-level distinct subsumes pair-level dedup — no
+    // dropDuplicates(new_doc, corpus_doc) stage before it
     val dupped = graft.operators.DedupQueries.probeBands(batchBands, bandIndex)
-      .dropDuplicates("new_doc", "corpus_doc")
       .select(col("new_doc").as("doc_id")).distinct()
     batch
       .join(contaminated, Seq("doc_id"), "left_anti")

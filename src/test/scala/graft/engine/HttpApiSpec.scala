@@ -194,6 +194,18 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
     assert(post("/api/estimate",
       """{"project_name":"lenient","messages_per_second":"abc"}""",
       "application/json").statusCode == 500)
+    // ...and so do the coercions pydantic rejects: fractional strings for
+    // int fields, trailing garbage, and null on a NON-Optional field
+    // (worker_node_t_size is the only Optional in the reference model)
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":"5.5"}""",
+      "application/json").statusCode == 500)
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":"123abc"}""",
+      "application/json").statusCode == 500)
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":null}""",
+      "application/json").statusCode == 500)
   }
 
   test("form save persists the VALIDATED input: t-shirt rewrite applied, " +

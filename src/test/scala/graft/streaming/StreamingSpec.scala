@@ -645,6 +645,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .map(_.toString).sorted.toSeq == preCompact)
     assert(compacted.select($"batch_id").distinct().collect()
       .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
+    // crash-window recovery: simulate dying between delete and rename
+    // (live dir gone, full generation at .compacting) — the next
+    // compaction completes the swap instead of failing on the read
+    val live = new java.io.File(s"$idxDir/bands.parquet")
+    val tmp = new java.io.File(s"$idxDir/bands.parquet.compacting")
+    assert(live.renameTo(tmp))
+    DedupQueries.compactNearDupIndex(spark, idxDir)
+    assert(spark.read.parquet(s"$idxDir/bands.parquet")
+      .select($"doc_id", $"band", $"bsig").collect()
+      .map(_.toString).sorted.toSeq == preCompact)
+    assert(!tmp.exists())
   }
 }
 
