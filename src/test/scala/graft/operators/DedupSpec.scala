@@ -563,6 +563,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("edit-verify and bloom-membership plans contain no cartesian product " +
+      "or nested-loop join") {
+    for (q <- Seq(DedupQueries.q79EditVerify(spark, dir),
+        DedupQueries.q80BloomDedup(spark, dir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("bloom-gated membership is output-identical to the plain join form " +
       "(no false negatives; false positives die in the backstop)") {
     val got = DedupQueries.q80BloomDedup(spark, dir).collect()
