@@ -278,8 +278,14 @@ object DedupQueries {
     * pathological pair a straggler task, so the verify is defined over a
     * fixed prefix (the published near-dup verifiers bound the comparison
     * window the same way). 512 covers every sf document today; the cap is
-    * the contract, not a truncation bug. */
+    * the contract, not a truncation bug. `spark.graft.edit.prefix`
+    * re-parameterizes it per session (oracle pinned at the default, like
+    * spans.tokens and decontam.grams); plan shape is window-independent —
+    * only the per-pair DP cost changes, quadratically in the window. */
   val EditPrefix = 512
+  private[graft] val EditPrefixKey = "spark.graft.edit.prefix"
+  private[graft] def editPrefix(spark: SparkSession): Int =
+    spark.conf.get(EditPrefixKey, EditPrefix.toString).toInt
 
   /** Q79 — edit-distance verification of the LSH candidate pairs: the
     * sequence-aware companion of q24's set-based Jaccard (3-shingle sets
@@ -303,7 +309,7 @@ object DedupQueries {
     val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val signed = withShinglesAndSignature(uniq)
     val txt = uniq.select(col("doc_id"),
-      substring(col("text"), 1, EditPrefix).as("t"))
+      substring(col("text"), 1, editPrefix(spark)).as("t"))
     val usim = candidatePairs(bands(signed))
       .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")

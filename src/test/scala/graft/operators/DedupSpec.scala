@@ -563,6 +563,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("spark.graft.edit.prefix re-parameterizes the verify window " +
+      "(oracle default 512 untouched)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("editpfx").toString
+    // identical first ~600 chars (100 shared words), doc 2 differs only in
+    // the final word: inside the default 512-char window the texts look
+    // identical (sim 1000); a window past the divergence sees the edit
+    val shared = (0 until 100).map(i => f"word$i%03d").mkString(" ")
+    Seq((1L, s"$shared tail"), (2L, s"$shared differs"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def sim(): Long = DedupQueries.q79EditVerify(spark, tmp).collect()
+      .map(r => r.getLong(2)).headOption.getOrElse(
+        fail("expected the pair to be an LSH candidate"))
+    assert(sim() == 1000L, "identical inside the default window")
+    spark.conf.set(DedupQueries.EditPrefixKey, "2000")
+    try assert(sim() < 1000L, "the divergent tail is inside a 2000-char window")
+    finally spark.conf.unset(DedupQueries.EditPrefixKey)
+  }
+
   test("edit-verify and bloom-membership plans contain no cartesian product " +
       "or nested-loop join") {
     for (q <- Seq(DedupQueries.q79EditVerify(spark, dir),
