@@ -925,6 +925,31 @@ object DedupQueries {
         Seq("tkey"), "left")
       .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
 
+  /** Q81 — PRIORITY-aware canonical selection: within each exact-duplicate
+    * family keep the copy from the best SOURCE (ties broken by doc_id),
+    * not blindly the lowest id — what production dedup actually does when
+    * the same page was crawled from several feeds of different quality
+    * (keep the curated dump's copy, drop the CommonCrawl one). The keeper
+    * is `min(struct(priority..., doc_id))` — one census aggregate whose
+    * field-wise struct ordering IS the priority order — followed by the
+    * same skew-safe equi-rejoin as [[withCanonicalFlag]]'s census form:
+    * map-side partials collapse a hot boilerplate family per map task, and
+    * no window ever sees the family in one partition. The catalog entry
+    * ranks by `source` ascending as the demo priority; any rank expression
+    * (a scored source table, a quality column) drops into the struct the
+    * same way. */
+  def q81CanonicalPriority(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val fam = docs
+      .groupBy(md5(col("text")).as("tkey"))
+      .agg(min(struct(col("source"), col("doc_id"))).as("keeper"))
+    docs.select(col("doc_id"), col("source"), md5(col("text")).as("tkey"))
+      .join(fam, "tkey")
+      .select(col("doc_id"),
+        (col("keeper.doc_id") === col("doc_id")).as("is_canonical"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),
     "q23_dedup_minhash_lsh" -> (q23MinhashLsh _),
@@ -938,6 +963,7 @@ object DedupQueries {
     "q77_span_dedup" -> (q77SpanDedup _),
     "q79_edit_verify" -> (q79EditVerify _),
     "q80_bloom_dedup" -> (q80BloomDedup _),
+    "q81_canonical_priority" -> (q81CanonicalPriority _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -957,6 +983,12 @@ object DedupQueries {
          |JOIN t b ON b.doc_id = p.doc_b
          |ORDER BY p.doc_a NULLS FIRST, p.doc_b NULLS FIRST""".stripMargin,
       extraCtes = true),
+    "q81_canonical_priority" ->
+      """SELECT doc_id, (rn = 1) AS is_canonical FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(text) ORDER BY source, doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q80_bloom_dedup" ->
       s"""WITH corp AS (SELECT DISTINCT md5(text) AS tkey FROM documents
          |  WHERE doc_id % $IncrMod <> $IncrRes AND text IS NOT NULL),

@@ -583,6 +583,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     finally spark.conf.unset(DedupQueries.EditPrefixKey)
   }
 
+  test("priority canonical selection keeps the best-SOURCE copy, not the " +
+      "lowest id, and flags exactly one keeper per family") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prio").toString
+    // family A: doc 10 arrived first (lower id) but from source "zz-crawl";
+    // doc 20 is the same text from the better (lexicographically earlier)
+    // "aa-curated" feed -> 20 must be the keeper, distinguishing priority
+    // order from the min-doc_id rule
+    Seq(
+      (10L, "same page text", "zz-crawl"),
+      (20L, "same page text", "aa-curated"),
+      (30L, "unique text here", "zz-crawl"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.q81CanonicalPriority(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(10L -> false, 20L -> true, 30L -> true), got.toString)
+  }
+
   test("edit-verify and bloom-membership plans contain no cartesian product " +
       "or nested-loop join") {
     for (q <- Seq(DedupQueries.q79EditVerify(spark, dir),
