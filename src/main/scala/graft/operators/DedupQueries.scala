@@ -145,19 +145,41 @@ object DedupQueries {
     * family in BOTH forms ('' can never collide with a 32-hex digest; a
     * plain equi-join on a nullable key would silently DROP null-text rows,
     * the classic null-key join trap). DuckDB's `PARTITION BY md5(text)`
-    * groups NULLs together, so the oracle agrees. */
-  private[graft] def withCanonicalFlag(docs: DataFrame, skewSafe: Boolean): DataFrame = {
+    * groups NULLs together, so the oracle agrees.
+    *
+    * `priority` prepends rank columns to the keeper order (the q81
+    * priority-canonical form): the keeper is the family minimum of
+    * `struct(priority..., doc_id)` in the census form and the first row of
+    * `ORDER BY priority..., doc_id` in the window form — Spark sorts and
+    * struct-compares both nulls-FIRST field-wise, so the two forms always
+    * agree; callers wanting nulls-last semantics pass an explicit
+    * `isNull` flag column first (see [[q81CanonicalPriority]]). One body
+    * serves q52/q75/q81, keeping the ONE-implementation promise. */
+  private[graft] def withCanonicalFlag(docs: DataFrame, skewSafe: Boolean,
+      priority: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val withH = docs.withColumn("__cf_h", coalesce(md5(col("text")), lit("")))
     val flagged =
       if (skewSafe) {
-        val census = withH.groupBy(col("__cf_h"))
-          .agg(min(col("doc_id")).as("__cf_canon"))
+        // no-priority callers keep the plain min(doc_id): it hash-aggregates
+        // (mutable buffer), while min(struct(...)) falls to SortAggregate —
+        // still map-side-partial (the skew story holds) but with a
+        // per-partition sort the flagship path shouldn't pay for free
+        val census =
+          if (priority.isEmpty)
+            withH.groupBy(col("__cf_h"))
+              .agg(min(col("doc_id")).as("__cf_canon"))
+          else
+            withH.groupBy(col("__cf_h"))
+              .agg(min(struct((priority :+ col("doc_id")): _*)).as("__cf_keep"))
+              .select(col("__cf_h"),
+                col("__cf_keep").getField("doc_id").as("__cf_canon"))
         withH.join(census, "__cf_h")
           .withColumn("is_canonical", col("doc_id") === col("__cf_canon"))
           .drop("__cf_canon")
       } else {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__cf_h")).orderBy(col("doc_id").asc)
+          .partitionBy(col("__cf_h"))
+          .orderBy((priority :+ col("doc_id")).map(_.asc): _*)
         withH.withColumn("is_canonical", row_number().over(w) === 1)
       }
     flagged.drop("__cf_h")
@@ -798,7 +820,13 @@ object DedupQueries {
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(tmp)
-    fs.delete(livePath, true)
+    // a false delete with the path still present must fail LOUDLY: on
+    // HDFS, rename(tmp, existing-dir) would nest the new generation UNDER
+    // the stale live dir and report success while probes keep reading the
+    // un-compacted index
+    if (!fs.delete(livePath, true) && fs.exists(livePath))
+      throw new IllegalStateException(
+        s"compaction could not delete $target; new generation is at $tmp")
     if (!fs.rename(tmpPath, livePath))
       throw new IllegalStateException(
         s"compaction swap failed: new generation is at $tmp")
@@ -893,12 +921,14 @@ object DedupQueries {
   private[graft] def bloomGatedMembership(spark: SparkSession,
       probes: DataFrame, keys: DataFrame,
       expectedKeys: Long = -1L): DataFrame = {
-    val n = if (expectedKeys > 0) expectedKeys else keys.count()
-    // stat.bloomFilter NPEs on a zero-row frame (null aggregation buffer);
-    // an empty corpus has no members, so every probe is new
-    if (n == 0) {
+    // stat.bloomFilter NPEs on a zero-row frame (null aggregation buffer),
+    // and an empty corpus has no members anyway — the emptiness check is a
+    // limit-1 job, NOT trusted to expectedKeys (stale table stats with a
+    // truncated table would otherwise hit the NPE path)
+    if (keys.isEmpty) {
       probes.select(col("doc_id"), lit(false).as("is_dup"))
     } else {
+      val n = if (expectedKeys > 0) expectedKeys else keys.count()
     val bf = keys.stat.bloomFilter("tkey", math.max(n, 1L), BloomFpp)
     val bcast = spark.sparkContext.broadcast(bf)
     val mightContain = udf((k: String) => k != null && bcast.value.mightContainString(k))
@@ -935,20 +965,20 @@ object DedupQueries {
     * same skew-safe equi-rejoin as [[withCanonicalFlag]]'s census form:
     * map-side partials collapse a hot boilerplate family per map task, and
     * no window ever sees the family in one partition. The catalog entry
-    * ranks by `source` ascending as the demo priority; any rank expression
-    * (a scored source table, a quality column) drops into the struct the
-    * same way. */
-  def q81CanonicalPriority(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
-    val fam = docs
-      .groupBy(md5(col("text")).as("tkey"))
-      .agg(min(struct(col("source"), col("doc_id"))).as("keeper"))
-    docs.select(col("doc_id"), col("source"), md5(col("text")).as("tkey"))
-      .join(fam, "tkey")
-      .select(col("doc_id"),
-        (col("keeper.doc_id") === col("doc_id")).as("is_canonical"))
+    * ranks by `source` ascending with nulls LAST as the demo priority —
+    * the `isNull` flag column leads the struct because Spark's struct-min
+    * is nulls-FIRST while the intent (and the DuckDB default) is that
+    * unknown provenance never beats a known source; any rank expression (a
+    * scored source table, a quality column) drops into the priority seq
+    * the same way. Routed through [[withCanonicalFlag]] — ONE canonical
+    * body for q52/q75/q81. */
+  def q81CanonicalPriority(spark: SparkSession, dir: String): DataFrame =
+    withCanonicalFlag(
+        Tables.documents(spark, dir).filter(col("text").isNotNull),
+        skewSafe = true,
+        priority = Seq(col("source").isNull, col("source")))
+      .select(col("doc_id"), col("is_canonical"))
       .orderBy(col("doc_id").asc)
-  }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q22_dedup_exact_hash" -> (q22ExactDedup _),
@@ -986,7 +1016,8 @@ object DedupQueries {
     "q81_canonical_priority" ->
       """SELECT doc_id, (rn = 1) AS is_canonical FROM (
         |  SELECT doc_id, row_number() OVER (
-        |    PARTITION BY md5(text) ORDER BY source, doc_id) AS rn
+        |    PARTITION BY md5(text)
+        |    ORDER BY (source IS NULL), source, doc_id) AS rn
         |  FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q80_bloom_dedup" ->

@@ -126,12 +126,25 @@ object TextQueries {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
+          // windows advance by CODE POINT, not UTF-16 unit: the SQL row
+          // filter (Spark length = numChars) and the DuckDB oracle
+          // (substr/length) both count code points, so a UTF-16 loop
+          // would emit different grams — and split surrogate pairs — on
+          // any non-BMP character
+          val cpCount = text.codePointCount(0, text.length)
           var min: String = null
           var i = 0
-          while (i + GramLen <= text.length) {
-            val h = DedupQueries.md5hex(md, text.substring(i, i + GramLen))
+          var startIdx = 0
+          var endIdx =
+            if (cpCount >= GramLen) text.offsetByCodePoints(0, GramLen) else 0
+          while (i + GramLen <= cpCount) {
+            val h = DedupQueries.md5hex(md, text.substring(startIdx, endIdx))
             if (min == null || h.compareTo(min) < 0) min = h
             i += 1
+            if (i + GramLen <= cpCount) {
+              startIdx = text.offsetByCodePoints(startIdx, 1)
+              endIdx = text.offsetByCodePoints(endIdx, 1)
+            }
           }
           (id, min)
         }

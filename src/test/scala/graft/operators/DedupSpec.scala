@@ -602,6 +602,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Map(10L -> false, 20L -> true, 30L -> true), got.toString)
   }
 
+  test("priority canonical: a NULL source never beats a known source, and " +
+      "census and window forms agree on priority corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // doc 1 has LOWER id but unknown provenance; doc 2's copy came from a
+    // named source -> 2 is the keeper (Spark's struct-min is nulls-FIRST,
+    // so without the isNull flag column doc 1 would win, inverting the
+    // semantics and diverging from DuckDB's NULLS LAST)
+    val docs = Seq(
+      (1L, "boilerplate page", null: String),
+      (2L, "boilerplate page", "curated"),
+      (3L, "another text", null: String),
+      (4L, "another text", null: String))
+      .toDF("doc_id", "text", "source")
+    val priority = Seq(c("source").isNull, c("source"))
+    def flags(skewSafe: Boolean): Map[Long, Boolean] =
+      DedupQueries.withCanonicalFlag(docs, skewSafe, priority)
+        .select(c("doc_id"), c("is_canonical")).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val census = flags(skewSafe = true)
+    assert(census == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false),
+      census.toString)
+    assert(census == flags(skewSafe = false), "forms must agree")
+  }
+
+  test("bloom membership with stale expectedKeys over an actually-empty " +
+      "corpus returns all-new instead of NPEing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, md5 => m}
+    val probes = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .select(c("doc_id"), m(c("text")).as("tkey"))
+    val empty = Seq.empty[String].toDF("tkey")
+    val got = DedupQueries.bloomGatedMembership(spark, probes, empty,
+        expectedKeys = 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got == Map(1L -> false, 2L -> false))
+  }
+
   test("edit-verify and bloom-membership plans contain no cartesian product " +
       "or nested-loop join") {
     for (q <- Seq(DedupQueries.q79EditVerify(spark, dir),

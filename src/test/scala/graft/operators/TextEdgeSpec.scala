@@ -319,6 +319,33 @@ class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count(_._4.contains(s)) == 1)
   }
 
+  test("q33 fingerprint windows by CODE POINT: non-BMP text matches an " +
+      "independent code-point reference (no surrogate-pair splits)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fp_cp").toString
+    // 10 astral-plane code points (20 UTF-16 units): a UTF-16-unit loop
+    // would emit 13 windows of 8 units (splitting surrogate pairs); the
+    // code-point contract emits 3 windows of 8 code points
+    val emoji = new String(Character.toChars(0x1F600)) // U+1F600
+    val astral = (0 until 10).map(i =>
+      new String(Character.toChars(0x1F600 + i))).mkString
+    Seq((1L, astral), (2L, "plain ascii text body")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextQueries.q33Fingerprint(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def refFingerprint(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val cps = text.codePoints().toArray
+      (0 to cps.length - TextQueries.GramLen).map { i =>
+        md5hex(new String(cps.slice(i, i + TextQueries.GramLen), 0, TextQueries.GramLen))
+      }.min
+    }
+    assert(got(1L) == refFingerprint(astral), s"astral fingerprint ${got(1L)}")
+    assert(got(2L) == refFingerprint("plain ascii text body"))
+    assert(emoji.length == 2) // sanity: the corpus really is non-BMP
+  }
+
   test("spark.graft.decontam.grams re-parameterizes the gram length " +
       "(oracle default 3 untouched): a 3-word overlap vanishes at 5") {
     import spark.implicits._
