@@ -26,7 +26,12 @@ object CentroidAggregator extends Aggregator[Seq[Float], CentroidBuffer, Seq[Lon
     require(out.length == v.length, s"dim mismatch: ${out.length} vs ${v.length}")
     var i = 0
     while (i < v.length) {
-      out(i) += math.round(v(i).toDouble * 1000)
+      // HALF_UP (away from zero), matching SimilarityQueries.quantizeExpr
+      // and the DuckDB oracle's round(): math.round alone is
+      // half-toward-+infinity, which diverges on negative exact halves
+      // (-0.0625f * 1000 == -62.5 exactly -> -63, not -62)
+      val d = v(i).toDouble * 1000
+      out(i) += (if (d < 0) -math.round(-d) else math.round(d))
       i += 1
     }
     out

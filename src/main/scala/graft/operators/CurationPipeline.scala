@@ -33,7 +33,9 @@ object CurationPipeline {
   val MinTokens = 20
   val MaxTokens = 400
   val MinStopRatio = 0.05
-  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  // THE q29 list (TextQueries) — the quality gate applies the same metric
+  // it cites, from the same constant
+  val Stopwords: Seq[String] = TextQueries.Stopwords
 
   def q52Curation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -129,8 +131,13 @@ object CurationPipeline {
     * 7) and routing here, so the pinned and external forms share one body
     * (VERDICT r5 next-round #5). */
   def curationV2(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    // null-text rows are not documents: dropped up front so every signal
+    // column stays three-valued-logic-free (WordNGrams(NULL) is NULL, and
+    // a NULL `repetitive` would silently leak docs out of n_clean while
+    // still counting them in n_decontam — poisoning the per-stage audit)
+    val docs = corpus.filter(col("text").isNotNull)
     // stage 2 signal: contamination permille vs the broadcast benchmark set
-    val contam = TextQueries.contaminationCounts(corpus, benchmark)
+    val contam = TextQueries.contaminationCounts(docs, benchmark)
       .select(col("doc_id"),
         (col("n_hits") * 1000L >=
           col("n_grams") * MaxHitPermille).as("contaminated"))
@@ -138,13 +145,13 @@ object CurationPipeline {
     // stage 4 signal: mean inverse-corpus-frequency rarity — THE q72 score
     // (shared helper, so score and filter cannot drift), stats drawn from
     // the training corpus, not the eval split
-    val rarity = TextQueries.rarityScores(corpus)
+    val rarity = TextQueries.rarityScores(docs)
       .select(col("doc_id"), (col("rarity_milli") >= MaxRarityMilli).as("too_rare"))
 
     // stages 1 + 3: shared skew-safe canonical selection (VERDICT r6 #1)
     // + repetition projection
     val g2 = graft.functions.WordNGrams(col("text"), 2)
-    val flagged = DedupQueries.withCanonicalFlagAuto(corpus
+    val flagged = DedupQueries.withCanonicalFlagAuto(docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long")))
       .withColumn("repetitive",
         when(size(g2) === 0, lit(false)).otherwise(
@@ -179,7 +186,9 @@ object CurationPipeline {
     * [[DedupQueries.IncrRes]] (q74's ingest split), standing corpus = the
     * rest, benchmark = the q66/q75 eval split — and reports, per arrival:
     * `contaminated` (shares a 3-gram with the benchmark), `near_dup`
-    * (LSH-collides with the standing corpus' band index), and `kept`,
+    * (LSH-collides with the standing corpus' band index), `batch_dup`
+    * (exact copy of a lower-id arrival in the SAME batch — the backlog
+    * blind spot the index probe can't see), and `kept`,
     * where kept comes from the REAL drop chain
     * ([[graft.streaming.StreamingOps.cleanIngestBatch]] — the exact body
     * foreachBatch executes), so the oracle checks the production path,
@@ -206,16 +215,21 @@ object CurationPipeline {
     val dup = graft.streaming.StreamingOps.nearDupArrivals(arrivals, index)
       .select(col("new_doc").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
+    val batchDup = DedupQueries.withCanonicalFlag(arrivals, skewSafe = true)
+      .filter(!col("is_canonical"))
+      .select(col("doc_id")).withColumn("batch_dup", lit(true))
     val kept = graft.streaming.StreamingOps
       .cleanIngestBatch(arrivals, benchGrams, index)
       .select(col("doc_id")).withColumn("kept", lit(true))
     arrivals.select(col("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("batch_dup"), lit(false)).as("batch_dup"),
         coalesce(col("kept"), lit(false)).as("kept"))
       .orderBy(col("doc_id").asc)
   }
@@ -240,14 +254,23 @@ object CurationPipeline {
          |    AND gram IN (SELECT gram FROM bench)),
          |dup AS (SELECT DISTINCT doc_a AS doc_id FROM pairs),
          |arr AS (SELECT doc_id FROM documents
-         |  WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes})
+         |  WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes}),
+         |bd AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents
+         |    WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes})
+         |  WHERE rn > 1)
          |SELECT a.doc_id,
          |  COALESCE(c.y, false) AS contaminated,
          |  COALESCE(d.y, false) AS near_dup,
-         |  (NOT COALESCE(c.y, false) AND NOT COALESCE(d.y, false)) AS kept
+         |  COALESCE(b.y, false) AS batch_dup,
+         |  (NOT COALESCE(c.y, false) AND NOT COALESCE(d.y, false)
+         |    AND NOT COALESCE(b.y, false)) AS kept
          |FROM arr a
          |LEFT JOIN (SELECT doc_id, true AS y FROM contam) c USING (doc_id)
          |LEFT JOIN (SELECT doc_id, true AS y FROM dup) d USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, true AS y FROM bd) b USING (doc_id)
          |ORDER BY a.doc_id NULLS FIRST""".stripMargin,
       extraCtes = true,
       pairsPredicate =

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-stability design: float arithmetic differs in the last ulp between
   * engines, so the *declared* similarity is a quantized integer dot product
-  * — embeddings scaled by 1000 and rounded to BIGINT (a float×1000 can never
-  * land exactly on .5, so HALF_UP rounding agrees everywhere), making every
-  * score exact, order-independent, and hash-identical in Spark and DuckDB.
+  * — embeddings scaled by 1000 and rounded to BIGINT. Exact .5 values DO
+  * occur (any odd m/16 float: 0.0625f×1000 = 62.5 exactly), so every
+  * rounding site — Spark `round`, DuckDB `round`, and the JVM centroid
+  * kernel — uses HALF_UP (away from zero); CentroidAggregator documents
+  * the math.round trap this avoids. Every score is exact,
+  * order-independent, and hash-identical in Spark and DuckDB.
   * The LSH variant additionally exposes true float cosine (ScalaTest-pinned,
   * not oracle-pinned).
   */
@@ -47,14 +50,7 @@ object SimilarityQueries {
       // the higher-order aggregate(zip_with(...)) equivalent runs its
       // lambda interpreted per element (graft.functions.DotProductLong)
       .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    scored
-      .select(col("query_id"), col("neighbor_id"), col("dot"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
-      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+    topKScored(scored)
   }
 
   val LshBits = 4
@@ -113,16 +109,8 @@ object SimilarityQueries {
       .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
   }
 
-  private[graft] def annLshTopK(spark: SparkSession, dir: String, bits: Int): DataFrame = {
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("neighbor_id").asc)
-    annLshScored(spark, dir, bits)
-      .select(col("query_id"), col("neighbor_id"), col("dot"),
-        row_number().over(w).as("rn"))
-      .filter(col("rn") <= TopK)
-      .select(col("query_id"), col("neighbor_id"), col("dot"))
-      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
-  }
+  private[graft] def annLshTopK(spark: SparkSession, dir: String, bits: Int): DataFrame =
+    topKScored(annLshScored(spark, dir, bits))
 
   /** Q28 — cosine-similarity label census: average cosine within vs across
     * labels over a bounded pair set. Upgraded r3 from rows-only to a full
@@ -392,7 +380,10 @@ object SimilarityQueries {
     * a different decision. */
   def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
     DedupQueries.compactGeneration(spark, s"$indexDir/assignments",
-      df => df.select(col("vec_id"), col("cell")))
+      // re-delivered vectors may sit in several batch partitions with the
+      // same assignment; compaction is the place to collapse them instead
+      // of baking duplicates into the base generation
+      df => df.select(col("vec_id"), col("cell")).dropDuplicates("vec_id", "cell"))
 
   /** IVF top-k served from a persisted index: one bounded collect of the
     * cells-row codebook, an id equi-join to re-attach vectors to their
@@ -408,7 +399,14 @@ object SimilarityQueries {
       return Seq.empty[(Long, Long, Long)].toDF("query_id", "neighbor_id", "dot")
     }
     val emb = quantized(spark, dir)
-    val corpus = emb.join(spark.read.parquet(s"$indexDir/assignments"), "vec_id")
+    // dropDuplicates: a vec_id can legitimately appear in several batch_id
+    // partitions (re-delivered feed under a new appendBatchId — replay
+    // only guards the SAME batch id); duplicate assignment rows would put
+    // the same neighbor into top-k twice and displace a genuine one
+    val corpus = emb.join(
+        spark.read.parquet(s"$indexDir/assignments")
+          .select(col("vec_id"), col("cell")).dropDuplicates("vec_id", "cell"),
+        "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("cell"))
     topKScored(ivfProbeScore(emb, corpus, centroids, probes))
   }

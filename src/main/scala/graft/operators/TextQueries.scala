@@ -25,7 +25,9 @@ object TextQueries {
 
   /** Stopword list for ratio scoring (tiny; inlined as a literal array —
     * a real deployment would broadcast a dictionary). */
-  private val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+  // shared with CurationPipeline (q52's quality gate IS q29's metric — a
+  // second list would let the gate silently drift from the metric)
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopArray: String = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 

@@ -150,6 +150,16 @@ object StreamingOps {
     * the probe and the index append; the plain form derives them inline.
     * `batchBands` must be `bandDocs(batch)` (or a cached/materialized copy
     * of it) — supplying anything else breaks the q74 probe contract. */
+  /** Drop stages, in order: benchmark contamination, near-dup vs the
+    * standing index, and WITHIN-BATCH exact dedup (keep the lowest doc_id
+    * per md5(text) among the batch's own arrivals — a backlog drain
+    * delivering N copies of one page in a single micro-batch must land
+    * one, not N; the index probe cannot catch them because the batch's
+    * own bands are not in the index yet). Within-batch NEAR-dups (distinct
+    * texts, colliding bands, same batch) are deliberately NOT collapsed
+    * here: they need a batch self-join plus cluster resolution — the
+    * periodic q23/q61/q56 batch job's work, not a per-micro-batch stage;
+    * exact copies are the dominant real case and are exact to drop. */
   def cleanIngestBatchWithBands(batch: DataFrame, batchBands: DataFrame,
       benchGrams: DataFrame, bandIndex: DataFrame): DataFrame = {
     val contaminated = contaminatedDocs(batch, benchGrams)
@@ -157,9 +167,13 @@ object StreamingOps {
     // dropDuplicates(new_doc, corpus_doc) stage before it
     val dupped = graft.operators.DedupQueries.probeBands(batchBands, bandIndex)
       .select(col("new_doc").as("doc_id")).distinct()
+    val batchDup = graft.operators.DedupQueries
+      .withCanonicalFlag(batch, skewSafe = true)
+      .filter(!col("is_canonical")).select(col("doc_id"))
     batch
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(dupped, Seq("doc_id"), "left_anti")
+      .join(batchDup, Seq("doc_id"), "left_anti")
   }
 
   /** The COMPOSED streaming ingest lifecycle, end to end (VERDICT r5 #7 /
@@ -221,9 +235,12 @@ object StreamingOps {
         // checkpoint on an unbounded stream is unbounded disk growth, and
         // within one foreachBatch invocation cached blocks (with lineage
         // retained for executor-loss recompute) are the right pin.
+        // kept carries the batch's FULL schema (lang/source/metadata land
+        // in the shards exactly as the non-growing lifecycle lands them);
+        // only the index append narrows to band rows
         val bands = graft.operators.DedupQueries.bandDocs(batch).persist()
         val kept = cleanIngestBatchWithBands(batch, bands, benchGrams, index)
-          .select(col("doc_id"), col("text")).persist()
+          .persist()
         try {
           graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
           graft.operators.DedupQueries.appendBandsToNearDupIndex(
@@ -264,6 +281,11 @@ object StreamingOps {
         timers: TimerValues): Iterator[UserSession] = {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
       val prev = Option(state.get()).getOrElse(SessionState(0L, 0.0, Long.MinValue))
+      // the timer armed for the superseded state is explicitly deleted —
+      // re-arming without deleting accumulates one stale timer per batch
+      // per active user in the timer store (each costing a spurious
+      // expiry callback later), against the bounded-state contract
+      if (prev.count > 0) getHandle.deleteTimer(prev.lastTsMs + gapMs)
       val (closed, open) = sorted.foldLeft(
         (Vector.empty[UserSession], prev)) { case ((out, s), e) =>
         val t = e.ts.getTime

@@ -597,7 +597,11 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // 30's acceptance grew the index; the frozen lifecycle would keep it
     val batch1 = Seq(
       StreamingSpec.Doc(31L, fresh.replace("before", "previously")),
-      StreamingSpec.Doc(32L, "independent clean arrival with other novel vocabulary"))
+      StreamingSpec.Doc(32L, "independent clean arrival with other novel vocabulary"),
+      // exact copy of doc 32 in the SAME batch — the within-batch blind
+      // spot: the index can't catch it (batch bands aren't appended yet),
+      // the batch-internal exact dedup stage must
+      StreamingSpec.Doc(33L, "independent clean arrival with other novel vocabulary"))
 
     val sink = java.nio.file.Files.createTempDirectory("grow_sink").toString + "/out"
     val ckpt = java.nio.file.Files.createTempDirectory("grow_ckpt").toString
