@@ -29,9 +29,12 @@ final class RunStore(spark: SparkSession, val dir: String) {
       .reverse.dropWhile(_.isWhitespace).reverse
       .replace(' ', '_')
 
-  /** Path-traversal guard (main.py:395-399). */
+  /** Path-traversal guard (main.py:395-399). Blank names are rejected too:
+    * `path("")` resolves to the store directory itself, so delete("")
+    * would target the whole store and download("") read a directory. */
   def traversalSafe(filename: String): Boolean =
-    !filename.contains("..") && !filename.contains("/") && !filename.contains("\\")
+    filename.trim.nonEmpty &&
+      !filename.contains("..") && !filename.contains("/") && !filename.contains("\\")
 
   private def path(filename: String): Path = Paths.get(dir, filename)
 

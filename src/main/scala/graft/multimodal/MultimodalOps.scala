@@ -121,6 +121,9 @@ object MultimodalOps {
     * frames. */
   def frameSample(media: Dataset[Media], everyN: Int,
       repartitionByMedia: Boolean = false): Dataset[Frame] = {
+    // driver-side, like decimateWav: everyN=0 would otherwise throw
+    // "step cannot be 0" per row inside executors
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     val spark = media.sparkSession
     import spark.implicits._
     val frames = media.flatMap { m =>
@@ -349,7 +352,14 @@ object MultimodalOps {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
-        decodeWavMeta(m.content).filter(x => x.sample_rate >= everyN).map { meta =>
+        decodeWavMeta(m.content).filter { x =>
+          // header must be honest about the bytes present: a truncated WAV
+          // (dataLen claims more than the array holds) drops, the module's
+          // malformed-row contract — same guard clipWav applies
+          val fb = math.max(1, x.channels * (x.bits / 8))
+          x.sample_rate >= everyN &&
+            44L + x.n_frames.toLong * fb <= m.content.length
+        }.map { meta =>
           val frameBytes = math.max(1, meta.channels * (meta.bits / 8))
           val kept = (meta.n_frames + everyN - 1) / everyN
           val out = new Array[Byte](kept * frameBytes)

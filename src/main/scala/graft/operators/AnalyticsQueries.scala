@@ -190,6 +190,16 @@ object AnalyticsQueries {
     conv(substring(md5(col("doc_id").cast("string")), 1, ShardHexDigits), 16, 10)
       .cast("long")
 
+  /** DuckDB twin of [[shardCol]], generated FROM [[ShardHexDigits]] like
+    * the builder (a hand-written single-digit decode silently desyncs the
+    * oracle the moment the knob moves): positional base-16 decode, one
+    * strpos per hex digit. */
+  private def shardOracleExpr: String =
+    (1 to ShardHexDigits).map { i =>
+      val place = 1L << (4 * (ShardHexDigits - i))
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $place"
+    }.mkString(" + ")
+
   /** The actual sharded WRITE the q73 manifest plans for: the same
     * assignment expression, shuffle-partitioned by it and written as
     * partitioned parquet through [[graft.sources.Sinks.writePartitioned]]
@@ -289,9 +299,8 @@ object AnalyticsQueries {
 
   val oracle: Map[String, String] = Map(
     "q73_shard_stats" ->
-      """WITH d AS (SELECT
-        |    CAST(strpos('0123456789abcdef',
-        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) AS shard,
+      s"""WITH d AS (SELECT
+        |    CAST($shardOracleExpr AS BIGINT) AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
         |    n_chars, lang
         |  FROM documents WHERE text IS NOT NULL)

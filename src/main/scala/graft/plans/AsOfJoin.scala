@@ -175,19 +175,36 @@ object AsOfJoin {
       timeCol: String,
       rightSuffix: String = "_r"): DataFrame = {
     val spark = leftDf.sparkSession
+    // name matching follows the session's resolution mode (case-insensitive
+    // by default) — built-in joins resolve "TS" against "ts"; this one must
+    // not be stricter
+    val resolver = spark.sessionState.conf.resolver
     val leftNames = leftDf.columns.toSet
-    def rName(c: String): String = if (leftNames.contains(c)) c + rightSuffix else c
+    def rName(c: String): String =
+      if (leftNames.exists(l => resolver(l, c))) c + rightSuffix else c
     // fresh exprIds on the right side (Alias allocates new ids)
     val rightAliased = rightDf.select(
       rightDf.columns.map(c => rightDf.col(c).as(rName(c))).toIndexedSeq: _*)
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
     val rPlan = ColumnBridge.analyzedPlan(rightAliased)
     def resolve(plan: LogicalPlan, name: String): Expression =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val (lKey, rKey) = (resolve(lPlan, keyCol), resolve(rPlan, rName(keyCol)))
+    val (lTime, rTime) = (resolve(lPlan, timeCol), resolve(rPlan, rName(timeCol)))
+    // both codegen'd orderings in AsOfJoinExec are generated from the LEFT
+    // side's types and read the packed pair row positionally — a right side
+    // of a different physical type (INT vs BIGINT key, DATE vs TIMESTAMP
+    // time) would be reinterpreted bit-wise, silently matching wrong rows.
+    // Unlike built-in joins there is no analyzer coercion on a third-party
+    // node, so mismatches are rejected loudly; cast a side explicitly.
+    def sameType(side: String, l: Expression, r: Expression): Unit =
+      require(l.dataType.sql == r.dataType.sql,
+        s"as-of $side type mismatch: left ${l.dataType.sql} vs right " +
+          s"${r.dataType.sql} — cast one side before asOf()")
+    sameType("key", lKey, rKey)
+    sameType("time", lTime, rTime)
     ColumnBridge.dataFrame(spark,
-      AsOfJoinPlan(lPlan, rPlan,
-        resolve(lPlan, keyCol), resolve(rPlan, rName(keyCol)),
-        resolve(lPlan, timeCol), resolve(rPlan, rName(timeCol))))
+      AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
   }
 }

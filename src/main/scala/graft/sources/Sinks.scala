@@ -89,30 +89,78 @@ object Sinks {
     * files — the maintenance half of the small-files discipline: streaming
     * sinks (one file per micro-batch) and fine-grained partitioned writes
     * accumulate files that tax listing, footers, and scan task counts.
-    * Rewrites into a sibling temp dir, then swaps (readers never observe a
-    * half-written directory; the swap is two renames, the same recovery
-    * granularity as a table-format commit). Returns (filesBefore,
-    * filesAfter). */
+    *
+    * A Hive-partitioned layout (`batch_id=K/`, `shard=N/batch_id=K/`) is
+    * rewritten WITH its partition structure: the streaming sinks' replay
+    * idempotence depends on a re-delivered batch's dynamic partition
+    * overwrite replacing its own `batch_id=K` files — flattening during
+    * compaction would leave batch K's rows in unpartitioned files the
+    * replay cannot replace (duplicates), and would forfeit partition
+    * pruning. Partition columns are recovered from the file paths, so no
+    * caller needs to restate them.
+    *
+    * Swap = rewrite into a sibling temp dir, then two renames. Readers
+    * racing the swap can observe a brief path-missing window (a
+    * table-format commit this is not — that is what the generation
+    * rollover in DedupQueries.compactGeneration provides for the index
+    * dirs); a crash between the renames strands the data under `__old`,
+    * which the NEXT compact call auto-restores before doing anything
+    * else. Returns (filesBefore, filesAfter). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetRecordsPerFile: Long = 5000000L): (Int, Int) = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    def countFiles(p: String): Int = {
-      val s = Files.walk(Paths.get(p))
+    val p = Paths.get(path)
+    val old = Paths.get(path.stripSuffix("/") + "__old")
+    val tmp = path.stripSuffix("/") + "__compacting"
+    // crash recovery: died between the two swap renames -> live dir gone,
+    // data stranded under __old; restore it. Completed swap that died
+    // before cleanup -> stale __old/__compacting; drop them.
+    if (!Files.exists(p) && Files.exists(old))
+      Files.move(old, p, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    def countFiles(dir: String): Int = {
+      val s = Files.walk(Paths.get(dir))
       try s.filter(f => f.toString.endsWith(".parquet")).count().toInt
       finally s.close()
     }
     val before = countFiles(path)
+    val partCols = partitionColumnsOf(p)
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
-    val tmp = path.stripSuffix("/") + "__compacting"
-    df.repartition(nFiles).write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRecordsPerFile).parquet(tmp)
-    val old = path.stripSuffix("/") + "__old"
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+    val writer =
+      (if (partCols.isEmpty) df.repartition(nFiles)
+       // one task per partition value (the writePartitioned discipline);
+       // maxRecordsPerFile still rolls an oversized value into bounded files
+       else df.repartition(partCols.map(col): _*))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(tmp)
+    Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), p, StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     (before, countFiles(path))
+  }
+
+  /** Partition columns of a Hive-layout parquet dir, in nesting order,
+    * read off the first data file's `name=value` path segments (empty for
+    * a flat layout). */
+  private def partitionColumnsOf(root: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(root)
+    try {
+      s.iterator().asScala
+        .find(f => f.toString.endsWith(".parquet"))
+        .map { f =>
+          root.relativize(f).iterator().asScala.toSeq.dropRight(1)
+            .map(_.toString)
+            .filter(seg => seg.contains("=") && !seg.startsWith("."))
+            .map(_.takeWhile(_ != '='))
+        }
+        .getOrElse(Seq.empty)
+    } finally s.close()
   }
 
   /** Write `df` as partitioned parquet with bounded file count and size.

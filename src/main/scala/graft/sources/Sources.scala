@@ -21,12 +21,31 @@ object Sources {
   /** File-replay stream over parquet event files in `dir`: each discovered
     * file becomes micro-batch input — the standard backfill/replay source.
     * `maxFilesPerTrigger 1` paces the replay so windows/watermarks advance
-    * the way they would on a live stream. */
-  def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsDdl)
+    * the way they would on a live stream.
+    *
+    * The REAL events table ships TIMESTAMP(NANOS), surfaced as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong` — declaring `ts TIMESTAMP`
+    * against those files fails in the first micro-batch. A streaming source
+    * cannot infer, so the footer is peeked with a one-off batch read at
+    * stream-definition time and the declared schema + DIV-1000
+    * normalization branch follow what batch `Tables.events` does; the
+    * downstream frame is `eventsDdl`-shaped either way. An empty/missing
+    * dir falls back to the micros declaration (nothing to peek; the first
+    * files to arrive decide nothing — redefine the stream for a nanos
+    * backfill). */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val nanos = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType).getOrElse(false)
+    val raw = spark.readStream
+      .schema(if (nanos) eventsDdl.replace("ts TIMESTAMP", "ts BIGINT") else eventsDdl)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+    if (nanos)
+      raw.withColumn("ts", timestamp_micros(
+        expr("ts DIV 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+    else raw
+  }
 
   /** The fixed schema every Spark Kafka source emits — declared here so the
     * wire-format projection ([[fromKafkaWire]]) is testable without a
@@ -88,18 +107,22 @@ object Sources {
     val spark = raw.sparkSession
     import spark.implicits._
     raw.select(col("value").cast("long")).as[Long].map { n =>
+      // floorMod, not %: the contract is ANY BIGINT value column, and
+      // Scala % yields NEGATIVE remainders on negative inputs — Seq(-1)
+      // throws, and a negative messages_per_second would reach validation
+      def m(k: Int): Int = math.floorMod(n, k).toInt
       EstimationInput(
         project_name = s"stream scenario $n",
-        messages_per_second = (1000 + (n % 100) * 500).toInt,
-        avg_record_size_bytes = (256 << (n % 4)).toInt,
-        num_distinct_keys = 100000L * (1 + n % 50),
-        data_skew_risk = Seq("low", "medium", "high")((n % 3).toInt),
-        expected_latency_seconds = Seq(0.5, 1.0, 5.0)((n % 3).toInt),
-        simple_statements = (n % 5).toInt,
-        medium_statements = (n % 3).toInt,
-        complex_statements = (n % 2).toInt,
+        messages_per_second = 1000 + m(100) * 500,
+        avg_record_size_bytes = 256 << m(4),
+        num_distinct_keys = 100000L * (1 + m(50)),
+        data_skew_risk = Seq("low", "medium", "high")(m(3)),
+        expected_latency_seconds = Seq(0.5, 1.0, 5.0)(m(3)),
+        simple_statements = m(5),
+        medium_statements = m(3),
+        complex_statements = m(2),
         worker_node_type = "VM",
-        worker_node_t_size = Some(Seq("S", "M", "L")((n % 3).toInt)))
+        worker_node_t_size = Some(Seq("S", "M", "L")(m(3))))
     }
   }
 

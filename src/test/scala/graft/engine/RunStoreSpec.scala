@@ -34,6 +34,12 @@ class RunStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(!store.traversalSafe("../x.json"))
     assert(!store.traversalSafe("a/b.json"))
     assert(!store.traversalSafe("a\\b.json"))
+    // blank resolves to the store dir itself: delete("") would target the
+    // whole store, download("") would read a directory
+    assert(!store.traversalSafe(""))
+    assert(!store.traversalSafe("  "))
+    assert(store.delete("").isLeft)
+    assert(store.download("").isLeft)
     assert(store.traversalSafe("plain_file.json"))
     store.delete("../x.json") match {
       case Left(msg) => assert(msg == "Invalid filename")

@@ -202,4 +202,21 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val id1 = MultimodalOps.decimateWav(media, 1).collect().head.content
     assert(java.util.Arrays.equals(id1, media.collect().head.content))
   }
+
+  test("decimateWav drops a truncated WAV instead of crashing the task") {
+    import spark.implicits._
+    import MultimodalOps.Media
+    val whole = MultimodalOps.encodeWavPcm16(1000, 2, new Array[Byte](100 * 4))
+    // truncated read: header still claims 100 frames, bytes end earlier —
+    // the malformed-row contract says drop, like clipWav (a missing guard
+    // here was an ArrayIndexOutOfBounds task failure)
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, whole.length - 40)
+    val got = MultimodalOps.decimateWav(
+      Seq(Media(1L, truncated), Media(2L, whole)).toDS(), 4).collect()
+    assert(got.map(_.media_id).toSeq == Seq(2L), got.mkString(","))
+    // and everyN is validated at the driver, not per-row on executors
+    intercept[IllegalArgumentException] {
+      MultimodalOps.frameSample(Seq(Media(1L, whole)).toDS(), 0)
+    }
+  }
 }

@@ -25,6 +25,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkP
     (1L, 5L, "c1"), (1L, 10L, "c2"), (1L, 15L, "c3"), (2L, 11L, "c4")
   ).toDF("k", "t", "ctag")
 
+  test("key/time type mismatches are rejected loudly — the codegen'd " +
+      "orderings read the pair row with the LEFT side's types") {
+    val r = fixtureRight.withColumn("k", col("k").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(fixtureLeft, r, "k", "t")
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+    val r2 = fixtureRight.withColumn("t", col("t").cast("double"))
+    assert(intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(fixtureLeft, r2, "k", "t")
+    }.getMessage.contains("time type mismatch"))
+  }
+
+  test("column resolution is case-insensitive, like built-in joins") {
+    val got = AsOfJoin.asOf(fixtureLeft, fixtureRight, "K", "T")
+      .select($"tag", $"ctag").as[(String, Option[String])].collect().toMap
+    assert(got == Map("p1" -> Some("c2"), "p2" -> Some("c3"),
+      "p3" -> None, "p4" -> None))
+  }
+
   test("as-of picks the greatest right time <= left time, per key") {
     val got = AsOfJoin.asOf(fixtureLeft, fixtureRight, "k", "t")
       .select($"tag", $"ctag").as[(String, Option[String])].collect().toMap

@@ -149,4 +149,36 @@ class SinksSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkPlan
       docs.take(25).toDF("doc_id", "text"), 0L, sink)
     assert(readBack().size == docs.size, "replayed batch must not duplicate")
   }
+
+  test("compact preserves a partitioned layout: replay overwrite still " +
+      "replaces its own batch after compaction") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    Sinks.writeBatchIdempotent(Seq(1L, 2L).toDF("value"), 0L, p)
+    Sinks.writeBatchIdempotent(Seq(3L, 4L).toDF("value"), 1L, p)
+    Sinks.compact(spark, p, targetRecordsPerFile = 100)
+    val dirs = Files.list(Paths.get(p)).iterator().asScala
+      .filter(d => Files.isDirectory(d)).map(_.getFileName.toString).toSet
+    assert(dirs == Set("batch_id=0", "batch_id=1"),
+      s"compaction must keep the Hive layout, got $dirs")
+    // the exactly-once contract survives: a replayed batch REPLACES its
+    // partition (a flattening compactor would leave the old rows behind)
+    Sinks.writeBatchIdempotent(Seq(1L, 2L).toDF("value"), 0L, p)
+    val vals = spark.read.parquet(p).select("value").as[Long]
+      .collect().toSeq.sorted
+    assert(vals == Seq(1L, 2L, 3L, 4L), s"replay after compact: $vals")
+  }
+
+  test("compact auto-recovers a swap stranded by a crash between renames") {
+    import spark.implicits._
+    val p = Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    (1L to 10L).toDF("value").repartition(4).write.parquet(p)
+    // the crash window: live dir renamed away, compacted dir never landed
+    Files.move(Paths.get(p), Paths.get(p + "__old"))
+    val (_, after) = Sinks.compact(spark, p, targetRecordsPerFile = 100)
+    assert(after == 1, s"recovered dir must compact to one file, got $after")
+    val vals = spark.read.parquet(p).select("value").as[Long]
+      .collect().toSeq.sorted
+    assert(vals == (1L to 10L).toSeq)
+  }
 }

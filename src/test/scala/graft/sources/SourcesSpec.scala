@@ -5,6 +5,7 @@ import graft.engine.Engine
 import graft.operators.Tables
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 
@@ -36,6 +37,38 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(streamed == batch)
+  }
+
+  test("file-replay of the REAL nanos events table normalizes ts like " +
+      "batch Tables.events (no re-staged copy needed)") {
+    // the real table is TIMESTAMP(NANOS) -> BIGINT under nanosAsLong; the
+    // source peeks the footer and applies the batch DIV-1000 branch. The
+    // file stream source wants a DIRECTORY, so stage a raw byte copy (a
+    // Spark re-write would normalize the nanos away — the point is the
+    // ORIGINAL footer)
+    val nanosDir = Files.createTempDirectory("events_nanos").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(nanosDir, "events.parquet"))
+    val stream = Sources.eventsFileStream(spark, nanosDir)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = stream.writeStream.format("memory").queryName("nanos_replay")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nanos_replay")
+      .agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect().head
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect().head
+    assert(got == want, s"streamed $got vs batch $want")
+  }
+
+  test("scenario stream accepts negative input values (floorMod contract)") {
+    import spark.implicits._
+    val got = Sources.scenarioStream(Seq(-1L, -7L, 0L).toDF("value")).collect()
+    assert(got.length == 3)
+    assert(got.forall(s => s.messages_per_second >= 1000 &&
+      Seq("low", "medium", "high").contains(s.data_skew_risk)))
   }
 
   test("estimator sweep runs unchanged on a streaming scenario Dataset") {
