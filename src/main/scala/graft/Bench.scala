@@ -50,7 +50,9 @@ object Bench {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/oracle_sql.json"), oracleJson)
       val pb = new ProcessBuilder("python3", "tools/bench_duckdb.py", sfDir, "target", "--json")
-      pb.redirectErrorStream(false)
+      // INHERIT, not an unread pipe: a chatty child (DuckDB tracebacks)
+      // filling the OS pipe buffer would deadlock against our stdout read
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       if (proc.waitFor() != 0) None
@@ -64,6 +66,10 @@ object Bench {
     } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
+    // the f-interpolator formats doubles with the DEFAULT locale — on a
+    // comma-decimal JVM (de_DE etc.) every %.4f below would corrupt the
+    // one-line JSON contract the driver parses
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")

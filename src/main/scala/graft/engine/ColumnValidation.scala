@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object ColumnValidation {
 
-  /** (violation predicate, message) — message text matches Validation. */
+  /** (violation predicate, message) — message text matches Validation.
+    *
+    * Every predicate over a REQUIRED column folds in `isNull`: a raw frame
+    * (spark.read.json of a sweep file) can carry nulls, and a bare
+    * `null <= 0` evaluates to NULL, which `when(...)` drops — the row
+    * would be classified VALID here and then crash downstream at
+    * case-class deserialization ("Null value appeared in non-nullable
+    * field"), the exact throw this class exists to route around. The only
+    * genuinely Optional field is worker_node_t_size. Likewise
+    * expected_latency_seconds checks `isnan`: Spark orders NaN above every
+    * value so `NaN > 0` is true, while the scalar validator's Java
+    * `NaN > 0` is false — NaN must reject in both. */
   val rules: Seq[(Column, String)] = {
     def c(name: String): Column = col(name)
     Seq(
@@ -28,23 +39,36 @@ object ColumnValidation {
         "project_name: must have at most 100 characters"),
       (length(c("project_name")) > 0 && length(trim(c("project_name"))) === 0,
         "Project name cannot be empty or just whitespace"),
-      (c("messages_per_second") <= 0, "messages_per_second: must be greater than 0"),
-      (c("avg_record_size_bytes") <= 0, "avg_record_size_bytes: must be greater than 0"),
-      (c("number_flink_applications") < 1, "number_flink_applications: must be >= 1"),
-      (c("num_distinct_keys") < 1, "num_distinct_keys: must be >= 1"),
-      (!c("data_skew_risk").isin("low", "medium", "high"),
+      (c("messages_per_second").isNull || c("messages_per_second") <= 0,
+        "messages_per_second: must be greater than 0"),
+      (c("avg_record_size_bytes").isNull || c("avg_record_size_bytes") <= 0,
+        "avg_record_size_bytes: must be greater than 0"),
+      (c("number_flink_applications").isNull || c("number_flink_applications") < 1,
+        "number_flink_applications: must be >= 1"),
+      (c("num_distinct_keys").isNull || c("num_distinct_keys") < 1,
+        "num_distinct_keys: must be >= 1"),
+      (c("data_skew_risk").isNull || !c("data_skew_risk").isin("low", "medium", "high"),
         "data_skew_risk: must be one of low|medium|high"),
-      (c("bandwidth_capacity_gbps") <= 0, "bandwidth_capacity_gbps: must be greater than 0"),
-      (!(c("expected_latency_seconds") > 0), "expected_latency_seconds: must be greater than 0"),
-      (c("simple_statements") < 0, "simple_statements: must be >= 0"),
-      (c("medium_statements") < 0, "medium_statements: must be >= 0"),
-      (c("complex_statements") < 0, "complex_statements: must be >= 0"),
-      (!(c("worker_node_memory_mb") > 0), "worker_node_memory_mb: must be greater than 0"),
+      (c("bandwidth_capacity_gbps").isNull || c("bandwidth_capacity_gbps") <= 0,
+        "bandwidth_capacity_gbps: must be greater than 0"),
+      (c("expected_latency_seconds").isNull || isnan(c("expected_latency_seconds")) ||
+        !(c("expected_latency_seconds") > 0),
+        "expected_latency_seconds: must be greater than 0"),
+      (c("simple_statements").isNull || c("simple_statements") < 0,
+        "simple_statements: must be >= 0"),
+      (c("medium_statements").isNull || c("medium_statements") < 0,
+        "medium_statements: must be >= 0"),
+      (c("complex_statements").isNull || c("complex_statements") < 0,
+        "complex_statements: must be >= 0"),
+      (c("worker_node_memory_mb").isNull || !(c("worker_node_memory_mb") > 0),
+        "worker_node_memory_mb: must be greater than 0"),
       (c("worker_node_memory_mb") > 512 * 1024, "worker_node_memory_mb: must be <= 524288"),
-      (c("worker_node_cpu_max") < 2 || c("worker_node_cpu_max") > 256,
+      (c("worker_node_cpu_max").isNull ||
+        c("worker_node_cpu_max") < 2 || c("worker_node_cpu_max") > 256,
         "worker_node_cpu_max: must be in [2, 256]"),
-      (c("nb_worker_nodes") < 1, "nb_worker_nodes: must be >= 1"),
-      (!c("worker_node_type").isin("bare_metal", "VM"),
+      (c("nb_worker_nodes").isNull || c("nb_worker_nodes") < 1,
+        "nb_worker_nodes: must be >= 1"),
+      (c("worker_node_type").isNull || !c("worker_node_type").isin("bare_metal", "VM"),
         "worker_node_type: must be one of bare_metal|VM"),
       (c("worker_node_t_size").isNotNull && !c("worker_node_t_size").isin("S", "M", "L"),
         "worker_node_t_size: must be one of S|M|L"),

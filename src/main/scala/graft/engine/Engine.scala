@@ -44,9 +44,15 @@ object Engine {
     }
     // A22 parity: FLINK_ESTIMATOR_DEBUG dumps each outcome (reference
     // estimation.py:400-403); stderr so driver JSON parsing stays clean.
-    if (sys.env.contains("FLINK_ESTIMATOR_DEBUG")) System.err.println(outcome)
+    // Value-checked like the reference — FLINK_ESTIMATOR_DEBUG=0/false
+    // must stay silent, not flood a sweep's executor logs.
+    if (debugEnabled) System.err.println(outcome)
     outcome
   }
+
+  private lazy val debugEnabled: Boolean =
+    Set("1", "true", "yes").contains(
+      sys.env.getOrElse("FLINK_ESTIMATOR_DEBUG", "").trim.toLowerCase)
 
   /** The scenario sweep: Dataset in, Dataset of outcomes out. Narrow map,
     * no shuffle; scales linearly with executor count.
@@ -82,11 +88,44 @@ object Engine {
     * optimize through (SURVEY §4).
     */
   def registerUdfs(spark: SparkSession): Unit = {
+    // Row-based UDFs, not typed-case-class ones: Spark cannot DECODE a
+    // NULL struct into a case class with primitive fields (an outer join
+    // produces exactly that shape — EXPRESSION_DECODING_FAILED before the
+    // lambda ever runs), so the null check must happen on the Row. A null
+    // input struct returns NULL, per the documented IS-NULL reject path.
+    val resultType = org.apache.spark.sql.Encoders.product[EstimationResult].schema
     spark.udf.register("flink_estimate",
-      (in: EstimationInput) => estimateOne(in).result.orNull)
+      new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, Any] {
+        override def call(r: org.apache.spark.sql.Row): Any =
+          if (r == null) null else estimateOne(rowToInput(r)).result.orNull
+      }, resultType)
     spark.udf.register("flink_estimate_error",
-      (in: EstimationInput) => estimateOne(in).error.orNull)
+      new org.apache.spark.sql.api.java.UDF1[org.apache.spark.sql.Row, String] {
+        override def call(r: org.apache.spark.sql.Row): String =
+          if (r == null) null else estimateOne(rowToInput(r)).error.orNull
+      }, org.apache.spark.sql.types.StringType)
   }
+
+  /** The `struct(s.*)` positional shape of [[EstimationInput]] — the same
+    * field-order contract the typed encoder enforced. */
+  private def rowToInput(r: org.apache.spark.sql.Row): EstimationInput =
+    EstimationInput(
+      project_name = r.getString(0),
+      messages_per_second = r.getInt(1),
+      avg_record_size_bytes = r.getInt(2),
+      number_flink_applications = r.getInt(3),
+      num_distinct_keys = r.getLong(4),
+      data_skew_risk = r.getString(5),
+      bandwidth_capacity_gbps = r.getInt(6),
+      expected_latency_seconds = r.getDouble(7),
+      simple_statements = r.getInt(8),
+      medium_statements = r.getInt(9),
+      complex_statements = r.getInt(10),
+      worker_node_memory_mb = r.getDouble(11),
+      worker_node_cpu_max = r.getInt(12),
+      nb_worker_nodes = r.getInt(13),
+      worker_node_type = r.getString(14),
+      worker_node_t_size = Option(r.getAs[String](15)))
 
   /** Deterministic demo sweep grid (the driver's rows-only correctness entry):
     * crosses throughput x latency x statement mix x skew x node shape. 144

@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * optimizer.
   *
   * Null semantics: NULL if either array is NULL (BinaryExpression default);
-  * arrays must be same length (analysis-time responsibility of the caller,
-  * runtime error otherwise); NULL elements contribute 0, matching
+  * the loop runs over min(length) — equal lengths are the CALLER's contract
+  * (the RewriteDotProduct rule wraps in its own length guard to preserve
+  * the HOF's null-on-mismatch); NULL elements contribute 0, matching
   * `zip_with` x * y with null-skip via coalesce semantics used upstream.
-  */
-final case class DotProductLong(left: Expression, right: Expression)
+  *
+  * `ansi = true` switches the loop to Math.multiplyExact/addExact so a Long
+  * overflow fails loudly like ANSI Multiply/Add would have — the rewrite
+  * rule passes the evalMode of the operators it replaces; the Column API
+  * and SQL registration default to wraparound (legacy) arithmetic. */
+final case class DotProductLong(left: Expression, right: Expression,
+    ansi: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -51,8 +57,10 @@ final case class DotProductLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += x.getLong(i) * y.getLong(i)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        if (ansi) acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        else acc += x.getLong(i) * y.getLong(i)
+      }
       i += 1
     }
     acc
@@ -63,12 +71,16 @@ final case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val step =
+        if (ansi)
+          s"$acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
+        else s"$acc += $x.getLong($i) * $y.getLong($i);"
       s"""
         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
         |long $acc = 0L;
         |for (int $i = 0; $i < $n; $i++) {
         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
-        |    $acc += $x.getLong($i) * $y.getLong($i);
+        |    $step
         |  }
         |}
         |${ev.value} = $acc;

@@ -286,7 +286,13 @@ object Estimator {
       else baseCkpt
     if (in.expected_latency_seconds <= 1.0) {
       val boost = math.max(1L, (2.0 / in.expected_latency_seconds).toLong)
-      recPar = math.min(maxPar.toLong, recPar.toLong * boost).toInt
+      // saturate instead of multiplying: Python's unbounded ints give
+      // min(max, rec*boost) = max for a huge boost; recPar.toLong * boost
+      // can wrap Long for tiny latencies and emit a NEGATIVE parallelism.
+      // boost > maxPar/recPar  ==>  recPar*boost > maxPar, no product needed
+      recPar =
+        if (recPar > 0 && boost > maxPar.toLong / recPar) maxPar
+        else math.min(maxPar.toLong, recPar.toLong * boost).toInt
     }
     ScalingRecommendations(minPar, recPar, maxPar, ckpt)
   }
@@ -319,7 +325,12 @@ object Estimator {
             val taskmanagerMemoryMb = nbTaskManagers.toLong * tmProcessMemoryMb
             val nonZeroNodes = nodeAllocations.count(_ > 0)
             val totalNodes = math.min(nonZeroNodes, nbWorkerNodes)
-            val bandwidthMbps = in.bandwidth_capacity_gbps * 1000
+            // multiplyExact: a silent Int wrap here would report a NEGATIVE
+            // bandwidth in the summary (the file's fail-loud discipline;
+            // estimate() converts the throw to a sizing-overflow reject —
+            // Python's unbounded ints succeed, but a >2M-gbps input is
+            // better rejected loudly than reported wrapped)
+            val bandwidthMbps = Math.multiplyExact(in.bandwidth_capacity_gbps, 1000)
 
             val inputSummary = InputSummary(
               messages_per_second = in.messages_per_second,

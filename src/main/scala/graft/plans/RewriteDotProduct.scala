@@ -35,17 +35,30 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case agg @ ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
+              LambdaFunction(mul @ Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
                 Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(0L, LongType),
-            LambdaFunction(Add(ax: NamedLambdaVariable, av: NamedLambdaVariable, _),
+            LambdaFunction(add @ Add(ax: NamedLambdaVariable, av: NamedLambdaVariable, _),
               Seq(aacc: NamedLambdaVariable, ain: NamedLambdaVariable), _),
             finish)
           if isLongArray(a) && isLongArray(b) &&
             mx.exprId == zx.exprId && my.exprId == zy.exprId &&
             ax.exprId == aacc.exprId && av.exprId == ain.exprId &&
-            isIdentityFinish(finish) =>
-        DotProductLong(a, b)
+            isIdentityFinish(finish) &&
+            // overflow semantics must survive the rewrite: ANSI maps to
+            // the exact-arithmetic kernel, LEGACY to wraparound; TRY
+            // (null-on-overflow) has no kernel equivalent — keep Catalyst.
+            // Compare through the evalMode ACCESSOR: the constructor param
+            // is a NumericEvalContext in Spark 4.1, not the EvalMode
+            add.evalMode == mul.evalMode &&
+            (mul.evalMode == EvalMode.LEGACY || mul.evalMode == EvalMode.ANSI) =>
+        // unequal lengths: zip_with pads with nulls, Multiply nulls the
+        // pair, Add nulls the fold -> the HOF returns NULL; the kernel
+        // loops over min(length), so guard explicitly. Null arrays agree
+        // already (Size(null) -> null -> If condition false -> null).
+        If(EqualTo(Size(a), Size(b)),
+          DotProductLong(a, b, ansi = mul.evalMode == EvalMode.ANSI),
+          Literal(null, LongType))
     }
 
   private def isIdentityFinish(finish: Expression): Boolean = finish match {

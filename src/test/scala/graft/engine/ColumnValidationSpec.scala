@@ -84,6 +84,29 @@ class ColumnValidationSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("null required columns and NaN latency reject instead of passing as valid") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    // a raw frame (spark.read.json of a sweep file) can carry nulls the
+    // case class cannot; a bare `null <= 0` predicate is NULL, which
+    // when() drops — these rows used to land in the VALID partition and
+    // crash at deserialization
+    val base = spark.createDataset(Seq(sample(genValid, 7L))).toDF()
+    def errs(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      ColumnValidation.withErrors(df).select("_errors")
+        .as[Seq[String]].collect().head
+    val nullMps = base.withColumn("messages_per_second", lit(null).cast("int"))
+    assert(errs(nullMps).exists(_.startsWith("messages_per_second")))
+    val nullType = base.withColumn("worker_node_type", lit(null).cast("string"))
+    assert(errs(nullType).exists(_.startsWith("worker_node_type")))
+    val nanLat = base.withColumn("expected_latency_seconds", lit(Double.NaN))
+    // Spark orders NaN above every value (NaN > 0 is TRUE); the scalar
+    // validator's Java NaN > 0 is false — both must reject
+    assert(errs(nanLat).exists(_.startsWith("expected_latency_seconds")))
+    val (valid, rejects) = ColumnValidation.partition(nullMps)
+    assert(valid.count() == 0 && rejects.count() == 1)
+  }
+
   test("partition normalizes valid rows like the smart constructor") {
     import spark.implicits._
     val in = EstimationInput(project_name = "  Padded  ",

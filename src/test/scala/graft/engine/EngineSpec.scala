@@ -119,4 +119,20 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     val viaSpark = Engine.sweepResults(spark.createDataset(Seq(in))).head()
     assert(Right(viaSpark) == Estimator.estimate(in))
   }
+
+  test("flink_estimate on a NULL struct returns NULL, not an executor NPE") {
+    // the documented IS-NULL reject path must hold for a null INPUT too —
+    // the shape an outer join produces
+    Engine.registerUdfs(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.Encoders.product[EstimationInput].schema, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(null)), schema)
+    df.createOrReplaceTempView("null_estimate_in")
+    val row = spark.sql(
+      "SELECT flink_estimate(s) AS r, flink_estimate_error(s) AS e FROM null_estimate_in")
+      .collect().head
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
 }

@@ -125,4 +125,29 @@ class KernelPropertySpec extends AnyFunSuite {
       case Right(r) => fail(s"expected placement failure, got $r")
     }
   }
+
+  test("tiny latencies saturate recommended parallelism at max (no Long wrap)") {
+    // Python's unbounded ints give min(max, rec*boost) = max; a wrapped
+    // Long here once emitted a NEGATIVE parallelism.default
+    val in = EstimationInput(project_name = "tiny latency",
+      expected_latency_seconds = 1e-17, data_skew_risk = "high")
+    Estimator.estimate(in) match {
+      case Right(r) =>
+        val s = r.scaling_recommendations.getOrElse(fail("no scaling recs"))
+        assert(s.recommended_parallelism > 0)
+        assert(s.recommended_parallelism == s.max_parallelism,
+          s"rec=${s.recommended_parallelism} max=${s.max_parallelism}")
+      case Left(e) => fail(e)
+    }
+  }
+
+  test("absurd bandwidth rejects loudly instead of wrapping negative") {
+    val in = EstimationInput(project_name = "huge bandwidth",
+      bandwidth_capacity_gbps = 3000000)
+    Estimator.estimate(in) match {
+      case Left(msg) => assert(msg.contains("overflow"), msg)
+      case Right(r) => fail(
+        s"expected overflow reject, got mbps=${r.input_summary.bandwidth_capacity_mbps}")
+    }
+  }
 }

@@ -51,6 +51,35 @@ class RewriteDotProductSpec extends AnyFunSuite with SparkTestSession {
     assert(!sums.queryExecution.optimizedPlan.toString.contains("dot_product_long"))
   }
 
+  test("unequal-length arrays stay NULL through the rewrite (HOF parity)") {
+    // zip_with pads the shorter array with nulls -> the fold nulls out;
+    // the kernel alone would return a TRUNCATED dot product, so the
+    // rewrite must guard on length equality. Parquet-backed so constant
+    // folding can't collapse the plan before the assertion.
+    val out = quantized
+      .select(col("q").as("a"), expr("slice(q, 1, 3)").as("b"))
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("d"))
+    assert(out.queryExecution.optimizedPlan.toString.contains("dot_product_long"))
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(0)),
+      "HOF semantics: unequal lengths -> NULL")
+  }
+
+  test("ansi kernel fails loudly on Long overflow; legacy kernel wraps") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Seq((Seq(Long.MaxValue), Seq(2L))).toDF("a", "b")
+    def kernel(ansi: Boolean) = ColumnBridge.column(graft.functions.DotProductLong(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")), ansi))
+    val e = intercept[Throwable] { df.select(kernel(ansi = true)).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(
+        x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.toLowerCase.contains("overflow")), chain(e).mkString(" | "))
+    assert(df.select(kernel(ansi = false)).collect().head.getLong(0) == -2L)
+  }
+
   test("nullable-element arrays are not rewritten (semantics differ)") {
     // transform without coalesce: elements stay nullable
     val nullable = graft.operators.Tables.embeddings(spark, "/root/testdata/sf0.001")
