@@ -274,10 +274,10 @@ final class HttpApi(store: RunStore, port: Int = 0) {
         case n if n.isNull && nullAllowed => Right(dv)
         case _ => Left(s"$f: expected string")
       }.getOrElse(Right(dv))
-    def num[T](f: String, dv: T, conv: JsonNode => T,
+    def num[T](f: String, dv: T, conv: JsonNode => Option[T],
         parse: String => Option[T]): Either[String, T] =
       Option(node.get(f)).map {
-        case n if n.isNumber => Right(conv(n))
+        case n if n.isNumber => conv(n).toRight(s"$f: expected number")
         case n if n.isTextual =>
           parse(n.asText.trim).toRight(s"$f: expected number")
         case _ => Left(s"$f: expected number")
@@ -285,24 +285,38 @@ final class HttpApi(store: RunStore, port: Int = 0) {
     def intp(s: String) = s.toIntOption
     def longp(s: String) = s.toLongOption
     def dblp(s: String) = s.toDoubleOption
+    // JSON-NUMBER coercion is as strict as the string form: pydantic
+    // rejects 5.5 for an int field (asInt would truncate it to 5) and an
+    // out-of-range literal (Jackson's (int) cast would WRAP it); a whole
+    // float like 5.0 lax-coerces, same as pydantic
+    def intc(n: JsonNode): Option[Int] =
+      if (n.isIntegralNumber) { if (n.canConvertToInt) Some(n.intValue) else None }
+      else { val d = n.asDouble
+        if (d.isWhole && d >= Int.MinValue && d <= Int.MaxValue) Some(d.toInt) else None }
+    def longc(n: JsonNode): Option[Long] =
+      if (n.isIntegralNumber) { if (n.canConvertToLong) Some(n.longValue) else None }
+      else { val d = n.asDouble
+        if (d.isWhole && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)
+          Some(d.toLong) else None }
+    def dblc(n: JsonNode): Option[Double] = Some(n.asDouble)
     for {
       name <- Option(node.get("project_name"))
         .toRight("missing required field: project_name")
         .flatMap(n => if (n.isTextual) Right(n.asText)
           else Left("project_name: expected string"))
-      mps <- num("messages_per_second", d.messages_per_second, _.asInt, intp)
-      bytes <- num("avg_record_size_bytes", d.avg_record_size_bytes, _.asInt, intp)
-      apps <- num("number_flink_applications", d.number_flink_applications, _.asInt, intp)
-      keys <- num("num_distinct_keys", d.num_distinct_keys, _.asLong, longp)
+      mps <- num("messages_per_second", d.messages_per_second, intc, intp)
+      bytes <- num("avg_record_size_bytes", d.avg_record_size_bytes, intc, intp)
+      apps <- num("number_flink_applications", d.number_flink_applications, intc, intp)
+      keys <- num("num_distinct_keys", d.num_distinct_keys, longc, longp)
       skew <- str("data_skew_risk", d.data_skew_risk)
-      gbps <- num("bandwidth_capacity_gbps", d.bandwidth_capacity_gbps, _.asInt, intp)
-      lat <- num("expected_latency_seconds", d.expected_latency_seconds, _.asDouble, dblp)
-      simple <- num("simple_statements", d.simple_statements, _.asInt, intp)
-      medium <- num("medium_statements", d.medium_statements, _.asInt, intp)
-      cmplx <- num("complex_statements", d.complex_statements, _.asInt, intp)
-      mem <- num("worker_node_memory_mb", d.worker_node_memory_mb, _.asDouble, dblp)
-      cpu <- num("worker_node_cpu_max", d.worker_node_cpu_max, _.asInt, intp)
-      nodes <- num("nb_worker_nodes", d.nb_worker_nodes, _.asInt, intp)
+      gbps <- num("bandwidth_capacity_gbps", d.bandwidth_capacity_gbps, intc, intp)
+      lat <- num("expected_latency_seconds", d.expected_latency_seconds, dblc, dblp)
+      simple <- num("simple_statements", d.simple_statements, intc, intp)
+      medium <- num("medium_statements", d.medium_statements, intc, intp)
+      cmplx <- num("complex_statements", d.complex_statements, intc, intp)
+      mem <- num("worker_node_memory_mb", d.worker_node_memory_mb, dblc, dblp)
+      cpu <- num("worker_node_cpu_max", d.worker_node_cpu_max, intc, intp)
+      nodes <- num("nb_worker_nodes", d.nb_worker_nodes, intc, intp)
       wtype <- str("worker_node_type", d.worker_node_type)
       tsizeRaw <- str("worker_node_t_size", "", nullAllowed = true)
       tsize <- Api.normalizeTsize(Some(tsizeRaw))

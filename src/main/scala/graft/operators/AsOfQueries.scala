@@ -41,8 +41,12 @@ object AsOfQueries {
         ($"event_type" === "purchase").as("is_purchase"))
     val tagged = ev.select(
       $"user_id", $"ts", $"event_id", $"is_purchase",
-      when(!$"is_purchase", $"event_id").as("click_id"),
-      when(!$"is_purchase", unix_micros($"ts")).as("click_us"))
+      // a null-ts click is not an attribution candidate: the oracle's
+      // ASOF `p.ts >= c.ts` never matches NULL and the q47 custom
+      // operator skips null-time right rows — without this guard the
+      // nulls-first sort would attribute such a click with a NULL gap
+      when(!$"is_purchase" && $"ts".isNotNull, $"event_id").as("click_id"),
+      when(!$"is_purchase" && $"ts".isNotNull, unix_micros($"ts")).as("click_us"))
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts".asc, $"is_purchase".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -215,7 +215,10 @@ object CurationPipeline {
     val dup = graft.streaming.StreamingOps.nearDupArrivals(arrivals, index)
       .select(col("new_doc").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
-    val batchDup = DedupQueries.withCanonicalFlag(arrivals, skewSafe = true)
+    // null-text arrivals exempt, mirroring cleanIngestBatchWithBands —
+    // distinct metadata-only docs are not copies of one page
+    val batchDup = DedupQueries.withCanonicalFlag(
+        arrivals.filter(col("text").isNotNull), skewSafe = true)
       .filter(!col("is_canonical"))
       .select(col("doc_id")).withColumn("batch_dup", lit(true))
     val kept = graft.streaming.StreamingOps
@@ -259,7 +262,8 @@ object CurationPipeline {
          |    SELECT doc_id, row_number() OVER (
          |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
          |    FROM documents
-         |    WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes})
+         |    WHERE doc_id % ${DedupQueries.IncrMod} = ${DedupQueries.IncrRes}
+         |      AND text IS NOT NULL)
          |  WHERE rn > 1)
          |SELECT a.doc_id,
          |  COALESCE(c.y, false) AS contaminated,

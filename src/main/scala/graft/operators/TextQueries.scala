@@ -239,7 +239,9 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(32L)).as("shard"),
+        // sign-preserving %, matching the oracle's DuckDB `doc_id % 32`
+        // (pmod would shift every negative id into a different shard)
+        (col("doc_id") % 32L).as("shard"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

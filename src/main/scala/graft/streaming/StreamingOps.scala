@@ -167,8 +167,11 @@ object StreamingOps {
     // dropDuplicates(new_doc, corpus_doc) stage before it
     val dupped = graft.operators.DedupQueries.probeBands(batchBands, bandIndex)
       .select(col("new_doc").as("doc_id")).distinct()
+    // null-text arrivals are exempt (like every other drop stage): the
+    // md5(text) family key would otherwise collapse ALL metadata-only
+    // docs in a batch into one "duplicate" family and drop all but one
     val batchDup = graft.operators.DedupQueries
-      .withCanonicalFlag(batch, skewSafe = true)
+      .withCanonicalFlag(batch.filter(col("text").isNotNull), skewSafe = true)
       .filter(!col("is_canonical")).select(col("doc_id"))
     batch
       .join(contaminated, Seq("doc_id"), "left_anti")

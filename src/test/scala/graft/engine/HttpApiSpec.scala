@@ -206,6 +206,22 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
     assert(post("/api/estimate",
       """{"project_name":"lenient","messages_per_second":null}""",
       "application/json").statusCode == 500)
+    // RAW JSON numbers get the same strictness as their string forms:
+    // 5.5 for an int field must not truncate to 5, an out-of-int-range
+    // literal must not wrap through Jackson's (int) cast — pydantic
+    // rejects both; a WHOLE float (5000.0) lax-coerces, also like pydantic
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":5.5}""",
+      "application/json").statusCode == 500)
+    assert(post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":4294967301}""",
+      "application/json").statusCode == 500)
+    val whole = post("/api/estimate",
+      """{"project_name":"lenient","messages_per_second":5000.0}""",
+      "application/json")
+    assert(whole.statusCode == 200, whole.body)
+    assert(mapper.readTree(whole.body)
+      .get("input_summary").get("messages_per_second").asInt == 5000)
   }
 
   test("form save persists the VALIDATED input: t-shirt rewrite applied, " +

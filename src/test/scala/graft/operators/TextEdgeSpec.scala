@@ -11,6 +11,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TextEdgeSpec extends AnyFunSuite with SparkTestSession {
 
+  test("q63 shard keeps the id's sign like the DuckDB oracle's % operator") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("packneg").toString
+    Seq((-7L, "three words here", "en", "s", 16L),
+        (7L, "three words here", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val shards = TextQueries.q63SequencePacking(spark, tmp)
+      .select(col("shard")).collect().map(_.getLong(0)).toSet
+    // pmod would put -7 in shard 25 while the oracle says -7
+    assert(shards == Set(-7L, 7L), s"negative id must keep its sign: $shards")
+  }
+
   test("lang-ID tie-break: zero scores everywhere predict 'en' (fold order)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("langid").toString

@@ -99,6 +99,26 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession with AdaptiveSparkP
     assert(c1 == c2, s"custom ${c1.size} rows vs composed ${c2.size} rows")
   }
 
+  test("null-timestamp clicks are never attribution candidates (q46 == q47)") {
+    // the oracle's ASOF `p.ts >= c.ts` never matches NULL and the custom
+    // operator skips null-time right rows; the q46 window composition must
+    // agree — a nulls-first sort once attributed the null-ts click
+    val tmp = java.nio.file.Files.createTempDirectory("asof_nullts").toString
+    val t = (s: String) => Some(java.sql.Timestamp.valueOf(s))
+    Seq(
+      (1L, t("2024-01-01 00:00:10"), 7L, "purchase", 1.0, "{}"),
+      (2L, Option.empty[java.sql.Timestamp], 7L, "click", 0.0, "{}"),
+      (3L, t("2024-01-01 00:00:05"), 7L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val composed = AsOfQueries.q46AsOfJoin(spark, tmp).collect().map(_.toSeq).toSet
+    val custom = AsOfQueries.q47AsOfCustom(spark, tmp).collect().map(_.toSeq).toSet
+    assert(composed == custom, s"composed $composed vs custom $custom")
+    val attributed = AsOfQueries.q46AsOfJoin(spark, tmp)
+      .select(col("last_click_id")).collect().map(r => r.get(0))
+    assert(attributed.toSeq == Seq(3L), attributed.mkString(","))
+  }
+
   test("self-as-of over one table: duplicate lineage is de-duplicated by the API") {
     val ev = fixtureLeft
     // join a frame to itself — exprIds collide unless the API re-aliases

@@ -601,7 +601,12 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       // exact copy of doc 32 in the SAME batch — the within-batch blind
       // spot: the index can't catch it (batch bands aren't appended yet),
       // the batch-internal exact dedup stage must
-      StreamingSpec.Doc(33L, "independent clean arrival with other novel vocabulary"))
+      StreamingSpec.Doc(33L, "independent clean arrival with other novel vocabulary"),
+      // two DISTINCT metadata-only (null-text) arrivals in one batch:
+      // exempt from every drop stage — the md5(text) family key must not
+      // collapse them into one "duplicate" family
+      StreamingSpec.Doc(34L, null),
+      StreamingSpec.Doc(35L, null))
 
     val sink = java.nio.file.Files.createTempDirectory("grow_sink").toString + "/out"
     val ckpt = java.nio.file.Files.createTempDirectory("grow_ckpt").toString
@@ -615,15 +620,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
 
     val landed = spark.read.parquet(sink).select($"doc_id")
       .collect().map(_.getLong(0)).toSet
-    assert(landed == Set(30L, 32L),
-      s"doc 31 must near-dup against accepted doc 30: $landed")
+    assert(landed == Set(30L, 32L, 34L, 35L),
+      s"doc 31 must near-dup against accepted doc 30; 33 is a within-batch " +
+        s"copy; BOTH null-text docs land: $landed")
     // the frozen chain against the BASE index alone would have kept 31
     val frozenKept = StreamingOps.cleanIngestBatch(
       batch1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), bench,
       spark.read.parquet(s"$idxDir/bands.parquet")
         .filter($"batch_id" === -1L))
       .select($"doc_id").collect().map(_.getLong(0)).toSet
-    assert(frozenKept == Set(31L, 32L), s"frozen twin sanity: $frozenKept")
+    assert(frozenKept == Set(31L, 32L, 34L, 35L), s"frozen twin sanity: $frozenKept")
     // index holds base + one partition per batch, only accepted docs' bands
     val idx = spark.read.parquet(s"$idxDir/bands.parquet")
       .select($"doc_id", $"band", $"bsig", $"batch_id").collect()
