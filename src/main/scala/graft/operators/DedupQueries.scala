@@ -192,8 +192,7 @@ object DedupQueries {
     val spark = docs.sparkSession
     val skewSafe = SkewProbe.resolve(spark, CanonicalSkewSafeKey, "true") {
       SkewProbe.hasHotKey(
-        docs.sample(withReplacement = false,
-            SkewProbe.sampleFraction(spark), SkewProbe.Seed)
+        SkewProbe.sampleByHash(docs, "doc_id", SkewProbe.sampleFraction(spark))
           .select(coalesce(md5(col("text")), lit("")).as("h")))
     }
     withCanonicalFlag(docs, skewSafe)
@@ -315,9 +314,19 @@ object DedupQueries {
     * insertions the shingle set washes out — the standard second verifier
     * in published near-dup pipelines). Emits
     * `edit_sim_milli = 1000 - (1000·levenshtein(a,b)) DIV max(|a|,|b|)`
-    * — integer-exact end to end (both engines implement classic
-    * Levenshtein and integral division identically; a DOUBLE ratio would
-    * hash-drift).
+    * — integer-exact end to end; a DOUBLE ratio would hash-drift.
+    *
+    * The DP is defined over UTF-8 BYTES, not code points: DuckDB's
+    * levenshtein is natively byte-based (levenshtein('é','a') = 2) while
+    * Spark's is code-point-based, so a code-point contract could never be
+    * oracle-checked. Spark reaches byte semantics via the latin-1 byte
+    * expansion `decode(encode(t,'UTF-8'),'ISO-8859-1')` — every UTF-8
+    * byte becomes exactly one code point, so code-point levenshtein over
+    * the expansion IS byte levenshtein — and the denominator is the byte
+    * length on both sides (Spark `length` of the expansion, DuckDB
+    * `strlen`). On ASCII the two contracts coincide. The [[EditPrefix]]
+    * window is still taken in CHARACTERS on both sides (substr semantics
+    * agree), then byte-expanded.
     *
     * Same collapse-first discipline as q24: candidates and the DP both
     * depend only on the texts, so the O(|a|·|b|) dynamic program runs once
@@ -331,7 +340,8 @@ object DedupQueries {
     val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val signed = withShinglesAndSignature(uniq)
     val txt = uniq.select(col("doc_id"),
-      substring(col("text"), 1, editPrefix(spark)).as("t"))
+      decode(encode(substring(col("text"), 1, editPrefix(spark)), "UTF-8"),
+        "ISO-8859-1").as("t"))
     val usim = candidatePairs(bands(signed))
       .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
@@ -542,8 +552,8 @@ object DedupQueries {
       // sample; hashes are uniform over distinct spans, so a hot key in the
       // sampled stream is a hot window partition in the full one
       SkewProbe.hasHotKey(
-        docSpans(docs.sample(withReplacement = false,
-          SkewProbe.sampleFraction(spark), SkewProbe.Seed)).select(col("h")))
+        docSpans(SkewProbe.sampleByHash(docs, "doc_id",
+          SkewProbe.sampleFraction(spark))).select(col("h")))
     }
     spanDupFlags(docs, skewSafe).orderBy(col("doc_id").asc)
   }
@@ -747,7 +757,14 @@ object DedupQueries {
   def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit =
     bands(withShinglesAndSignature(docs))
       .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
+      .write.mode("overwrite")
+      // STATIC pin: a full rebuild must replace the WHOLE index. Under a
+      // session-wide dynamic partitionOverwriteMode this write would touch
+      // only batch_id=-1 and leave stale per-batch partitions probing as
+      // phantom corpus docs (the append path pins dynamic for the
+      // opposite reason).
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id")
       .parquet(s"$indexDir/bands.parquet")
 
   /** Append one ingest batch's band rows to a persisted
@@ -1007,7 +1024,7 @@ object DedupQueries {
          |  FROM documents WHERE text IS NOT NULL)
          |SELECT p.doc_a, p.doc_b,
          |  CAST(1000 - (1000 * levenshtein(a.t, b.t))
-         |    // greatest(length(a.t), length(b.t)) AS BIGINT) AS edit_sim_milli
+         |    // greatest(strlen(a.t), strlen(b.t)) AS BIGINT) AS edit_sim_milli
          |FROM pairs p
          |JOIN t a ON a.doc_id = p.doc_a
          |JOIN t b ON b.doc_id = p.doc_b

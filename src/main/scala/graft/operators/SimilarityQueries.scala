@@ -333,7 +333,11 @@ object SimilarityQueries {
     // batch_id-partitioned like the band index (base build = -1) so the
     // delta-assign path can append with idempotent replay
     assigned.withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
+      .write.mode("overwrite")
+      // STATIC pin, mirroring buildNearDupIndex: a rebuild replaces the
+      // whole assignment table even when the session default is dynamic
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id")
       .parquet(s"$indexDir/assignments")
   }
 

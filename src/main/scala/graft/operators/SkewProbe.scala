@@ -31,14 +31,21 @@ object SkewProbe {
   private[graft] val FractionKey = "spark.graft.skew.sampleFraction"
   private[graft] val FactorKey = "spark.graft.skew.partitionFactor"
   private[graft] val MinTopKey = "spark.graft.skew.minTopRows"
-  /** Fixed seed: the probe (and therefore the chosen plan) is deterministic
-    * across retries — the same discipline every sampling operator in the
-    * catalog follows (md5-mod, not RNG). */
-  private[graft] val Seed = 42L
-
   /** The doc-sample fraction callers apply BEFORE key extraction. */
   def sampleFraction(spark: org.apache.spark.sql.SparkSession): Double =
     spark.conf.get(FractionKey, "0.05").toDouble
+
+  /** Content-keyed doc sample — the md5-mod discipline every sampling
+    * operator in the catalog follows, NOT a seeded `.sample` (Bernoulli
+    * draws are keyed by (seed, partitionIndex), so re-sharding the same
+    * corpus changes the sample and can flip the auto-chosen plan between
+    * environments; a hash of the key column picks the same rows under any
+    * file or partition layout). Keeps rows whose key hashes into the
+    * first `fraction` of 10k buckets; fraction >= 1 keeps everything. */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(pmod(xxhash64(col(keyCol)), lit(10000L)) <
+      lit(math.round(fraction * 10000)))
 
   /** True when the most frequent key of the (pre-sampled) one-column frame
     * would overload a window/join partition at the session's shuffle

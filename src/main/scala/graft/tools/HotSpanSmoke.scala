@@ -51,9 +51,9 @@ object HotSpanSmoke {
     // window form on a skew-free corpus; mirror q71's probe exactly
     def autoPick(frame: DataFrame): Boolean =
       graft.operators.SkewProbe.hasHotKey(
-        DedupQueries.docSpans(frame.sample(withReplacement = false,
-          graft.operators.SkewProbe.sampleFraction(spark),
-          graft.operators.SkewProbe.Seed)).select(col("h")))
+        DedupQueries.docSpans(graft.operators.SkewProbe.sampleByHash(
+          frame, "doc_id",
+          graft.operators.SkewProbe.sampleFraction(spark))).select(col("h")))
     val skewFree = docs.filter(col("doc_id") % 2 === 1)
     val (pickHot, pickFree) = (autoPick(docs), autoPick(skewFree))
     println(f"""{"metric":"hotspan_smoke","n_docs":$nDocs,"hot_share":0.5,"window_sec":$win%.2f,"skew_safe_sec":$safe%.2f,"auto_picks_skew_safe_on_hot":$pickHot,"auto_picks_skew_safe_on_skew_free":$pickFree}""")

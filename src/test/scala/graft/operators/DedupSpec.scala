@@ -540,6 +540,49 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .foreach { case (a, b, s) => assert(s == 1000L, s"same-text ($a,$b): $s") }
   }
 
+  test("edit similarity is BYTE-level (DuckDB's levenshtein semantics): " +
+      "é counts as two UTF-8 bytes on both engines") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("editbytes").toString
+    // 40 shared words guarantee LSH candidacy; the docs differ only in the
+    // final word café/cafe — one code point apart but TWO byte edits
+    // (C3 A9 -> 65: replace + delete)
+    val shared = (0 until 40).map(i => f"word$i%03d").mkString(" ")
+    val (ta, tb) = (s"$shared café", s"$shared cafe")
+    Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // independent reference: classic DP over the UTF-8 byte arrays
+    def byteLev(a: Array[Byte], b: Array[Byte]): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val (ba, bb) = (ta.getBytes("UTF-8"), tb.getBytes("UTF-8"))
+    val expected = 1000L - 1000L * byteLev(ba, bb) / math.max(ba.length, bb.length)
+    assert(byteLev(ba, bb) == 2) // the point: 2 byte edits, not 1 code point
+    val got = DedupQueries.q79EditVerify(spark, tmp).collect()
+      .map(r => r.getLong(2)).headOption
+      .getOrElse(fail("expected the pair to be an LSH candidate"))
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("skew probe's hash sample is layout-independent: same decision " +
+      "under any repartitioning of the same rows") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, if (i % 2 == 0) "the one hot boilerplate page" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    def sampled(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      SkewProbe.sampleByHash(df, "doc_id", 0.25)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val a = sampled(docs.repartition(3))
+    val b = sampled(docs.repartition(11))
+    assert(a == b && a.nonEmpty, s"${a.size} vs ${b.size}")
+  }
+
   test("edit verify catches a word reordering that shingle-jaccard washes out") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("editv").toString
