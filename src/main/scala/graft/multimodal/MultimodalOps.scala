@@ -235,13 +235,19 @@ object MultimodalOps {
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
+        // floorMod keeps every derived container parameter in range for
+        // ANY id — Scala % is sign-preserving, so a negative id once
+        // sized a negative BMP width / zero WAV channels and crashed the
+        // task; the oracle mirrors with ((id % k) + k) % k
         if (id % 2 == 0) {
-          val w = 4 + (id % 13).toInt
-          val h = 3 + (id % 7).toInt
+          val w = 4 + math.floorMod(id, 13).toInt
+          val h = 3 + math.floorMod(id, 7).toInt
           Media(id, encodeBmp(w, h, bytes))
         } else {
-          val channels = 1 + ((id / 2) % 2).toInt
-          val rate = 8000 + (id % 3).toInt * 4000
+          // == 1 + ((id / 2) % 2) on positive odd ids (4k+1 -> 1ch,
+          // 4k+3 -> 2ch), but total over negatives too
+          val channels = if (math.floorMod(id, 4) == 3L) 2 else 1
+          val rate = 8000 + math.floorMod(id, 3).toInt * 4000
           val blockAlign = channels * 2
           Media(id, encodeWavPcm16(rate, channels,
             bytes.take(bytes.length / blockAlign * blockAlign)))
@@ -400,16 +406,21 @@ object MultimodalOps {
     * encoder zero-pads/truncates); WAV payload is the text byte length
     * truncated to whole sample frames. */
   val q38Oracle: String =
+    // pm(k) = ((doc_id % k) + k) % k mirrors the builder's floorMod; on
+    // non-negative ids it equals the plain % the oracle used before
     """WITH m AS (
       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+      |    2 * (1 + CASE WHEN ((doc_id % 4) + 4) % 4 = 3 THEN 1 ELSE 0 END) AS ba,
       |    CASE WHEN doc_id % 2 = 0
-      |      THEN ((4 + doc_id % 13) * 3 + 3) // 4 * 4 * (3 + doc_id % 7)
-      |      ELSE octet_length(encode(text)) // (2 * (1 + (doc_id // 2) % 2))
-      |           * (2 * (1 + (doc_id // 2) % 2)) END AS payload,
+      |      THEN ((4 + ((doc_id % 13) + 13) % 13) * 3 + 3) // 4 * 4
+      |           * (3 + ((doc_id % 7) + 7) % 7)
+      |      ELSE octet_length(encode(text)) // ba * ba END AS payload,
       |    CASE WHEN doc_id % 2 = 0 THEN 1
-      |      ELSE octet_length(encode(text)) // (2 * (1 + (doc_id // 2) % 2)) END AS frames,
-      |    CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 13 ELSE 0 END AS width,
-      |    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 3) * 4000 END AS rate
+      |      ELSE octet_length(encode(text)) // ba END AS frames,
+      |    CASE WHEN doc_id % 2 = 0 THEN 4 + ((doc_id % 13) + 13) % 13
+      |      ELSE 0 END AS width,
+      |    CASE WHEN doc_id % 2 = 0 THEN 0
+      |      ELSE 8000 + (((doc_id % 3) + 3) % 3) * 4000 END AS rate
       |  FROM documents WHERE text IS NOT NULL)
       |SELECT kind, COUNT(*) AS n_media, CAST(SUM(payload) AS BIGINT) AS sum_payload,
       |  CAST(MAX(frames) AS INT) AS max_frames, CAST(MAX(width) AS INT) AS max_width,

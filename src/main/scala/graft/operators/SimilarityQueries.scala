@@ -783,7 +783,8 @@ object SimilarityQueries {
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
          |  FROM embeddings),
-         |seeds AS (SELECT vec_id AS cell, v FROM q WHERE vec_id < $IvfCells),
+         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+         |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $IvfCells)),
          |a0 AS (SELECT q.vec_id, q.v, s.cell,
          |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
          |      (list_sum(list_transform(range($Dims), i -> s.v[i+1] * s.v[i+1])) -
