@@ -99,6 +99,9 @@ object AnalyticsQueries {
     val wc = Window.partitionBy(col("user_id")).orderBy(col("ts").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(spark, dir)
+      // null event times are not sessionizable — the streaming session
+      // window's semantics (null times never enter a session)
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
       .withColumn("new_sess",
         when(lag(col("us"), 1).over(w).isNull ||
@@ -345,7 +348,8 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN sampled THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sampled_qty
         |FROM t GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""").stripMargin,
     "q54_session_batch" ->
-      s"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+      s"""WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events
+         |  WHERE ts IS NOT NULL),
          |m AS (SELECT user_id, ts, us,
          |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts) > $SessionGapUs

@@ -83,12 +83,20 @@ object AsOfQueries {
     "q47_asof_custom" -> (q47AsOfCustom _),
   )
 
+  /** DuckDB's ASOF implementation matches a NULL-ts probe to the LAST
+    * right row, contradicting its own `p.ts >= c.ts` predicate (NULL
+    * comparisons never hold); both engine sides here define null-time
+    * rows as unmatchable, so the oracle makes that explicit — null-ts
+    * clicks are filtered out, null-ts purchases keep their row with the
+    * attribution nulled. */
   private val asofOracleSql =
     """SELECT p.user_id, p.event_id AS purchase_id, p.ts,
-      |  c.event_id AS last_click_id,
-      |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |  CASE WHEN p.ts IS NULL THEN NULL ELSE c.event_id END AS last_click_id,
+      |  CASE WHEN p.ts IS NULL THEN NULL
+      |       ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events
+      |                WHERE event_type = 'click' AND ts IS NOT NULL) c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.user_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
 

@@ -234,6 +234,11 @@ object RelationalQueries {
     * lives in graft.streaming. */
   def q19Tumble(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // null event times are excluded from every time-windowed operator —
+      // the streaming twin's semantics (a watermarked window drops them);
+      // also sidesteps a DuckDB 1.0 quirk where ORDER BY ... NULLS FIRST
+      // over a grouped trunc sorts the null group as epoch zero
+      .filter($"ts".isNotNull)
       .groupBy(
         date_trunc("hour", $"ts").as("h"),
         $"event_type")
@@ -374,7 +379,8 @@ object RelationalQueries {
     "q19_tumble_window" ->
       ("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS cnt, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv " +
-        "FROM events GROUP BY 1, 2 ORDER BY h NULLS FIRST, event_type NULLS FIRST"),
+        "FROM events WHERE ts IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY h NULLS FIRST, event_type NULLS FIRST"),
     "q20_fanout_join" ->
       "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST",
     "q39_region_join" ->

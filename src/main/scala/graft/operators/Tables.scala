@@ -39,7 +39,13 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts",
         timestamp_micros(expr("ts DIV 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
-      case _        => df
+      // TIMESTAMP-NTZ is what DuckDB/pandas write by default — the most
+      // common externally-produced events shape. Sessions pin the session
+      // zone to UTC, so the cast is a value-identity re-tag and every
+      // downstream unix_micros/window agrees with the oracle's own read.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

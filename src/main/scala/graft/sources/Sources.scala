@@ -34,17 +34,21 @@ object Sources {
     * files to arrive decide nothing — redefine the stream for a nanos
     * backfill). */
   def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
-    val nanos = scala.util.Try(
-      spark.read.parquet(dir).schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType).getOrElse(false)
-    val raw = spark.readStream
-      .schema(if (nanos) eventsDdl.replace("ts TIMESTAMP", "ts BIGINT") else eventsDdl)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-    if (nanos)
-      raw.withColumn("ts", timestamp_micros(
-        expr("ts DIV 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsType = scala.util.Try(
+      spark.read.parquet(dir).schema("ts").dataType).toOption
+    def read(ddl: String) = spark.readStream
+      .schema(ddl).option("maxFilesPerTrigger", "1").parquet(dir)
+    tsType match {
+      case Some(LongType) => // TIMESTAMP(NANOS) under nanosAsLong
+        read(eventsDdl.replace("ts TIMESTAMP", "ts BIGINT"))
+          .withColumn("ts", timestamp_micros(
+            expr("ts DIV 1000 + (CASE WHEN ts % 1000 < 0 THEN -1 ELSE 0 END)")))
+      case Some(TimestampNTZType) => // DuckDB/pandas default shape
+        read(eventsDdl.replace("ts TIMESTAMP", "ts TIMESTAMP_NTZ"))
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ => read(eventsDdl)
+    }
   }
 
   /** The fixed schema every Spark Kafka source emits — declared here so the

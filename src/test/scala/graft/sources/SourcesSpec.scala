@@ -63,6 +63,25 @@ class SourcesSpec extends AnyFunSuite with SparkTestSession {
     assert(got == want, s"streamed $got vs batch $want")
   }
 
+  test("events reader accepts TIMESTAMP-NTZ files (the DuckDB/pandas " +
+      "default shape), batch and streaming") {
+    val ntzDir = Files.createTempDirectory("events_ntz").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    val batch = Tables.events(spark, ntzDir)
+    assert(batch.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // UTC-pinned session: the NTZ cast is value-identity vs the original
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect().head
+    val got = batch.agg(count(lit(1)), min(col("ts")), max(col("ts"))).collect().head
+    assert(got == want, s"$got vs $want")
+    val stream = Sources.eventsFileStream(spark, s"$ntzDir/events.parquet")
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("scenario stream accepts negative input values (floorMod contract)") {
     import spark.implicits._
     val got = Sources.scenarioStream(Seq(-1L, -7L, 0L).toDF("value")).collect()
