@@ -17,6 +17,11 @@ object FunctionQueries {
   def q35LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val centroid = udaf(CentroidAggregator)
     Tables.embeddings(spark, dir)
+      // failed-encoder (non-finite) vectors are excluded like everywhere
+      // in the similarity family — math.round(NaN) is 0 in the JVM, so
+      // without this the centroid would silently absorb garbage the
+      // oracle excludes
+      .filter(SimilarityQueries.finiteVec(col("embedding")))
       .groupBy(col("label"))
       .agg(centroid(col("embedding")).as("c"))
       .select(col("label"), posexplode(col("c")).as(Seq("dim", "centroid_milli")))
@@ -264,7 +269,7 @@ object FunctionQueries {
     "q35_label_centroids" ->
       """WITH q AS (SELECT label, vec_id,
         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
         |e AS (SELECT label, vec_id, i - 1 AS dim, v[i] AS x
         |      FROM q, (SELECT unnest(range(1, 65)) AS i))
         |SELECT label, CAST(dim AS INT) AS dim,

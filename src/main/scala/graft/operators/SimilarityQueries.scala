@@ -26,12 +26,29 @@ object SimilarityQueries {
 
   /** Quantized vector column: BIGINT per dim, exact in both engines. */
   /** Milli-quantization of a float embedding column — the shared integer
-    * representation every similarity op scores in. */
+    * representation every similarity op scores in. try_cast, not cast:
+    * Catalyst fuses this projection with the [[finiteVec]] filter and
+    * subexpression elimination can evaluate it on rows the filter is
+    * about to DROP — an ANSI cast of a NaN/Inf component would then kill
+    * the task even though the row never survives. try_cast nulls instead;
+    * on every surviving (all-finite) row the value is identical. */
   private def quantizeExpr(embedding: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(embedding, x => round(x.cast("double") * 1000, 0).cast("long"))
+    transform(embedding, x => round(x.cast("double") * 1000, 0).try_cast("long"))
+
+  /** Non-finite components mark a failed encoder output — such vectors are
+    * EXCLUDED at the quantization boundary on both engine sides (the
+    * embedding twin of "null text = absent document"): round(NaN/Inf)
+    * cast to BIGINT throws under ANSI in Spark and errors in DuckDB, so a
+    * single bad vector would otherwise kill a 100 TB job at the cast.
+    * Zero vectors pass (a legitimate, if useless, embedding — dot = 0);
+    * only q28's cosine additionally drops zero NORMS (cosine undefined). */
+  private[graft] def finiteVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !exists(c, x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))
 
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir).withColumn("qv", quantizeExpr(col("embedding")))
+    Tables.embeddings(spark, dir)
+      .filter(finiteVec(col("embedding")))
+      .withColumn("qv", quantizeExpr(col("embedding")))
 
   /** Q26 — exact brute-force top-k by quantized dot product: the 20 query
     * vectors broadcast against the full corpus (the fact side never moves
@@ -130,6 +147,10 @@ object SimilarityQueries {
       .filter(col("vec_id") < 100) // bounded demo pair set
       .withColumn("n2", expr(
         "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (s, x) -> s + x)"))
+      // cosine is undefined for a zero norm: floor(0/0) would throw at
+      // the ANSI BIGINT cast (and error in DuckDB) — zero-norm vectors
+      // are excluded from the pair census on both sides
+      .filter(col("n2") > 0L)
     val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qa"),
       col("n2").as("na2"), col("label").as("label_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qb"),
@@ -749,7 +770,7 @@ object SimilarityQueries {
     "q55_quantize_int8" ->
       """WITH q AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
         |m AS (SELECT vec_id, label, v,
         |    list_max(list_transform(v, x -> abs(x))) AS max_abs FROM q),
         |f AS (SELECT label,
@@ -766,7 +787,7 @@ object SimilarityQueries {
       val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM q),
          |probes AS (SELECT vec_id AS query_id, v AS qa,
          |    unnest([bucket] || list_transform(range($LshBits), i -> xor(bucket, 1 << i))) AS probe
@@ -782,7 +803,7 @@ object SimilarityQueries {
     "q42_ann_ivf" ->
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
          |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $IvfCells)),
          |a0 AS (SELECT q.vec_id, q.v, s.cell,
@@ -812,9 +833,11 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
     "q28_cosine_label_stats" ->
-      s"""WITH q AS (SELECT vec_id, label,
+      s"""WITH q0 AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings WHERE vec_id < 100),
+         |  FROM embeddings WHERE vec_id < 100 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+         |q AS (SELECT * FROM q0
+         |  WHERE list_sum(list_transform(range(64), i -> v[i+1] * v[i+1])) > 0),
          |p AS (SELECT a.label AS label_a, b.label AS label_b,
          |    CAST(FLOOR(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * b.v[i+1])) AS DOUBLE) /
          |      (sqrt(CAST(list_sum(list_transform(range(64), i -> a.v[i+1] * a.v[i+1])) AS DOUBLE)) *
@@ -832,7 +855,7 @@ object SimilarityQueries {
       val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM q)
          |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |  CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot
@@ -847,7 +870,7 @@ object SimilarityQueries {
       val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |u AS (SELECT v, MIN(vec_id) AS uid, COUNT(*) AS cnt FROM q GROUP BY v),
          |b AS (SELECT uid, v, cnt, $bucket AS bucket FROM u)
          |SELECT x.uid AS id_a, y.uid AS id_b,
@@ -864,7 +887,7 @@ object SimilarityQueries {
       val bucket = bucketTerms.reduce((a, b) => s"($a * 2 + $b)")
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM q),
          |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |    CAST(list_sum(list_transform(range(64), i -> x.v[i+1] * y.v[i+1])) AS BIGINT) AS dot
@@ -880,7 +903,7 @@ object SimilarityQueries {
     "q26_knn_exact" ->
       s"""WITH q AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
          |j AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          |        CAST(list_sum(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
          |      FROM q a JOIN q b ON a.vec_id < $QueryCount AND a.vec_id <> b.vec_id),

@@ -16,6 +16,34 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
 
+  test("non-finite vectors are excluded at the quantization boundary; " +
+      "zero vectors survive") {
+    import spark.implicits._
+    val fin = Array.fill(64)(0.25f)
+    def withBad(f: Array[Float] => Unit): Seq[Float] = {
+      val v = fin.clone(); f(v); v.toSeq
+    }
+    val rows = Seq(
+      (0L, fin.toSeq, 0),
+      (1L, withBad(_(0) = Float.NaN), 0),
+      (2L, withBad(_(1) = Float.PositiveInfinity), 0),
+      (3L, withBad(_(2) = Float.NegativeInfinity), 0),
+      (4L, Seq.fill(64)(0.0f), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("embfin").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // the failed-encoder vectors (NaN/Inf) are dropped — without the
+    // filter a single one kills the job at the ANSI BIGINT cast; the
+    // zero vector is a legitimate (if useless) embedding and stays
+    val kept = SimilarityQueries.quantized(spark, tmp)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 4L), s"kept $kept")
+    // and the brute-force top-k runs end-to-end on the mixed corpus
+    val knn = SimilarityQueries.q26KnnExact(spark, tmp).collect()
+    assert(knn.nonEmpty &&
+      !knn.map(_.getLong(1)).toSet.exists(Set(1L, 2L, 3L)), knn.mkString(","))
+  }
+
   test("q26 exact KNN matches plain-Scala brute force") {
     val vs = vectors
     def quant(v: Array[Float]): Array[Long] =
