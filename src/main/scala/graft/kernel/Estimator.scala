@@ -172,9 +172,19 @@ object Estimator {
       val (free, totalFree) = assessFreeMemPerNode(ctx, jmMemory)
       if (free.isEmpty || free.max < tmMemMb) {
         val mx = if (free.isEmpty) 0.0 else free.max
+        // Message parity quirk (parity_diff find, round 8): on the VM path the
+        // reference's t-shirt rewrite assigns an INT into the float field
+        // (models.py:73-74, estimation.py:602-605 — no re-coercion without
+        // validate_assignment), so every free-mem value downstream is a Python
+        // int and the error formats "60928", not "60928.0". Bare-metal inputs
+        // arrive as floats and keep the ".0".
+        val mxStr =
+          if (ctx.in.worker_node_type == "VM" && ctx.in.worker_node_t_size.isDefined)
+            mx.toLong.toString
+          else mx.toString
         return Left(
           s"No worker can host a $tmMemMb MB task manager: " +
-          s"max free memory on a node is $mx MB. " +
+          s"max free memory on a node is $mxStr MB. " +
           "Increase worker_node_memory (or use a larger VM t-shirt) so each node can hold at least one TM.")
       }
       if (totalFree < required) {

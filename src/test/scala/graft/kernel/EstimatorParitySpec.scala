@@ -509,4 +509,37 @@ class EstimatorParitySpec extends AnyFunSuite {
     val exp = in.messages_per_second.toDouble * in.avg_record_size_bytes / (1024 * 1024)
     assert(math.abs(r.input_summary.total_throughput_mb_per_sec - exp) <= exp * 1e-3)
   }
+
+  test("VM placement error formats free memory as Python int (parity_diff r8 find)") {
+    // The reference's t-shirt rewrite assigns an int into the float memory
+    // field (models.py:73-74), so on the VM path the placement error says
+    // "max free memory on a node is 60928 MB" — no ".0". Bare-metal inputs
+    // keep the float repr. Input is the exact case parity_diff surfaced
+    // (seed=8 idx=181): VM-M, sub-0.015 s latency, ~2 TB/s-class buffers
+    // force per-TM memory to the 65024 MB cap, above node 0's 60928 free.
+    val vmCase = EstimationInput(project_name = "parity-181",
+      messages_per_second = 19701836, avg_record_size_bytes = 109423,
+      number_flink_applications = 2, num_distinct_keys = 1208L,
+      data_skew_risk = "high", bandwidth_capacity_gbps = 30,
+      expected_latency_seconds = 0.014811, simple_statements = 3,
+      medium_statements = 1, complex_statements = 0,
+      worker_node_memory_mb = 476836.0, worker_node_cpu_max = 87,
+      nb_worker_nodes = 1, worker_node_type = "VM",
+      worker_node_t_size = Some("M"))
+    Estimator.estimate(Validation.applyTshirt(vmCase)) match {
+      case Left(msg) =>
+        assert(msg == "No worker can host a 65024 MB task manager: " +
+          "max free memory on a node is 60928 MB. " +
+          "Increase worker_node_memory (or use a larger VM t-shirt) so each node can hold at least one TM.")
+      case Right(r) => fail(s"expected placement error, got $r")
+    }
+    // bare-metal twin: float repr keeps the .0
+    val bm = vmCase.copy(worker_node_type = "bare_metal",
+      worker_node_t_size = None, worker_node_memory_mb = 65536.0,
+      worker_node_cpu_max = 16)
+    Estimator.estimate(bm) match {
+      case Left(msg) => assert(msg.contains("max free memory on a node is 60928.0 MB"))
+      case Right(r) => fail(s"expected placement error, got $r")
+    }
+  }
 }
