@@ -39,10 +39,14 @@ object Bench {
     * through tools/bench_duckdb.py on this host, right after the Spark
     * passes. Unpaired cross-host/cross-time ratios drift +/-20% on host
     * noise (VERDICT r4 next-round #8), so the ratio only means something
-    * when both totals come from one session. Returns (total, n); None when
-    * the tool is unavailable (e.g. driver-run environments without the repo
-    * checkout) — the Spark numbers then stand alone, explicitly unpaired. */
-  private def pairedDuckdb(sfDir: String): Option[(Double, Int)] =
+    * when both totals come from one session. Returns (total, n, per-query
+    * seconds); None when the tool is unavailable (e.g. driver-run
+    * environments without the repo checkout) — the Spark numbers then stand
+    * alone, explicitly unpaired. Per-query times ship in the artifact so a
+    * single-query regression is adjudicable from BENCH_r{N}.json alone
+    * (VERDICT r7 next-round #2: q60's 3.2x drift could not be attributed
+    * to host noise vs plan change without the DuckDB per-query twin). */
+  private def pairedDuckdb(sfDir: String): Option[(Double, Int, Seq[(String, Double)])] =
     try {
       val oracleJson = SparkEntry.oracleSql.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + jsonEscape(k) + "\":\"" + jsonEscape(v) + "\"" }
@@ -57,11 +61,17 @@ object Bench {
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
       if (proc.waitFor() != 0) None
       else {
-        // one JSON line: {"total": T, "n": N, ...} — parsed with two anchored
-        // regexes instead of a JSON library (none on the unmanaged classpath)
+        // one JSON line: {"total": T, "n": N, "queries": {...}} — parsed
+        // with anchored regexes instead of a JSON library (none on the
+        // unmanaged classpath); the queries object holds only name:number
+        // pairs, so a non-greedy brace match is sound
         val total = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(out).map(_.group(1).toDouble)
         val n = """"n":\s*([0-9]+)""".r.findFirstMatchIn(out).map(_.group(1).toInt)
-        total.zip(n)
+        val perQuery = """"queries":\s*\{(.*?)\}""".r.findFirstMatchIn(out)
+          .map(_.group(1)).getOrElse("")
+        val pairs = """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(perQuery)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        total.zip(n).map { case (t, c) => (t, c, pairs) }
       }
     } catch { case _: Throwable => None }
 
@@ -118,11 +128,23 @@ object Bench {
     // filtered out (a partial dev run would pair against the full set)
     val paired =
       if (only.isDefined) None
-      else pairedDuckdb(sfDir).map { case (duckTotal, n) =>
+      else pairedDuckdb(sfDir).map { case (duckTotal, n, duckQueries) =>
         val sparkOracleTotal = results
           .filter { case (k, _) => SparkEntry.oracleSql.contains(k) }
           .map(_._2).sum
-        f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f"""
+        val sparkByName = results.toMap
+        val duckJson = duckQueries
+          .map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+          .mkString("{", ",", "}")
+        // per-query spark/duckdb ratio for every paired entry — the
+        // adjudication artifact: a regression is host drift if ratios hold
+        // while both absolute times rise, a plan change if one ratio moves
+        val ratiosJson = duckQueries
+          .flatMap { case (k, d) =>
+            sparkByName.get(k).filter(_ => d > 0).map(s => "\"" + k + f"\":${s / d}%.3f")
+          }
+          .mkString("{", ",", "}")
+        f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f,"duckdb_queries":$duckJson,"ratios":$ratiosJson"""
       }
     val json =
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson${paired.getOrElse("")}}"""
