@@ -136,7 +136,7 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
 
   test("HTML form flow (B3): form page renders, POST /estimate returns the " +
       "results page with conf snippet and prefill round-trip") {
-    val form = get("/")
+    val form = get("/estimation-form")
     assert(form.statusCode == 200)
     assert(form.body.contains("name=\"messages_per_second\""))
     // query-param prefill (main.py:93-112)
@@ -175,6 +175,75 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
     assert(get("/saved").statusCode == 200)
     assert(get("/considerations").statusCode == 200)
     assert(get("/nope").statusCode == 404)
+  }
+
+  test("GET / is a landing page distinct from the form, linking the four pages " +
+      "(main.py:126-129 home.html; VERDICT r7 what's-missing #3)") {
+    val home = get("/")
+    assert(home.statusCode == 200)
+    // navigation, not the form: no input fields, links to each page
+    assert(!home.body.contains("<form"))
+    assert(!home.body.contains("name=\"messages_per_second\""))
+    for (target <- Seq("/estimation-form", "/considerations", "/saved", "/docs"))
+      assert(home.body.contains(s"href=\"$target\""), s"missing link to $target")
+    // the form page remains a distinct, different document
+    assert(get("/estimation-form").body != home.body)
+  }
+
+  test("GET /openapi.json describes every route and the full EstimationInput " +
+      "schema (VERDICT r7 what's-missing #1)") {
+    val r = get("/openapi.json")
+    assert(r.statusCode == 200)
+    val doc = mapper.readTree(r.body)
+    assert(doc.get("openapi").asText.startsWith("3.1"))
+    assert(doc.get("info").get("title").asText == "Flink Resource Estimator")
+    val paths = doc.get("paths")
+    // every route the server answers is described
+    val expected = Seq("/health", "/", "/estimation-form", "/considerations",
+      "/saved", "/estimate", "/api/estimate", "/save-estimation",
+      "/api/save-estimation", "/download/{filename}",
+      "/delete-estimation/{filename}", "/reload/{filename}",
+      "/saved-estimations", "/openapi.json", "/docs")
+    for (p <- expected) assert(paths.has(p), s"missing path $p")
+    // both methods on /api/estimate; DELETE on delete-estimation
+    assert(paths.get("/api/estimate").has("get") && paths.get("/api/estimate").has("post"))
+    assert(paths.get("/delete-estimation/{filename}").has("delete"))
+    // EstimationInput schema carries every reference field (models.py:19-84)
+    val input = doc.get("components").get("schemas").get("EstimationInput")
+    val fields = Seq("project_name", "messages_per_second",
+      "avg_record_size_bytes", "number_flink_applications",
+      "num_distinct_keys", "data_skew_risk", "bandwidth_capacity_gbps",
+      "expected_latency_seconds", "simple_statements", "medium_statements",
+      "complex_statements", "worker_node_memory_mb", "worker_node_cpu_max",
+      "nb_worker_nodes", "worker_node_type", "worker_node_t_size")
+    for (f <- fields) assert(input.get("properties").has(f), s"missing field $f")
+    // reference bounds survive: skew enum, memory cap, cpu range, name length
+    assert(input.get("properties").get("data_skew_risk").get("enum").size == 3)
+    assert(input.get("properties").get("worker_node_memory_mb").get("maximum").asInt == 524288)
+    assert(input.get("properties").get("worker_node_cpu_max").get("maximum").asInt == 256)
+    assert(input.get("properties").get("project_name").get("maxLength").asInt == 100)
+    // GET /api/estimate documents the QUERY surface: gb-denominated memory
+    // with the main.py:226-242 defaults, not the model defaults
+    val getParams = paths.get("/api/estimate").get("get").get("parameters")
+    val byName = (0 until getParams.size).map(getParams.get)
+      .map(p => p.get("name").asText -> p).toMap
+    assert(byName.contains("worker_node_memory_gb"))
+    assert(byName("data_skew_risk").get("schema").get("default").asText == "medium")
+    assert(byName("project_name").get("required").asBoolean)
+    // result schema is nested like the reference models
+    val schemas = doc.get("components").get("schemas")
+    for (s <- Seq("EstimationResult", "InputSummary", "ResourceEstimates",
+      "ClusterRecommendations", "JobManagerConfig", "TaskManagerConfig",
+      "ScalingRecommendations", "CapacityAnalysis"))
+      assert(schemas.has(s), s"missing schema $s")
+  }
+
+  test("GET /docs renders the route table from the OpenAPI document") {
+    val r = get("/docs")
+    assert(r.statusCode == 200)
+    assert(r.body.contains("/openapi.json"))
+    assert(r.body.contains("/api/estimate"))
+    assert(r.body.contains("DELETE"))
   }
 
   test("JSON decode is pydantic-lenient: null Optional and numeric strings " +
