@@ -765,7 +765,7 @@ object DedupQueries {
       // opposite reason).
       .option("partitionOverwriteMode", "static")
       .partitionBy("batch_id")
-      .parquet(s"$indexDir/bands.parquet")
+      .parquet(currentGeneration(spark, s"$indexDir/bands.parquet"))
 
   /** Append one ingest batch's band rows to a persisted
     * [[buildNearDupIndex]] — the index MAINTENANCE path: accepted arrivals
@@ -792,61 +792,96 @@ object DedupQueries {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .parquet(s"$indexDir/bands.parquet")
+      .parquet(currentGeneration(bands.sparkSession, s"$indexDir/bands.parquet"))
 
   /** Fold every appended batch partition back into the base (-1) — the
     * nightly compaction that closes the index lifecycle (build → append*
     * → compact): probe cost stays a function of index SIZE, not of how
     * many ingest batches ever ran, and the per-batch partition listing
-    * stops growing. Contents are unchanged (spec-pinned).
-    *
-    * Generation-rollover write: the compacted generation is FULLY written
-    * to a sibling `.compacting` directory before the live one is touched,
-    * then swapped in — a failure mid-compaction leaves the standing index
-    * intact. (The first cut overwrote in place behind a materialize; a
-    * crash after the delete-before-rewrite would have destroyed the only
-    * copy of the index when the materialization was executor-local.) The
-    * remaining crash window, between delete and rename, leaves the
-    * complete new generation at the `.compacting` path — recoverable by
-    * rename, never data loss. */
+    * stops growing. Contents are unchanged (spec-pinned). */
   def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit =
     compactGeneration(spark, s"$indexDir/bands.parquet",
       df => df.select(col("doc_id"), col("band"), col("bsig")))
 
-  /** Shared generation-rollover compaction: rewrite `target`'s rows (via
-    * `project`, which must drop `batch_id`) into base partition -1 at a
-    * sibling path, then swap. Used by both persisted indexes. */
+  /** Resolve the CURRENT generation directory of a generation-managed
+    * table. `<target>.MANIFEST` (one line: the live directory's name, a
+    * sibling of `target`) wins; an absent manifest means the legacy
+    * un-compacted layout at `target` itself. Every index reader AND
+    * writer resolves through here, so builds and appends always land in
+    * the generation probes are reading. */
+  private[graft] def currentGeneration(spark: SparkSession, target: String): String = {
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = new org.apache.hadoop.fs.Path(target + ".MANIFEST")
+    if (!fs.exists(manifest)) target
+    else {
+      val in = fs.open(manifest)
+      val name = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      new org.apache.hadoop.fs.Path(targetPath.getParent, name).toString
+    }
+  }
+
+  /** Shared generation-rollover compaction: rewrite the current
+    * generation's rows (via `project`, which must drop `batch_id`) into
+    * base partition -1 at a NEW sibling generation directory, then
+    * atomically swap the `<target>.MANIFEST` pointer — the object-store
+    * contract (VERDICT r7 next-round #8): the standing generation is
+    * never deleted, moved, or written into until the pointer names its
+    * replacement.
+    *
+    * Crash windows: dying anywhere during the generation write leaves the
+    * manifest (and readers) on the old generation — the half-written
+    * sibling is overwritten by the next compaction run. Dying after the
+    * pointer swap leaves stale generation directories, which the NEXT
+    * successful compaction sweeps; cleanup failure is garbage, never
+    * corruption. The pointer itself swaps via FileContext rename with
+    * OVERWRITE — atomic on posix and HDFS, and the semantics an object
+    * store's conditional-put would provide. */
   private[operators] def compactGeneration(spark: SparkSession,
       target: String, project: DataFrame => DataFrame): Unit = {
-    val tmp = s"$target.compacting"
-    val livePath = new org.apache.hadoop.fs.Path(target)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val base = targetPath.getName
     // the TARGET's filesystem, not the default one — the index dir may
     // live on a different FS (s3a index under an hdfs defaultFS)
-    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // complete a previously interrupted swap: a crash between delete and
-    // rename leaves the full new generation at the tmp path and no live
-    // dir — finish the rename instead of failing on the missing read
-    if (!fs.exists(livePath) && fs.exists(tmpPath)) {
-      if (!fs.rename(tmpPath, livePath))
-        throw new IllegalStateException(
-          s"could not recover interrupted compaction: generation at $tmp")
-      return
-    }
-    project(spark.read.parquet(target))
+    val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = currentGeneration(spark, target)
+    val curName = new org.apache.hadoop.fs.Path(cur).getName
+    val curGen =
+      if (curName == base) 0L else curName.stripPrefix(s"$base.gen-").toLong
+    val nextName = s"$base.gen-${curGen + 1}"
+    val nextPath = new org.apache.hadoop.fs.Path(targetPath.getParent, nextName)
+
+    // 1. write the full new generation to its own sibling directory
+    project(spark.read.parquet(cur))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(tmp)
-    // a false delete with the path still present must fail LOUDLY: on
-    // HDFS, rename(tmp, existing-dir) would nest the new generation UNDER
-    // the stale live dir and report success while probes keep reading the
-    // un-compacted index
-    if (!fs.delete(livePath, true) && fs.exists(livePath))
-      throw new IllegalStateException(
-        s"compaction could not delete $target; new generation is at $tmp")
-    if (!fs.rename(tmpPath, livePath))
-      throw new IllegalStateException(
-        s"compaction swap failed: new generation is at $tmp")
+      .parquet(nextPath.toString)
+
+    // 2. atomic pointer swap: manifest tmp write + rename-with-OVERWRITE
+    val manifest = new org.apache.hadoop.fs.Path(target + ".MANIFEST")
+    val tmp = new org.apache.hadoop.fs.Path(target + ".MANIFEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(nextName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+    // 3. sweep superseded generations (the old current plus any
+    // crash-leftover siblings) — best-effort: a failure here leaves
+    // unreferenced directories, and the next compaction retries
+    try {
+      fs.listStatus(targetPath.getParent).foreach { st =>
+        val n = st.getPath.getName
+        val stale = n != nextName &&
+          (n == base || n.startsWith(s"$base.gen-"))
+        if (stale) fs.delete(st.getPath, true)
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[compact] stale-generation sweep failed (harmless): ${e.getMessage}")
+    }
   }
 
   /** Probe newly-arrived docs against a persisted [[buildNearDupIndex]]:
@@ -857,8 +892,13 @@ object DedupQueries {
     * index holds the corpus split (DedupSpec). */
   def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String): DataFrame =
     // single consumer of the signature pass -> no materialization needed
-    probeBands(bandDocs(newDocs), spark.read.parquet(s"$indexDir/bands.parquet"))
+    probeBands(bandDocs(newDocs), readNearDupIndex(spark, indexDir))
       .distinct()
+
+  /** The index's current-generation band table — the read-side twin of
+    * [[buildNearDupIndex]]/[[appendToNearDupIndex]]. */
+  def readNearDupIndex(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(currentGeneration(spark, s"$indexDir/bands.parquet"))
 
   /** Q62 — minhash-LSH near-dup over COLLAPSED unique texts: the text twin
     * of q61 (see the 30x smoke — q23's pair output grows quadratically in

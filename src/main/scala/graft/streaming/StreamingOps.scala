@@ -230,7 +230,7 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val index = sp.read.parquet(s"$indexDir/bands.parquet")
+        val index = graft.operators.DedupQueries.readNearDupIndex(sp, indexDir)
           .filter(col("batch_id") =!= lit(batchId))
         // the batch is signed ONCE (the minhash loop is the CPU-dominant
         // stage): the cached band rows feed both the probe and the index

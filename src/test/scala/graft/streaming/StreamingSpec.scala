@@ -650,22 +650,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val preCompact = spark.read.parquet(s"$idxDir/bands.parquet")
       .select($"doc_id", $"band", $"bsig").collect().map(_.toString).sorted.toSeq
     DedupQueries.compactNearDupIndex(spark, idxDir)
-    val compacted = spark.read.parquet(s"$idxDir/bands.parquet")
+    // post-compaction the live generation is manifest-addressed: the
+    // pointer names gen-1 and the legacy directory is swept
+    val compacted = DedupQueries.readNearDupIndex(spark, idxDir)
     assert(compacted.select($"doc_id", $"band", $"bsig").collect()
       .map(_.toString).sorted.toSeq == preCompact)
     assert(compacted.select($"batch_id").distinct().collect()
       .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
-    // crash-window recovery: simulate dying between delete and rename
-    // (live dir gone, full generation at .compacting) — the next
-    // compaction completes the swap instead of failing on the read
-    val live = new java.io.File(s"$idxDir/bands.parquet")
-    val tmp = new java.io.File(s"$idxDir/bands.parquet.compacting")
-    assert(live.renameTo(tmp))
+    val manifest = new java.io.File(s"$idxDir/bands.parquet.MANIFEST")
+    assert(manifest.exists())
+    assert(java.nio.file.Files.readString(manifest.toPath).trim
+      == "bands.parquet.gen-1")
+    assert(!new java.io.File(s"$idxDir/bands.parquet").exists(),
+      "legacy generation must be swept after the pointer swap")
+
+    // crash BETWEEN generation write and pointer swap (VERDICT r7 #8):
+    // a half-written next generation exists but the manifest still names
+    // the old one — readers keep the old generation, untouched
+    val partial = new java.io.File(s"$idxDir/bands.parquet.gen-2")
+    assert(partial.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(partial.getPath, "part-garbage.parquet"),
+      "not parquet")
+    assert(DedupQueries.readNearDupIndex(spark, idxDir)
+      .select($"doc_id", $"band", $"bsig").collect()
+      .map(_.toString).sorted.toSeq == preCompact,
+      "old generation must stay readable behind the unswapped pointer")
+    // the next compaction overwrites the partial sibling and completes
     DedupQueries.compactNearDupIndex(spark, idxDir)
-    assert(spark.read.parquet(s"$idxDir/bands.parquet")
+    assert(java.nio.file.Files.readString(manifest.toPath).trim
+      == "bands.parquet.gen-2")
+    assert(DedupQueries.readNearDupIndex(spark, idxDir)
       .select($"doc_id", $"band", $"bsig").collect()
       .map(_.toString).sorted.toSeq == preCompact)
-    assert(!tmp.exists())
+    assert(!new java.io.File(s"$idxDir/bands.parquet.gen-1").exists(),
+      "superseded generation must be swept")
+
+    // append lands in the CURRENT generation, and probes keep seeing it
+    DedupQueries.appendToNearDupIndex(
+      Seq(90L -> "fresh doc appended after two compactions with new words")
+        .toDF("doc_id", "text"), idxDir, 7L)
+    assert(DedupQueries.readNearDupIndex(spark, idxDir)
+      .filter($"batch_id" === 7L).select($"doc_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(90L))
   }
 }
 
