@@ -38,6 +38,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance sidecar (ADVICE r7: CORRECTNESS_r*.json carries no
+    // sf/commit/timestamp, so 'hash-green at sfX' was not reproducible from
+    // the artifact) — the driver can fold this into its report; standalone
+    // it still pins what this dump ran against.
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Exception => "unknown" }
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "git_commit": ${q(commit)}, """ +
+        s""""timestamp_utc": ${q(java.time.Instant.now.toString)}, """ +
+        s""""n_queries": ${SparkEntry.queries.size}, """ +
+        s""""n_oracles": ${SparkEntry.oracleSql.size}}""")
     spark.stop()
   }
 }
