@@ -129,8 +129,15 @@ object Bench {
     val paired =
       if (only.isDefined) None
       else pairedDuckdb(sfDir).map { case (duckTotal, n, duckQueries) =>
+        // pair the Spark total over the queries the DuckDB side ACTUALLY
+        // timed (it may skip declared-intractable oracles via
+        // BENCH_DUCKDB_SKIP); fall back to the declared oracle set if the
+        // per-query map could not be parsed
+        val pairedKeys: String => Boolean =
+          if (duckQueries.nonEmpty) duckQueries.map(_._1).toSet
+          else SparkEntry.oracleSql.keySet
         val sparkOracleTotal = results
-          .filter { case (k, _) => SparkEntry.oracleSql.contains(k) }
+          .filter { case (k, _) => pairedKeys(k) }
           .map(_._2).sum
         val sparkByName = results.toMap
         val duckJson = duckQueries

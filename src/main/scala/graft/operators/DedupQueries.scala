@@ -254,6 +254,10 @@ object DedupQueries {
     val ujac = candidatePairs(bands(signed))
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      // CPU-bound per-pair verify (set intersect/union over shingle
+      // arrays): pin the fan-out so AQE's byte-based coalescing cannot
+      // serialize the stage — the q79 lesson, same shape
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(
         col("doc_a").as("uid_a"), col("doc_b").as("uid_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -345,6 +349,12 @@ object DedupQueries {
     val usim = candidatePairs(bands(signed))
       .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
       .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      // explicit spread before the DP projection: the pair frame is small
+      // in BYTES (AQE coalesces it to a few reducers) but each row costs
+      // an O(|a|x|b|) levenshtein — on the 10x corpus the coalesced plan
+      // ran the whole DP on ~2 threads (196 s; 20 s spread across 32).
+      // Explicit numPartitions pins the fan-out against AQE coalescing.
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_a").as("uid_a"), col("doc_b").as("uid_b"),
         expr("1000 - (1000 * levenshtein(ta, tb)) DIV greatest(length(ta), length(tb))")
           .as("edit_sim_milli"))

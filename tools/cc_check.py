@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""q56 connected-components oracle for corpora where the SQL oracle is
+intractable.
+
+The declared q56 oracle is a recursive-CTE label propagation — O(component
+size x edges) in DuckDB. On realistic 10x corpora the near-dup graph
+percolates into a giant component (16,658 docs on target/sf1.0), which the
+engine's pointer-jumping handles in O(k log k) but the SQL recursion cannot
+(~1e10 row-steps). This checker keeps the ORACLE SEMANTICS and swaps the
+algorithm: candidate pairs come from the exact same shingle/minhash/band
+SQL prefix as the declared oracle, components from a union-find, and the
+output contract (doc_id, cluster_id = min doc_id in component,
+cluster_size, is_canonical) is compared row-for-row against the engine's
+parquet dump.
+
+Usage: python3 tools/cc_check.py <sf_dir> <verify_out_dir>
+"""
+import glob
+import sys
+
+import duckdb
+
+PAIRS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
+         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
+       FROM w WHERE len(w) >= 3),
+sig AS (SELECT doc_id, list_transform(range(8),
+          j -> list_min(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)))) AS mh
+        FROM sh),
+bands AS (SELECT doc_id, b, mh[2*b+1] || '|' || mh[2*b+2] AS bsig
+          FROM sig, (SELECT unnest(range(4)) AS b))
+SELECT DISTINCT a.doc_id, b.doc_id
+FROM bands a JOIN bands b
+ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    src = f"{sf_dir}/documents.parquet"
+    import os
+    if os.path.isdir(src):
+        src = f"{src}/*.parquet"
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')")
+    pairs = con.execute(PAIRS_SQL).fetchall()
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {}
+    for members in comp.values():
+        cid = min(members)
+        for m in members:
+            expected[m] = (cid, len(members))
+
+    files = glob.glob(f"{out_dir}/q56_dup_clusters/*.parquet")
+    got = con.execute(f"SELECT * FROM read_parquet({files!r}) ORDER BY doc_id").fetchall()
+    n_bad = 0
+    if len(got) != len(expected):
+        print(f"FAIL q56: rows {len(got)} != {len(expected)}")
+        n_bad += 1
+    for doc_id, cluster_id, cluster_size, is_canonical in got:
+        ec, es = expected.get(doc_id, (None, None))
+        if (cluster_id, cluster_size, is_canonical) != (ec, es, doc_id == ec):
+            if n_bad < 5:
+                print(f"FAIL q56 doc {doc_id}: got ({cluster_id},{cluster_size},"
+                      f"{is_canonical}) expected ({ec},{es},{doc_id == ec})")
+            n_bad += 1
+    biggest = max((len(m) for m in comp.values()), default=0)
+    if n_bad == 0:
+        print(f"PASS q56_dup_clusters ({len(got)} rows, "
+              f"{len(comp)} components, largest {biggest})")
+    else:
+        print(f"q56: {n_bad} mismatches")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])

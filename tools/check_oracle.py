@@ -33,7 +33,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):  # multi-file layout (tools/gen_scale.py)
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
