@@ -6,10 +6,15 @@ and compare row counts, schemas (loosely), and values.
 
 Usage:
   python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out
-  python3 tools/check_oracle.py --gate          # the full three-SF gate:
+  python3 tools/check_oracle.py --gate          # the full multi-SF gate:
       packages the jar, runs graft.Verify at sf0.001/sf0.01/sf0.1, checks
       every SF against DuckDB; nonzero exit on ANY mismatch (VERDICT r6 #5 —
       one command so every round's gate is three-SF by construction).
+      When target/sf1.0 exists (tools/gen_scale.py), it runs as a FOURTH
+      SF: q56's recursive-CTE oracle is intractable over the 10x corpus's
+      giant near-dup component, so that entry checks through
+      tools/cc_check.py (same candidate SQL, union-find components)
+      instead — see ROUND8_NOTES §3.
 """
 import json, sys, glob, os, math, subprocess
 import duckdb
@@ -96,8 +101,11 @@ def main(sf_dir, out_dir):
 def gate():
     subprocess.run(["sbt", "-batch", "package"], cwd=REPO, check=True)
     rc = 0
-    for sf in GATE_SFS:
-        sf_dir = f"/root/testdata/{sf}"
+    sfs = [(sf, f"/root/testdata/{sf}") for sf in GATE_SFS]
+    big = os.path.join(REPO, "target/sf1.0")
+    if os.path.isdir(big):
+        sfs.append(("sf1.0", big))
+    for sf, sf_dir in sfs:
         out_dir = f"/tmp/verify_gate_{sf}"
         print(f"\n=== {sf}: graft.Verify -> {out_dir} ===", flush=True)
         env = dict(os.environ, SPARK_GRAFT_CPUS="16")
@@ -105,9 +113,19 @@ def gate():
             ["java", *JAVA_OPENS, "-cp", f"{JAR}:/opt/spark/jars/*",
              "graft.Verify", sf_dir, out_dir],
             cwd=REPO, check=True, env=env)
+        if sf == "sf1.0":
+            # giant-component corpus: q56 checks via union-find (header note)
+            oj = os.path.join(out_dir, "oracle_sql.json")
+            oracles = json.load(open(oj))
+            oracles.pop("q56_dup_clusters", None)
+            json.dump(oracles, open(oj, "w"))
+            print(f"=== {sf}: q56 via cc_check ===", flush=True)
+            rc |= subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools/cc_check.py"),
+                 sf_dir, out_dir]).returncode
         print(f"=== {sf}: DuckDB compare ===", flush=True)
         rc |= main(sf_dir, out_dir)
-    print(f"\nGATE {'FAIL' if rc else 'PASS'} across {', '.join(GATE_SFS)}")
+    print(f"\nGATE {'FAIL' if rc else 'PASS'} across {', '.join(s for s, _ in sfs)}")
     return rc
 
 if __name__ == "__main__":
