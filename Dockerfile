@@ -22,8 +22,10 @@ EXPOSE 8000
 # Estimate requests are pure driver-side arithmetic (no Spark job); the
 # SparkSession only backs the saved-runs persistence endpoints, so a small
 # local[4] master is the right size at any request rate.
+# python3 (shipped by this base tag) probes /health — the spark base images
+# do not install curl.
 HEALTHCHECK --interval=30s --timeout=10s --retries=3 --start-period=40s \
-  CMD curl -f http://localhost:8000/health || exit 1
+  CMD python3 -c "import urllib.request; urllib.request.urlopen('http://localhost:8000/health', timeout=5)" || exit 1
 
 ENTRYPOINT ["/opt/spark/bin/spark-submit", \
   "--master", "local[4]", \

@@ -42,9 +42,17 @@ object Verify {
     // sf/commit/timestamp, so 'hash-green at sfX' was not reproducible from
     // the artifact) — the driver can fold this into its report; standalone
     // it still pins what this dump ran against.
+    // rev-parse anchored at the CODE's location, not the process cwd: a
+    // driver may launch Verify from an unrelated directory (possibly
+    // inside some other git repo), and a silently-wrong commit hash is
+    // worse than "unknown" in a provenance artifact
     val commit =
       try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val codeDir = new java.io.File(
+          Verify.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        val anchor = if (codeDir.isDirectory) codeDir else codeDir.getParentFile
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD")
+          .directory(anchor).start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case _: Exception => "unknown" }

@@ -842,12 +842,17 @@ object DedupQueries {
     *
     * Crash windows: dying anywhere during the generation write leaves the
     * manifest (and readers) on the old generation — the half-written
-    * sibling is overwritten by the next compaction run. Dying after the
-    * pointer swap leaves stale generation directories, which the NEXT
-    * successful compaction sweeps; cleanup failure is garbage, never
-    * corruption. The pointer itself swaps via FileContext rename with
-    * OVERWRITE — atomic on posix and HDFS, and the semantics an object
-    * store's conditional-put would provide. */
+    * sibling is overwritten (static pin) by the next compaction run.
+    * Dying after the pointer swap leaves stale generation directories for
+    * later sweeps; cleanup failure is garbage, never corruption. The
+    * pointer itself swaps via FileContext rename with OVERWRITE — atomic
+    * on posix and HDFS, and the semantics an object store's
+    * conditional-put would provide.
+    *
+    * Readers racing the swap: the JUST-superseded generation survives one
+    * more compaction cycle (grace window) so a job that resolved the old
+    * pointer finishes against intact files; only generations at least two
+    * swaps old are swept. */
   private[operators] def compactGeneration(spark: SparkSession,
       target: String, project: DataFrame => DataFrame): Unit = {
     val targetPath = new org.apache.hadoop.fs.Path(target)
@@ -855,6 +860,19 @@ object DedupQueries {
     // the TARGET's filesystem, not the default one — the index dir may
     // live on a different FS (s3a index under an hdfs defaultFS)
     val fs = targetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one-time migration from the pre-manifest layout: a compaction that
+    // died between its delete and rename left no live dir and the full
+    // generation at `<target>.compacting` — complete that swap first so
+    // such an index is readable again before this run proceeds
+    val legacyTmp = new org.apache.hadoop.fs.Path(target + ".compacting")
+    if (!fs.exists(targetPath) && !fs.exists(
+        new org.apache.hadoop.fs.Path(target + ".MANIFEST")) &&
+        fs.exists(legacyTmp)) {
+      if (!fs.rename(legacyTmp, targetPath))
+        throw new IllegalStateException(
+          s"could not recover interrupted legacy compaction at $legacyTmp")
+    }
+
     val cur = currentGeneration(spark, target)
     val curName = new org.apache.hadoop.fs.Path(cur).getName
     val curGen =
@@ -862,10 +880,16 @@ object DedupQueries {
     val nextName = s"$base.gen-${curGen + 1}"
     val nextPath = new org.apache.hadoop.fs.Path(targetPath.getParent, nextName)
 
-    // 1. write the full new generation to its own sibling directory
+    // 1. write the full new generation to its own sibling directory.
+    // STATIC overwrite pin (same reason as buildNearDupIndex): under a
+    // session-wide dynamic partitionOverwriteMode this overwrite would
+    // replace only batch_id=-1 inside a crash-leftover sibling and leave
+    // the crashed write's stray files to corrupt the new generation.
     project(spark.read.parquet(cur))
       .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id")
       .parquet(nextPath.toString)
 
     // 2. atomic pointer swap: manifest tmp write + rename-with-OVERWRITE
@@ -878,15 +902,20 @@ object DedupQueries {
       .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
-    // 3. sweep superseded generations (the old current plus any
-    // crash-leftover siblings) — best-effort: a failure here leaves
-    // unreferenced directories, and the next compaction retries
+    // 3. sweep generations older than the one JUST superseded — a
+    // one-generation grace window: a reader that resolved the old
+    // current right before the swap (a streaming micro-batch probing
+    // between pointer reads) keeps its files until the NEXT compaction,
+    // by which time any such job has long finished (compaction cadence
+    // is nightly; jobs are minutes). Best-effort: a failure leaves
+    // unreferenced directories for the next run to retry.
     try {
       fs.listStatus(targetPath.getParent).foreach { st =>
         val n = st.getPath.getName
-        val stale = n != nextName &&
-          (n == base || n.startsWith(s"$base.gen-"))
-        if (stale) fs.delete(st.getPath, true)
+        val keep = n == nextName || n == curName
+        val generational = n == base || n.startsWith(s"$base.gen-") ||
+          n == s"$base.compacting" // pre-manifest leftovers
+        if (generational && !keep) fs.delete(st.getPath, true)
       }
     } catch {
       case e: Exception =>

@@ -661,8 +661,10 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(manifest.exists())
     assert(java.nio.file.Files.readString(manifest.toPath).trim
       == "bands.parquet.gen-1")
-    assert(!new java.io.File(s"$idxDir/bands.parquet").exists(),
-      "legacy generation must be swept after the pointer swap")
+    // grace window: the JUST-superseded generation survives one cycle so
+    // readers that resolved the old pointer finish against intact files
+    assert(new java.io.File(s"$idxDir/bands.parquet").exists(),
+      "superseded generation must survive one compaction cycle")
 
     // crash BETWEEN generation write and pointer swap (VERDICT r7 #8):
     // a half-written next generation exists but the manifest still names
@@ -683,8 +685,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(DedupQueries.readNearDupIndex(spark, idxDir)
       .select($"doc_id", $"band", $"bsig").collect()
       .map(_.toString).sorted.toSeq == preCompact)
+    assert(new java.io.File(s"$idxDir/bands.parquet.gen-1").exists(),
+      "gen-1 is in its grace cycle after the gen-2 swap")
+    assert(!new java.io.File(s"$idxDir/bands.parquet").exists(),
+      "generations two swaps old must be swept")
+    // a third compaction retires gen-1
+    DedupQueries.compactNearDupIndex(spark, idxDir)
+    assert(java.nio.file.Files.readString(manifest.toPath).trim
+      == "bands.parquet.gen-3")
     assert(!new java.io.File(s"$idxDir/bands.parquet.gen-1").exists(),
-      "superseded generation must be swept")
+      "grace window is one cycle, not forever")
+    assert(DedupQueries.readNearDupIndex(spark, idxDir)
+      .select($"doc_id", $"band", $"bsig").collect()
+      .map(_.toString).sorted.toSeq == preCompact)
 
     // append lands in the CURRENT generation, and probes keep seeing it
     DedupQueries.appendToNearDupIndex(

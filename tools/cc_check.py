@@ -16,34 +16,27 @@ parquet dump.
 Usage: python3 tools/cc_check.py <sf_dir> <verify_out_dir>
 """
 import glob
+import json
+import os
 import sys
 
 import duckdb
-
-PAIRS_SQL = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (SELECT doc_id, list_distinct(list_transform(range(len(w)-2),
-         i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
-       FROM w WHERE len(w) >= 3),
-sig AS (SELECT doc_id, list_transform(range(8),
-          j -> list_min(list_transform(shingles, s -> md5(j::VARCHAR || ':' || s)))) AS mh
-        FROM sh),
-bands AS (SELECT doc_id, b, mh[2*b+1] || '|' || mh[2*b+2] AS bsig
-          FROM sig, (SELECT unnest(range(4)) AS b))
-SELECT DISTINCT a.doc_id, b.doc_id
-FROM bands a JOIN bands b
-ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-"""
 
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     src = f"{sf_dir}/documents.parquet"
-    import os
     if os.path.isdir(src):
         src = f"{src}/*.parquet"
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{src}')")
-    pairs = con.execute(PAIRS_SQL).fetchall()
+    # candidate pairs come from the DUMPED q23 oracle, not a copied
+    # literal: if the engine's minhash parameters or shingle expression
+    # ever change, this check follows automatically instead of silently
+    # validating against stale semantics
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    q23 = oracles["q23_dedup_minhash_lsh"]
+    pairs = con.execute(
+        f"SELECT doc_a, doc_b FROM ({q23}) candidate_pairs").fetchall()
 
     parent = {}
 

@@ -35,7 +35,7 @@ JAVA_OPENS = [
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
@@ -43,6 +43,9 @@ def main(sf_dir, out_dir):
             src = f"{src}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # skip is applied at read time (like bench_duckdb's BENCH_DUCKDB_SKIP)
+    # so the Verify artifact keeps its full declared oracle set
+    oracles = {k: v for k, v in oracles.items() if k not in skip}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         pq = os.path.join(out_dir, name)
@@ -113,18 +116,16 @@ def gate():
             ["java", *JAVA_OPENS, "-cp", f"{JAR}:/opt/spark/jars/*",
              "graft.Verify", sf_dir, out_dir],
             cwd=REPO, check=True, env=env)
+        skip = ()
         if sf == "sf1.0":
             # giant-component corpus: q56 checks via union-find (header note)
-            oj = os.path.join(out_dir, "oracle_sql.json")
-            oracles = json.load(open(oj))
-            oracles.pop("q56_dup_clusters", None)
-            json.dump(oracles, open(oj, "w"))
+            skip = ("q56_dup_clusters",)
             print(f"=== {sf}: q56 via cc_check ===", flush=True)
             rc |= subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/cc_check.py"),
                  sf_dir, out_dir]).returncode
         print(f"=== {sf}: DuckDB compare ===", flush=True)
-        rc |= main(sf_dir, out_dir)
+        rc |= main(sf_dir, out_dir, skip)
     print(f"\nGATE {'FAIL' if rc else 'PASS'} across {', '.join(s for s, _ in sfs)}")
     return rc
 

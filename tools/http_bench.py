@@ -61,6 +61,11 @@ def run(host, port, n, c, method):
         t.join()
     wall = time.perf_counter() - t0
     out.sort()
+    if len(out) < 2:
+        # server down / refusing: report instead of a StatisticsError trace
+        print(json.dumps({"method": method, "n": len(out), "clients": c,
+                          "errors": len(errs), "error": "too few samples"}))
+        sys.exit(1)
     q = statistics.quantiles(out, n=100)
     return {
         "method": method, "n": len(out), "clients": c, "errors": len(errs),
