@@ -183,6 +183,16 @@ def gen_cases(n, seed):
         c["worker_node_memory_mb"] = float(log_uniform_int(rng, 16384, 524288))
         add(clamp_keys_for_tm_cap(rng, c, 2000))
 
+    # overflow stratum: bandwidth whose Mbps conversion exceeds Int.MaxValue
+    # — the DOCUMENTED deliberate divergence (fail-loud policy): Python's
+    # unbounded ints succeed, Scala rejects with "sizing overflow". These
+    # must land in the known_overflow bucket with python status ok; any
+    # other outcome is a real mismatch.
+    for _ in range(20):
+        c = clamp_keys_for_tm_cap(rng, base_case(rng), 200)
+        c["bandwidth_capacity_gbps"] = rng.randint(2_147_484, 10_000_000)
+        add(c)
+
     # remainder: invalid inputs — one violated constraint each, values kept
     # inside JVM type ranges so both sides parse them
     invalid_mutations = [
@@ -288,8 +298,16 @@ def compare(cases, py_outs, sc_outs):
             mismatches.append({"idx": idx, "kind": "missing_scala_row"})
             continue
         if sc["status"] == "error" and "sizing overflow" in (sc.get("error") or ""):
-            known_overflow.append({"idx": idx, "py_status": py["status"],
-                                   "scala_error": sc["error"]})
+            if py["status"] != "ok":
+                # the divergence contract is "python succeeds where scala
+                # fails loudly" — python ALSO failing means something else
+                mismatches.append({
+                    "idx": idx, "kind": "overflow_contract",
+                    "python": py["status"], "scala": sc["error"],
+                    "input": case["input"]})
+            else:
+                known_overflow.append({"idx": idx, "py_status": py["status"],
+                                       "scala_error": sc["error"]})
             continue
         if py["status"] != sc["status"]:
             mismatches.append({
