@@ -41,13 +41,20 @@ object ScaleSmoke {
     "q77_span_dedup", "q78_ingest_clean", "q79_edit_verify", "q80_bloom_dedup")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
-      tsNanosCol: Option[String] = None): DataFrame =
+      tsCol: Option[String] = None): DataFrame =
     (0 until Replicas).map { r =>
       val shifted = shiftCols.foldLeft(df) { (d, c) =>
         d.withColumn(c, col(c) + lit(r * Shift))
       }
-      tsNanosCol.fold(shifted)(c =>
-        shifted.withColumn(c, col(c) + lit(r.toLong * 1000)))
+      // type-aware time shift: the sf0.1 events table carries a real
+      // timestamp column these days (earlier testdata shipped raw nano
+      // longs) — shift each replica by r microseconds either way
+      tsCol.fold(shifted) { c =>
+        val isTs = df.schema(c).dataType.typeName.startsWith("timestamp")
+        if (isTs)
+          shifted.withColumn(c, expr(s"timestampadd(MICROSECOND, ${r.toLong}, $c)"))
+        else shifted.withColumn(c, col(c) + lit(r.toLong * 1000))
+      }
     }.reduce(_ unionAll _)
 
   private def generate(spark: SparkSession): Unit = {
@@ -60,7 +67,7 @@ object ScaleSmoke {
       .foreach(t => write(raw(t), t, 1))
     write(replicate(raw("lineitem"), Seq("l_orderkey")), "lineitem", 32)
     write(replicate(raw("orders"), Seq("o_orderkey")), "orders", 16)
-    write(replicate(raw("events"), Seq("event_id"), tsNanosCol = Some("ts")), "events", 16)
+    write(replicate(raw("events"), Seq("event_id"), tsCol = Some("ts")), "events", 16)
     write(replicate(raw("documents"), Seq("doc_id")), "documents", 16)
     val emb = raw("embeddings")
     write(emb.unionAll(
