@@ -176,6 +176,17 @@ object SimilarityQueries {
   val IvfCells = 8
   val IvfProbes = 2
 
+  // ---- PQ (product quantization): the memory-compression scale path ----
+  // Dims split into PqM contiguous subspaces of PqSubDim dims; each
+  // subspace gets its own PqK-centroid codebook, so a vector's serving
+  // state is PqM small code ids (PqM x log2(PqK) = 32 bits here) instead
+  // of Dims longs. PqRerank x TopK ADC-ranked candidates survive into the
+  // exact re-rank stage.
+  val PqM = 8
+  val PqSubDim: Int = Dims / PqM // 8
+  val PqK = 16
+  val PqRerank = 8
+
   /** Coarse centroids: seed with the first k vectors, then one Lloyd
     * iteration through [[graft.functions.CentroidAggregator]] — exact
     * integer math end to end, so training is bit-deterministic (no RNG, no
@@ -448,6 +459,168 @@ object SimilarityQueries {
   private[graft] def ivfAnnTopK(spark: SparkSession, dir: String,
       cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame =
     topKScored(ivfAnnScored(spark, dir, cells, probes, lloydRounds))
+
+  /** Per-subspace PQ codebooks: seed subspace m with the lowest [[PqK]]
+    * vec_ids' m-th sub-vectors (code id = vec_id rank, like the coarse
+    * seeding), then ONE exact-integer Lloyd step — assign every vector's
+    * sub-vector to its nearest seed (L2, ties to the lower code), then the
+    * truncating-integer elementwise mean per (subspace, code, dim). All M
+    * refinements run as a single unpivoted aggregation job (key space
+    * PqM x PqK x PqSubDim — map-side combinable at any corpus size) plus
+    * one bounded collect of at most that many rows; the codebooks stay
+    * driver-side literals exactly like the coarse centroids. Codes that
+    * lose every member drop out (standard Lloyd on fixed seeds). Returns,
+    * per subspace, the surviving (code, sub-centroid) pairs sorted by code;
+    * empty corpus returns an empty array. Corpora smaller than PqK clamp
+    * loudly like [[trainCodebook]]. */
+  private[graft] def trainPqCodebooks(emb: DataFrame): Array[Array[(Int, Array[Long])]] = {
+    val seedRows = emb.select(col("vec_id"), col("qv"))
+      .orderBy(col("vec_id").asc).limit(PqK)
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Long](1).toArray)
+    if (seedRows.isEmpty) return Array.empty
+    if (seedRows.length < PqK)
+      System.err.println(
+        s"[pq] corpus has only ${seedRows.length} vectors for $PqK codes per " +
+          s"subspace; training ${seedRows.length}")
+    val seeds: Array[Array[(Int, Array[Long])]] = Array.tabulate(PqM) { m =>
+      seedRows.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      }
+    }
+    val subStructs = (0 until PqM).map { m =>
+      val sv = slice(col("qv"), m * PqSubDim + 1, PqSubDim)
+      struct(lit(m).as("m"), nearestSubCodeExpr(seeds(m), sv).as("code"), sv.as("sv"))
+    }
+    val sums = emb.select(explode(array(subStructs: _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.code").as("code"),
+        posexplode(col("s.sv")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("code"), col("dim"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .collect()
+    val byM = sums.groupBy(_.getInt(0))
+    Array.tabulate(PqM) { m =>
+      byM.getOrElse(m, Array.empty).groupBy(_.getInt(1)).toArray.map {
+        case (code, rows) =>
+          val cent = new Array[Long](PqSubDim)
+          // truncating integer mean — matches DuckDB's BIGINT `//` (both
+          // truncate toward zero), the same convention as CentroidAggregator
+          rows.foreach(r => cent(r.getInt(2)) = r.getLong(3) / r.getLong(4))
+          (code, cent)
+      }.sortBy(_._1)
+    }
+  }
+
+  /** Nearest PQ code for one subspace — the [[nearestCellExpr]] pattern
+    * over a sub-vector column: one fused codegen'd argmin over codes x
+    * sub-dims, ties toward the lower code id, returning the ORIGINAL code
+    * id through the sorted-survivors literal lookup. */
+  private def nearestSubCodeExpr(cb: Array[(Int, Array[Long])],
+      sv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val idx = graft.functions.NearestCellLong(
+      sv,
+      typedLit(cb.map(_._2.toSeq).toSeq),
+      typedLit(cb.map { case (_, c) => c.map(x => x * x).sum }.toSeq))
+    element_at(typedLit(cb.map(_._1).toSeq), idx + lit(1))
+  }
+
+  /** Subspace codebook as a dense PqK-slot literal (slot c = centroid of
+    * code c) for the ADC lookup tables. Dead codes hold zero vectors —
+    * unreachable, since corpus code columns only ever contain surviving
+    * ids. */
+  private def padPqCodebook(cb: Array[(Int, Array[Long])]): Seq[Seq[Long]] = {
+    val byCode = cb.toMap
+    (0 until PqK).map(c => byCode.getOrElse(c, Array.fill(PqSubDim)(0L)).toSeq)
+  }
+
+  /** Q82 — IVF-PQ ANN with exact re-rank, the 100 TB memory path: coarse
+    * IVF cells bound WHICH vectors are scored (same probe discipline as
+    * q42) and product quantization bounds WHAT is stored and shipped per
+    * vector — the corpus side of the candidate join carries (id, cell,
+    * [[PqM]] code ids; 32 bits of codes) instead of the [[Dims]]-long
+    * vector, and the scan scores candidates by ADC (asymmetric distance
+    * computation): each query precomputes one [[PqK]]-entry lookup table
+    * of exact sub-vector dots per subspace, so a candidate costs PqM
+    * array lookups + adds instead of a Dims-long dot product. The
+    * [[PqRerank]]x[[TopK]] best ADC candidates per query are then
+    * re-ranked by the EXACT quantized dot (fetching the full vector for
+    * just the shortlist — the standard two-stage PQ serving shape: Jegou
+    * et al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    * 2011). Re-expressed declaratively: training is one unpivoted
+    * aggregation, codes are codegen'd argmin projections, the LUT is a
+    * per-query-row array column, the probe join is the same broadcast
+    * equi-join as q42 (never all-pairs), and the re-rank is a broadcast
+    * id-join of the tiny shortlist back to the corpus. Every stage is
+    * exact integer math with deterministic ties (distance ASC, code/cell
+    * ASC; ADC DESC / dot DESC, neighbor_id ASC), so the ENTIRE pipeline —
+    * coarse training, PQ training, encoding, ADC shortlist, exact re-rank
+    * — is DuckDB-replicable CTE-for-stage and hash-checked by the oracle.
+    * Output: top-[[TopK]] (query_id, neighbor_id, dot, adc_dot) per
+    * query, ranked by the exact re-rank score. */
+  def q82IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Materialize.materialize(quantized(spark, dir))
+    val coarse = trainCodebook(emb, IvfCells, 1)
+    val pq = trainPqCodebooks(emb)
+    if (coarse.isEmpty || pq.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("query_id", "neighbor_id", "dot", "adc_dot")
+    val corpus = emb
+      .withColumn("cell", nearestCellExpr(coarse))
+      .select(col("vec_id").as("neighbor_id"), col("cell"),
+        array((0 until PqM).map(m =>
+          nearestSubCodeExpr(pq(m), slice(col("qv"), m * PqSubDim + 1, PqSubDim))): _*)
+          .as("codes"))
+    // ADC lookup tables, one per subspace: lut[m][c+1] = <query sub-vector,
+    // centroid c of subspace m> — computed once per (query, probe) row on
+    // the tiny broadcast side; the per-candidate cost in the join below is
+    // PqM element_at lookups, all inside whole-stage codegen.
+    val lutCols = (0 until PqM).map { m =>
+      transform(typedLit(padPqCodebook(pq(m))), c =>
+        graft.functions.DotProductLong(
+          slice(col("qa"), m * PqSubDim + 1, PqSubDim), c))
+    }
+    val queries = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+        explode(slice(sort_array(array(cellScores(coarse): _*)), 1, IvfProbes)).as("probe"))
+      .select(col("query_id"), col("qa"), col("probe.cell").as("probe_cell"))
+      .withColumn("lut", array(lutCols: _*))
+      .drop("qa")
+    val adcDot = (0 until PqM).map { m =>
+      element_at(element_at(col("lut"), m + 1),
+        element_at(col("codes"), m + 1) + lit(1))
+    }.reduce(_ + _)
+    val scored = corpus
+      .join(queries.hint("broadcast"),
+        col("probe_cell") === col("cell") && col("query_id") =!= col("neighbor_id"),
+        "inner")
+      .withColumn("adc_dot", adcDot)
+    // ADC shortlist: PqRerank x TopK per query (WindowGroupLimit prunes
+    // per-partition before the shuffle, as in q26)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dot").desc, col("neighbor_id").asc)
+    val shortlist = scored
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"),
+        row_number().over(wAdc).as("adc_rn"))
+      .filter(col("adc_rn") <= PqRerank * TopK)
+      .drop("adc_rn")
+    // exact re-rank: fetch full vectors for the tiny shortlist only — the
+    // shortlist (bounded by queries x PqRerank x TopK rows) broadcasts
+    // against the corpus on both id-joins; the big table never shuffles
+    val queryVecs = emb.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val reranked = shortlist.hint("broadcast")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb")), "neighbor_id")
+      .join(queryVecs.hint("broadcast"), "query_id")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    reranked
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("adc_dot"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("adc_dot"))
+      .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
+  }
 
   private[graft] def topKScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
@@ -759,6 +932,7 @@ object SimilarityQueries {
     "q27_ann_lsh" -> (q27AnnLsh _),
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
     "q42_ann_ivf" -> (q42IvfAnn _),
+    "q82_ann_ivfpq" -> (q82IvfPqAnn _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_near_dup_unique" -> (q61NearDupUnique _),
@@ -769,6 +943,97 @@ object SimilarityQueries {
     * oracle buckets identically to the engine (integer math throughout). */
   private def planeSqlLiterals: Seq[String] =
     planeSigns.map(p => p.map(_.toLong).mkString("[", ", ", "]"))
+
+  /** Shared coarse-IVF oracle CTE chain (quantize -> seed -> one Lloyd
+    * step -> final assignment ranked per vector) — the common prefix of
+    * the q42 and q82 oracles, factored so the two cannot drift apart.
+    * Exposes `q` (quantized corpus), `corpus` (vector + assigned cell) and
+    * `probes` (query vector x its $IvfProbes nearest cells). */
+  private def coarseIvfSql: String =
+    s"""q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+       |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+       |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
+       |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $IvfCells)),
+       |a0 AS (SELECT q.vec_id, q.v, s.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (list_sum(list_transform(range($Dims), i -> s.v[i+1] * s.v[i+1])) -
+       |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * s.v[i+1]))) ASC,
+       |      s.cell ASC) AS rn
+       |  FROM q CROSS JOIN seeds s),
+       |assign0 AS (SELECT vec_id, v, cell FROM a0 WHERE rn = 1),
+       |cd AS (SELECT cell, i, CAST(SUM(v[i+1]) // COUNT(*) AS BIGINT) AS c
+       |       FROM assign0 CROSS JOIN (SELECT unnest(range($Dims)) AS i) t GROUP BY cell, i),
+       |centv AS (SELECT cell, list(c ORDER BY i) AS v FROM cd GROUP BY cell),
+       |a1 AS (SELECT q.vec_id, q.v, t.cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      (list_sum(list_transform(range($Dims), i -> t.v[i+1] * t.v[i+1])) -
+       |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * t.v[i+1]))) ASC,
+       |      t.cell ASC) AS rn
+       |  FROM q CROSS JOIN centv t),
+       |corpus AS (SELECT vec_id AS neighbor_id, v AS qb, cell FROM a1 WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qa, cell AS probe_cell
+       |           FROM a1 WHERE vec_id < $QueryCount AND rn <= $IvfProbes)""".stripMargin
+
+  /** The q82 oracle: the coarse prefix plus, PER SUBSPACE m (CTEs generated
+    * in a Scala loop so all $PqM blocks are textually identical up to the
+    * dim offset), PQ seeding / one Lloyd step / encoding, then ADC scoring
+    * through per-m joins on the candidate's code, the ADC shortlist, and
+    * the exact re-rank. Stage-for-stage the same math as [[q82IvfPqAnn]],
+    * in exact integers. */
+  private def q82OracleSql: String = {
+    val subBlocks = (0 until PqM).map { m =>
+      val off = m * PqSubDim
+      s"""pseeds$m AS (SELECT code, list_transform(range($PqSubDim), i -> v[i+1+$off]) AS sv FROM pseeds),
+         |pa$m AS (SELECT q.vec_id, q.v, s.code,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (list_sum(list_transform(range($PqSubDim), i -> s.sv[i+1] * s.sv[i+1])) -
+         |       2 * list_sum(list_transform(range($PqSubDim), i -> q.v[i+1+$off] * s.sv[i+1]))) ASC,
+         |      s.code ASC) AS rn
+         |  FROM q CROSS JOIN pseeds$m s),
+         |pas$m AS (SELECT vec_id, v, code FROM pa$m WHERE rn = 1),
+         |pcd$m AS (SELECT code, i, CAST(SUM(v[i+1+$off]) // COUNT(*) AS BIGINT) AS c
+         |          FROM pas$m CROSS JOIN (SELECT unnest(range($PqSubDim)) AS i) t GROUP BY code, i),
+         |pcent$m AS (SELECT code, list(c ORDER BY i) AS cv FROM pcd$m GROUP BY code),
+         |pe$m AS (SELECT q.vec_id, t.code,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      (list_sum(list_transform(range($PqSubDim), i -> t.cv[i+1] * t.cv[i+1])) -
+         |       2 * list_sum(list_transform(range($PqSubDim), i -> q.v[i+1+$off] * t.cv[i+1]))) ASC,
+         |      t.code ASC) AS rn
+         |  FROM q CROSS JOIN pcent$m t),
+         |pcode$m AS (SELECT vec_id, code FROM pe$m WHERE rn = 1)""".stripMargin
+    }
+    val adcJoins = (0 until PqM).map { m =>
+      s"""  JOIN pcode$m k$m ON k$m.vec_id = cand.neighbor_id
+         |  JOIN pcent$m t$m ON t$m.code = k$m.code""".stripMargin
+    }
+    val adcTerms = (0 until PqM).map { m =>
+      val off = m * PqSubDim
+      s"list_sum(list_transform(range($PqSubDim), i -> cand.qa[i+1+$off] * t$m.cv[i+1]))"
+    }
+    s"""WITH $coarseIvfSql,
+       |pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |           FROM (SELECT * FROM q ORDER BY vec_id LIMIT $PqK)),
+       |${subBlocks.mkString(",\n")},
+       |cand AS (SELECT p.query_id, p.qa, c.neighbor_id
+       |         FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(${adcTerms.mkString(" + ")} AS BIGINT) AS adc_dot
+       |  FROM cand
+       |${adcJoins.mkString("\n")}),
+       |shortr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id) AS rn
+       |           FROM scored),
+       |short AS (SELECT query_id, neighbor_id, adc_dot FROM shortr WHERE rn <= ${PqRerank * TopK}),
+       |rr AS (SELECT s.query_id, s.neighbor_id, s.adc_dot,
+       |    CAST(list_sum(list_transform(range($Dims), i -> qq.v[i+1] * c.qb[i+1])) AS BIGINT) AS dot
+       |  FROM short s
+       |  JOIN q qq ON qq.vec_id = s.query_id
+       |  JOIN corpus c ON c.neighbor_id = s.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
+       |      FROM rr)
+       |SELECT query_id, neighbor_id, dot, adc_dot FROM r WHERE rn <= $TopK
+       |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin
+  }
 
   /** Oracles: q26/q28/q45 are fully hash-checkable (exact integer dots;
     * q28's cosine additionally relies on IEEE-correctly-rounded sqrt/mul/div
@@ -810,30 +1075,7 @@ object SimilarityQueries {
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin
     },
     "q42_ann_ivf" ->
-      s"""WITH q AS (SELECT vec_id,
-         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
-         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
-         |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v
-         |          FROM (SELECT * FROM q ORDER BY vec_id LIMIT $IvfCells)),
-         |a0 AS (SELECT q.vec_id, q.v, s.cell,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      (list_sum(list_transform(range($Dims), i -> s.v[i+1] * s.v[i+1])) -
-         |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * s.v[i+1]))) ASC,
-         |      s.cell ASC) AS rn
-         |  FROM q CROSS JOIN seeds s),
-         |assign0 AS (SELECT vec_id, v, cell FROM a0 WHERE rn = 1),
-         |cd AS (SELECT cell, i, CAST(SUM(v[i+1]) // COUNT(*) AS BIGINT) AS c
-         |       FROM assign0 CROSS JOIN (SELECT unnest(range($Dims)) AS i) t GROUP BY cell, i),
-         |centv AS (SELECT cell, list(c ORDER BY i) AS v FROM cd GROUP BY cell),
-         |a1 AS (SELECT q.vec_id, q.v, t.cell,
-         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |      (list_sum(list_transform(range($Dims), i -> t.v[i+1] * t.v[i+1])) -
-         |       2 * list_sum(list_transform(range($Dims), i -> q.v[i+1] * t.v[i+1]))) ASC,
-         |      t.cell ASC) AS rn
-         |  FROM q CROSS JOIN centv t),
-         |corpus AS (SELECT vec_id AS neighbor_id, v AS qb, cell FROM a1 WHERE rn = 1),
-         |probes AS (SELECT vec_id AS query_id, v AS qa, cell AS probe_cell
-         |           FROM a1 WHERE vec_id < $QueryCount AND rn <= $IvfProbes),
+      s"""WITH $coarseIvfSql,
          |scored AS (SELECT p.query_id, c.neighbor_id,
          |    CAST(list_sum(list_transform(range($Dims), i -> p.qa[i+1] * c.qb[i+1])) AS BIGINT) AS dot
          |  FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
@@ -841,6 +1083,7 @@ object SimilarityQueries {
          |      FROM scored)
          |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
+    "q82_ann_ivfpq" -> q82OracleSql,
     "q28_cosine_label_stats" ->
       s"""WITH q0 AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
