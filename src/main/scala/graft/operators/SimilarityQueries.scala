@@ -622,6 +622,61 @@ object SimilarityQueries {
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
 
+  // ---- Hybrid (lexical + vector) retrieval fusion ----
+
+  /** Fusion depth per leg and the classic RRF dampening constant. */
+  val FusionDepth = 20
+  val RrfK = 60
+  /** The designated query: terms [[TextQueries.SearchTerms]] on the lexical
+    * leg; this vector's embedding on the vector leg (doc_id == vec_id in
+    * the corpus, so both legs rank the same id space). */
+  val HybridQueryVec = 0L
+
+  /** Q83 — hybrid search with reciprocal-rank fusion: the lexical tf-idf
+    * leg (q53's scoring) and the embedding leg (exact quantized dot vs the
+    * [[HybridQueryVec]] query vector) each rank their [[FusionDepth]] best
+    * documents; a document's fused score is the RRF sum
+    * `floor(1e6/(RrfK+rank))` over the legs that returned it (Cormack et
+    * al., SIGIR 2009 — the standard fusion for lexical+dense retrieval;
+    * integer-scaled so the result is exact and hash-checkable). Plan shape:
+    * each leg is a global top-k (TakeOrderedAndProject — never a global
+    * window over the corpus-sized score set), ranks are then assigned by a
+    * window over the BOUNDED FusionDepth-row result, and the fusion is a
+    * full-outer join of two 20-row frames. At 100 TB each leg's scoring
+    * stage is the member that scales (tf-idf's shuffle is token-pruned,
+    * the vector leg composes with the persisted IVF/PQ index instead of
+    * the exact scan used here); the fusion itself stays constant-size. A
+    * missing leg reports rank 0 (absent), keeping the rank columns
+    * non-null BIGINT on both engines. */
+  def q83HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val lexTop = TextQueries.lexicalScores(spark, dir)
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(FusionDepth)
+    val wl = Window.orderBy(col("score_milli").desc, col("doc_id").asc)
+    val lex = lexTop // rank over the bounded top-k rows only
+      .select(col("doc_id"), row_number().over(wl).cast("long").as("lex_rank"))
+    val emb = quantized(spark, dir)
+    val qvec = emb.filter(col("vec_id") === HybridQueryVec).select(col("qv").as("qa"))
+    val vecTop = emb.filter(col("vec_id") =!= HybridQueryVec)
+      .crossJoin(broadcast(qvec)) // 1-row broadcast: the query vector
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.DotProductLong(col("qa"), col("qv")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_id").asc)
+      .limit(FusionDepth)
+    val wv = Window.orderBy(col("dot").desc, col("doc_id").asc)
+    val vec = vecTop
+      .select(col("doc_id"), row_number().over(wv).cast("long").as("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 DIV ($RrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($RrfK + vec_rank)"), lit(0L)))
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+  }
+
   private[graft] def topKScored(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dot").desc, col("neighbor_id").asc)
@@ -933,6 +988,7 @@ object SimilarityQueries {
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
     "q42_ann_ivf" -> (q42IvfAnn _),
     "q82_ann_ivfpq" -> (q82IvfPqAnn _),
+    "q83_hybrid_search" -> (q83HybridSearch _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_near_dup_unique" -> (q61NearDupUnique _),
@@ -1084,6 +1140,27 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
     "q82_ann_ivfpq" -> q82OracleSql,
+    "q83_hybrid_search" ->
+      s"""WITH ${TextQueries.lexicalSqlCtes},
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank
+         |        FROM (SELECT * FROM lexall ORDER BY score_milli DESC, doc_id LIMIT $FusionDepth)),
+         |q AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+         |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+         |qa AS (SELECT v FROM q WHERE vec_id = $HybridQueryVec),
+         |vecall AS (SELECT q.vec_id AS doc_id,
+         |    CAST(list_sum(list_transform(range($Dims), i -> q.v[i+1] * qa.v[i+1])) AS BIGINT) AS dot
+         |  FROM q, qa WHERE q.vec_id <> $HybridQueryVec),
+         |vec AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS BIGINT) AS vec_rank
+         |        FROM (SELECT * FROM vecall ORDER BY dot DESC, doc_id LIMIT $FusionDepth)),
+         |f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank
+         |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+         |SELECT doc_id,
+         |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+         |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+         |  CAST(COALESCE(1000000 // ($RrfK + lex_rank), 0) +
+         |       COALESCE(1000000 // ($RrfK + vec_rank), 0) AS BIGINT) AS rrf_micro
+         |FROM f ORDER BY rrf_micro DESC, doc_id""".stripMargin,
     "q28_cosine_label_stats" ->
       s"""WITH q0 AS (SELECT vec_id, label,
          |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v

@@ -160,6 +160,19 @@ object TextQueries {
   val SearchTerms: Seq[String] = Seq("spark", "window", "hash")
   private def termSqlList: String = SearchTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** The q53 scoring stage as oracle CTEs ending in `lexall` (doc_id,
+    * score_milli) — the SQL twin of [[lexicalScores]], shared with the q83
+    * hybrid-fusion oracle so the two cannot drift. */
+  private[graft] def lexicalSqlCtes: String =
+    s"""hits AS (SELECT doc_id, token
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+       |    WHERE token IN $termSqlList),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+       |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |lexall AS (SELECT doc_id, CAST(SUM(tf * ((n.n * 1000) // df)) AS BIGINT) AS score_milli
+       |           FROM tf JOIN dfx USING (token), n GROUP BY doc_id)""".stripMargin
+
   /** Q53 — lexical document search: rational tf-idf top-k. Score of doc d =
     * sum over query terms t of tf(t,d) * (N * 1000 / df(t)) in EXACT
     * integer arithmetic (truncating division) — the log in classic idf is
@@ -173,7 +186,15 @@ object TextQueries {
     * (r5: previously a driver-side docs.count() per invocation — a second
     * scan job; the parquet-metadata count now rides inside the same job).
     * The lexical complement to the vector ANN family (q26/q27/q42). */
-  def q53DocSearch(spark: SparkSession, dir: String): DataFrame = {
+  def q53DocSearch(spark: SparkSession, dir: String): DataFrame =
+    lexicalScores(spark, dir)
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(20)
+
+  /** The q53 scoring stage without the top-k: every matching doc's exact
+    * integer tf-idf score — reused by the q83 hybrid fusion, whose lexical
+    * leg ranks the same scores at a different depth. */
+  private[graft] def lexicalScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val corpusN = docs.agg(count(lit(1)).as("n"))
     val hits = docs
@@ -189,8 +210,6 @@ object TextQueries {
       .drop("n")
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).cast("long").as("score_milli"))
-      .orderBy(col("score_milli").desc, col("doc_id").asc)
-      .limit(20)
   }
 
   /** Q60 — per-group feature normalization (z-score of document length
@@ -587,15 +606,9 @@ object TextQueries {
         |FROM documents d JOIN s USING (lang)
         |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     "q53_doc_search" ->
-      s"""WITH hits AS (SELECT doc_id, token
-         |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
-         |    WHERE token IN $termSqlList),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
-         |dfx AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
-         |n AS (SELECT COUNT(*) AS n FROM documents)
-         |SELECT doc_id, CAST(SUM(tf * ((n.n * 1000) // df)) AS BIGINT) AS score_milli
-         |FROM tf JOIN dfx USING (token), n
-         |GROUP BY doc_id ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $lexicalSqlCtes
+         |SELECT doc_id, score_milli
+         |FROM lexall ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
     "q29_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id,

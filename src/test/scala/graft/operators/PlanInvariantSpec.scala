@@ -21,7 +21,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     * corpus scale. */
   private val bnljAllowed = Set("q26_knn_exact", "q28_cosine_label_stats",
     "q53_doc_search", "q70_temperature_sample", "q72_rarity",
-    "q75_curation_v2")
+    "q75_curation_v2",
+    // q83: BOTH its BNLJs are 1-row broadcasts (q53's corpus count on the
+    // lexical leg; the single query vector on the embedding leg)
+    "q83_hybrid_search")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

@@ -154,6 +154,43 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q83 hybrid RRF: a doc ranked by both legs sums both reciprocal " +
+      "ranks; single-leg docs keep rank 0 on the missing side") {
+    import spark.implicits._
+    // constructed corpus where the legs OVERLAP (on the synthetic testdata
+    // text and embeddings are independent, so the oracle rows exercise the
+    // disjoint path): doc 1 is both the best lexical match (3x "spark")
+    // and the nearest vector to query vec 0; doc 9 matches lexically only
+    val out = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val texts = Seq(
+      (0L, "plain filler text"), (1L, "spark spark spark"), (2L, "spark etc"),
+      (9L, "window")) ++ (3L to 8L).map(i => (i, "filler"))
+    texts.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("t").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    def vec(scale: Float): Seq[Float] = scale +: Seq.fill(63)(0f)
+    Seq((0L, vec(1f), 0), (1L, vec(2f), 0), (2L, vec(0.5f), 0),
+      (3L, vec(-1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val rows = SimilarityQueries.q83HybridSearch(spark, out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def term(rank: Long): Long =
+      if (rank == 0) 0L else 1000000L / (SimilarityQueries.RrfK + rank)
+    // doc 1: lex rank 1 (highest tf) AND vec rank 1 (largest dot vs vec 0)
+    assert(rows(1L) == ((1L, 1L, term(1) + term(1))))
+    // doc 9: lexical only ("window"); its rarer term outscores doc 2's
+    // shared "spark" (idf 1000*N/df with df(window)=1 < df(spark)=2)
+    assert(rows(9L)._1 > 0 && rows(9L)._2 == 0L)
+    assert(rows(9L)._3 == term(rows(9L)._1))
+    // doc 3: vector only (negative dot still ranks within depth 20)
+    assert(rows(3L)._1 == 0L && rows(3L)._2 > 0)
+    // every fused score is consistent with its own ranks
+    rows.foreach { case (_, (lr, vr, rrf)) => assert(rrf == term(lr) + term(vr)) }
+  }
+
   test("cosine fold agrees with plain-Scala double math") {
     import org.apache.spark.sql.functions._
     val df = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
