@@ -557,19 +557,40 @@ object SimilarityQueries {
     * Output: top-[[TopK]] (query_id, neighbor_id, dot, adc_dot) per
     * query, ranked by the exact re-rank score. */
   def q82IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val emb = Materialize.materialize(quantized(spark, dir))
     val coarse = trainCodebook(emb, IvfCells, 1)
     val pq = trainPqCodebooks(emb)
-    if (coarse.isEmpty || pq.isEmpty)
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF("query_id", "neighbor_id", "dot", "adc_dot")
-    val corpus = emb
-      .withColumn("cell", nearestCellExpr(coarse))
-      .select(col("vec_id").as("neighbor_id"), col("cell"),
+    if (coarse.isEmpty || pq.isEmpty) return emptyPqResult(spark)
+    val corpus = encodePq(emb, coarse, pq)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    ivfPqServe(emb, corpus, coarse, pq)
+  }
+
+  private def emptyPqResult(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("query_id", "neighbor_id", "dot", "adc_dot")
+  }
+
+  /** The per-vector PQ serving state: coarse cell + the PqM code ids —
+    * one codegen'd projection (coarse argmin + PqM sub-argmins), shared by
+    * the inline q82 pipeline and the index builder. */
+  private def encodePq(emb: DataFrame, coarse: Array[(Int, Array[Long])],
+      pq: Array[Array[(Int, Array[Long])]]): DataFrame =
+    emb.withColumn("cell", nearestCellExpr(coarse))
+      .select(col("vec_id"), col("cell"),
         array((0 until PqM).map(m =>
           nearestSubCodeExpr(pq(m), slice(col("qv"), m * PqSubDim + 1, PqSubDim))): _*)
           .as("codes"))
+
+  /** The IVF-PQ serving tail shared by the inline pipeline and the
+    * persisted index: probe cells, ADC-score the candidates' codes through
+    * per-query lookup tables, shortlist, exact re-rank. `corpus` carries
+    * only (neighbor_id, cell, codes); `emb` supplies query vectors and the
+    * shortlist's re-rank vectors. */
+  private def ivfPqServe(emb: DataFrame, corpus: DataFrame,
+      coarse: Array[(Int, Array[Long])],
+      pq: Array[Array[(Int, Array[Long])]]): DataFrame = {
     // ADC lookup tables, one per subspace: lut[m][c+1] = <query sub-vector,
     // centroid c of subspace m> — computed once per (query, probe) row on
     // the tiny broadcast side; the per-candidate cost in the join below is
@@ -621,6 +642,102 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("dot"), col("adc_dot"))
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
+
+  /** Build-once/query-many IVF-PQ index — the PQ twin of [[buildIvfIndex]].
+    * Persists the coarse codebook, the per-subspace PQ codebooks, and the
+    * per-vector (cell, codes) serving state. Unlike the plain IVF index
+    * (ids only — vectors re-join at query time), the PQ assignment table
+    * IS the compressed corpus representation: the serving scan reads only
+    * it, and original vectors are touched for nothing but the
+    * [[PqRerank]]x[[TopK]]-row re-rank shortlist. Same generation
+    * management, batch_id append discipline, and static-overwrite rebuild
+    * pin as the IVF/band indexes. */
+  def buildPqIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    import spark.implicits._
+    val emb = Materialize.materialize(quantized(spark, dir))
+    val coarse = trainCodebook(emb, IvfCells, 1)
+    val pq = trainPqCodebooks(emb)
+    coarse.toSeq.map { case (cell, c) => (cell, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    pq.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map { case (code, c) => (m, code, c.toSeq) }
+    }.toSeq.toDF("m", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pq_codebooks")
+    val assigned =
+      if (coarse.isEmpty || pq.isEmpty)
+        emb.select(col("vec_id"), lit(0).as("cell"),
+          array_repeat(lit(0), PqM).as("codes")) // empty corpus: no rows
+      else encodePq(emb, coarse, pq)
+    assigned.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("batch_id")
+      .parquet(DedupQueries.currentGeneration(spark, s"$indexDir/assignments"))
+  }
+
+  /** Read back the two persisted codebooks (bounded collects — cells rows
+    * and PqM x PqK rows). */
+  private def readPqCodebooks(spark: SparkSession, indexDir: String)
+      : (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]]) = {
+    val coarse = spark.read.parquet(s"$indexDir/codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val pqRows = spark.read.parquet(s"$indexDir/pq_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val pq = Array.tabulate(PqM)(m =>
+      pqRows.filter(_._1 == m).map { case (_, code, c) => (code, c) }.sortBy(_._1))
+    (coarse, pq)
+  }
+
+  /** IVF-PQ top-k served from a persisted index: bounded codebook collects,
+    * the compressed assignment table as the candidate corpus, then the same
+    * probe/ADC/shortlist/re-rank as q82 — row-identical to the inline
+    * pipeline (pinned by SimilaritySpec). */
+  def ivfPqTopKFromIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame = {
+    val (coarse, pq) = readPqCodebooks(spark, indexDir)
+    if (coarse.isEmpty || pq.forall(_.isEmpty)) return emptyPqResult(spark)
+    val emb = quantized(spark, dir)
+    // dropDuplicates: re-delivered vectors may sit in several batch
+    // partitions with the same (cell, codes) — same guard as the IVF index
+    val corpus = readIvfAssignments(spark, indexDir)
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("codes"))
+      .dropDuplicates("neighbor_id", "cell", "codes")
+    ivfPqServe(emb, corpus, coarse, pq)
+  }
+
+  /** Incremental PQ index maintenance: encode NEW vectors against the
+    * persisted codebooks (no retraining — centroids stay fixed between
+    * rebuilds). Appended rows are bit-identical to what a full rebuild
+    * with the same codebooks would produce. Same batch_id exactly-once
+    * replay discipline as [[assignToIvfIndex]]. */
+  def assignToPqIndex(newVectors: DataFrame, indexDir: String,
+      appendBatchId: Option[Long] = None): DataFrame = {
+    val spark = newVectors.sparkSession
+    val (coarse, pq) = readPqCodebooks(spark, indexDir)
+    val assigned =
+      if (coarse.isEmpty || pq.forall(_.isEmpty))
+        newVectors.select(col("vec_id"), lit(0).as("cell"),
+          array_repeat(lit(0), PqM).as("codes"))
+      else encodePq(
+        newVectors.withColumn("qv", quantizeExpr(col("embedding"))), coarse, pq)
+    appendBatchId.foreach { b =>
+      assigned.withColumn("batch_id", lit(b))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(DedupQueries.currentGeneration(spark, s"$indexDir/assignments"))
+    }
+    assigned
+  }
+
+  /** Fold appended PQ assignment partitions into the base generation —
+    * same generation-rollover write as [[compactIvfIndex]]; codebooks are
+    * untouched (compaction is layout, retraining is [[buildPqIndex]]). */
+  def compactPqIndex(spark: SparkSession, indexDir: String): Unit =
+    DedupQueries.compactGeneration(spark, s"$indexDir/assignments",
+      df => df.select(col("vec_id"), col("cell"), col("codes"))
+        .dropDuplicates("vec_id", "cell", "codes"))
 
   // ---- Hybrid (lexical + vector) retrieval fusion ----
 

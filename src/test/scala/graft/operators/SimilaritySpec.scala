@@ -191,6 +191,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     rows.foreach { case (_, (lr, vr, rrf)) => assert(rrf == term(lr) + term(vr)) }
   }
 
+  test("persisted IVF-PQ index serves row-identical results to the inline " +
+      "q82 pipeline; appends encode bit-identically; compaction preserves " +
+      "contents") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString
+    SimilarityQueries.buildPqIndex(spark, dir, idx)
+    val fromIndex = SimilarityQueries.ivfPqTopKFromIndex(spark, dir, idx)
+      .collect().map(_.toString).toSeq
+    val inline = SimilarityQueries.q82IvfPqAnn(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+    // the index is the COMPRESSED corpus: bounded codebooks plus one
+    // (cell + PqM codes) row per vector — no full vectors anywhere
+    assert(spark.read.parquet(s"$idx/codebook").count() <= SimilarityQueries.IvfCells)
+    assert(spark.read.parquet(s"$idx/pq_codebooks").count() <=
+      SimilarityQueries.PqM * SimilarityQueries.PqK)
+    assert(spark.read.parquet(s"$idx/assignments").columns.toSeq ==
+      Seq("vec_id", "cell", "codes", "batch_id"))
+
+    // delta-encoding the same vectors against the persisted codebooks
+    // reproduces the builder's assignment bit-for-bit
+    val emb = Tables.embeddings(spark, dir)
+    val delta = SimilarityQueries.assignToPqIndex(emb, idx)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    val built = spark.read.parquet(s"$idx/assignments")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Int](2))).toMap
+    assert(delta == built)
+    // append with shifted ids; crash-replay of the same batch replaces
+    val shifted = emb.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    SimilarityQueries.assignToPqIndex(shifted, idx, appendBatchId = Some(0L))
+    SimilarityQueries.assignToPqIndex(shifted, idx, appendBatchId = Some(0L))
+    assert(spark.read.parquet(s"$idx/assignments").count() == 2L * built.size)
+    // compaction folds appends into the base generation, contents unchanged
+    val preCompact = spark.read.parquet(s"$idx/assignments")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    SimilarityQueries.compactPqIndex(spark, idx)
+    val compacted = SimilarityQueries.readIvfAssignments(spark, idx)
+    assert(compacted.select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq == preCompact)
+    assert(compacted.select(col("batch_id")).distinct().collect()
+      .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
+    // the index still serves identically after append + compaction for the
+    // original id range's queries (appended ids joined the corpus, but all
+    // sit in the same cells with the same codes under shifted ids)
+    val served = SimilarityQueries.ivfPqTopKFromIndex(spark, dir, idx)
+    assert(served.count() ==
+      SimilarityQueries.QueryCount.toLong * SimilarityQueries.TopK)
+  }
+
   test("cosine fold agrees with plain-Scala double math") {
     import org.apache.spark.sql.functions._
     val df = Tables.embeddings(spark, dir).filter(col("vec_id") < 10)
