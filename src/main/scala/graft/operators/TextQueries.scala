@@ -28,7 +28,7 @@ object TextQueries {
   // shared with CurationPipeline (q52's quality gate IS q29's metric — a
   // second list would let the gate silently drift from the metric)
   private[operators] val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
-  private def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[operators] def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
   private def stopArray: String = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
   /** Word-or-symbol tokenizer ("BPE-ish" pre-tokenization: words, digits

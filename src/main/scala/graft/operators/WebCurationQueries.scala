@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators — the PII / URL / heuristic-quality layer
+  * a crawl-derived training pipeline runs between ingest and dedup
+  * (C4's and RefinedWeb's curation recipes; Gopher's rule-based quality
+  * filter, Rae et al. 2021 §A1.1). Beyond-reference LLM-pipeline rows in
+  * the SURVEY §2.C sense, like [[DedupQueries]]/[[TextQueries]].
+  *
+  * The synthetic `documents` corpus is word-salad with no PII or URLs, so —
+  * exactly like q38's deterministic fake media encoder
+  * ([[graft.multimodal.MultimodalOps.mediaFromDocumentsReal]]) — each
+  * operator first ENRICHES the text with tokens that are a pure function of
+  * `doc_id`, then runs the real detection machinery on the result. The
+  * DuckDB oracle recomputes the same enrichment, so detection, counting,
+  * redaction, and capping are value-checked end-to-end, not vacuously
+  * zero. The regex layer is deliberately Java-regex ∩ RE2 (no lookaround,
+  * no backreferences): the same pattern strings drive both engines.
+  *
+  * Scale shape: q84/q87 are narrow codegen'd projections that ride the
+  * scan (zero shuffles before the deterministic output sort); q85 is one
+  * map-side-partial aggregation over domain (cardinality = |domains|, tiny
+  * vs the corpus); q86's per-key cap is the two-phase salted top-K — every
+  * group's state is bounded at K BEFORE the per-domain shuffle, so a hot
+  * domain (the classic crawl skew: one CDN hosting half the corpus) costs
+  * O(salts × K) rows, never O(occurrences). None of these collects to the
+  * driver.
+  */
+object WebCurationQueries {
+
+  // ---- detection patterns (Java ∩ RE2; single-quoted-safe for DuckDB) ----
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[operators] val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[operators] val SsnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private[operators] val UrlRe   = "https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*"
+  private[operators] val DomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Blocklisted domains for q85 (a literal stand-in for the broadcast
+    * blocklist a real pipeline ships — e.g. the C4 badwords domain list). */
+  private[operators] val Blocklist = Seq("cdn0.example.net", "cdn1.example.net")
+  private def blockSqlList = Blocklist.map(d => s"'$d'").mkString("(", ", ", ")")
+
+  /** Per-domain cap for q86 (RefinedWeb-style "no domain dominates"). */
+  private[operators] val DomainCap = 5
+
+  // ---- deterministic enrichment (the q38 pattern) ----
+
+  private def sid(c: Column): Column = c.cast("string")
+
+  /** PII enrichment: doc_id-derived email / phone / IPv4 / SSN tokens
+    * appended on divisibility strata (3/4/5/6), so ~63% of docs carry at
+    * least one PII hit and every detector sees both positives and
+    * negatives. Pure function of doc_id — the oracle rebuilds it in SQL. */
+  private[operators] def withPiiText(docs: DataFrame): Column =
+    concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), sid(col("doc_id")), lit("@ex"),
+          sid(col("doc_id") % 7), lit(".com now"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call +1-555-"), lpad(sid(col("doc_id") % 10000), 4, "0"),
+          lit(" today"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10."), sid(col("doc_id") % 256), lit("."),
+          sid(col("doc_id") % 199), lit("."), sid(col("doc_id") % 97),
+          lit(" up"))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" ssn "), lpad(sid(col("doc_id") % 1000), 3, "0"), lit("-"),
+          lpad(sid(col("doc_id") % 100), 2, "0"), lit("-"),
+          lpad(sid(col("doc_id") % 10000), 4, "0"), lit(" id"))).otherwise(lit("")))
+
+  /** URL enrichment: an https URL on one of 23 example.org subdomains for
+    * even doc_ids, plus an http mirror on one of 5 cdn*.example.net hosts
+    * for doc_id % 6 == 0 — 28 domains total, the cdn hosts ~50% hotter,
+    * two of them blocklisted. */
+  private[operators] def withUrlText(docs: DataFrame): Column =
+    concat(
+      col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" see https://s"), sid(col("doc_id") % 23),
+          lit(".example.org/p/"), sid(col("doc_id")), lit(" ref"))).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" mirror http://cdn"), sid(col("doc_id") % 5),
+          lit(".example.net/x/"), sid(col("doc_id") % 11), lit(" end"))).otherwise(lit("")))
+
+  // concat(), not SQL `||`: these fragments are interpolated into outer
+  // stripMargin templates, and stripMargin-after-interpolation would eat
+  // one pipe of a line-leading `||`.
+  private def piiEnrichSql: String =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 7 AS VARCHAR), '.com now') ELSE '' END,
+      |  CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') ELSE '' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 199 AS VARCHAR), '.', CAST(doc_id % 97 AS VARCHAR), ' up') ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' id') ELSE '' END
+      |  ) AS etext
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  private def urlEnrichSql: String =
+    """SELECT doc_id, concat(text,
+      |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://s', CAST(doc_id % 23 AS VARCHAR), '.example.org/p/', CAST(doc_id AS VARCHAR), ' ref') ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN concat(' mirror http://cdn', CAST(doc_id % 5 AS VARCHAR), '.example.net/x/', CAST(doc_id % 11 AS VARCHAR), ' end') ELSE '' END
+      |  ) AS etext
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  // ---- Q84: PII detection + redaction ----
+
+  /** Q84 — per-document PII census and redaction: count emails / NANP test
+    * phone numbers / IPv4 literals / SSN-shaped ids, and emit the text with
+    * every hit replaced by a typed placeholder. One codegen'd projection
+    * (regexp_extract_all + chained regexp_replace), no shuffle before the
+    * output sort — at 100 TB this is scan-bound, exactly like q29. The
+    * replacement order (email→phone→ip→ssn) is part of the contract; the
+    * four patterns are mutually non-overlapping by construction. */
+  def q84PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  /** The census+redaction over any document frame (split out for reuse and
+    * constructed-corpus specs). */
+  private[graft] def piiRedact(docs: DataFrame): DataFrame = {
+    val e = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), withPiiText(docs).as("etext"))
+    def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
+    e.select(
+      col("doc_id"),
+      n(EmailRe).as("n_email"),
+      n(PhoneRe).as("n_phone"),
+      n(IpRe).as("n_ip"),
+      n(SsnRe).as("n_ssn"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("etext"),
+        EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"), SsnRe, "[SSN]")
+        .as("redacted"))
+  }
+
+  // ---- Q85: URL extraction + domain census ----
+
+  /** Q85 — URL extraction and per-domain census: explode every URL out of
+    * the text, reduce to (domain → url count, doc reach, https share,
+    * blocklist flag). The only shuffle is the final groupBy(domain) with
+    * map-side partials, output cardinality = |domains| — at crawl scale the
+    * census is the cheap side that then drives blocklist joins and the q86
+    * cap. Domain keys are hashed uniformly by the shuffle; a hot domain
+    * collapses in the partial aggregation, not on one reducer. */
+  def q85DomainCensus(spark: SparkSession, dir: String): DataFrame = {
+    val urls = docUrls(Tables.documents(spark, dir))
+    urls.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("url").startsWith("https://"), 1L).otherwise(0L)).as("n_https"))
+      .withColumn("blocklisted", col("domain").isin(Blocklist: _*))
+      .orderBy(col("domain").asc)
+  }
+
+  /** (doc_id, url, domain) stream — shared by q85/q86. */
+  private[graft] def docUrls(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), withUrlText(docs).as("etext"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("etext"), lit(UrlRe), lit(0))).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), DomainRe, 1))
+
+  // ---- Q86: per-domain document cap (skew-safe exact top-K per key) ----
+
+  /** Q86 — per-domain cap: keep the [[DomainCap]] lowest doc_ids per domain
+    * (the deterministic stand-in for "at most K pages per domain"). NOT a
+    * window row_number — partitionBy(domain) serializes each domain onto
+    * one task, which is exactly wrong for crawl skew. Instead the exact
+    * two-phase salted top-K:
+    *   1. distinct (doc_id, domain), salt = doc_id % 16;
+    *   2. groupBy(domain, salt): sort_array(collect_list)[..K] — per-group
+    *      state bounded at K rows per salt BEFORE any per-domain shuffle;
+    *   3. groupBy(domain): merge the ≤16 sorted prefixes, take K.
+    * A domain with 10^9 pages moves ≤ 16×K rows past phase 1. Output is
+    * row-identical to the window formulation (the oracle). */
+  def q86DomainCap(spark: SparkSession, dir: String): DataFrame =
+    domainCap(docUrls(Tables.documents(spark, dir)), DomainCap)
+      .orderBy(col("domain").asc, col("rank").asc)
+
+  private[graft] def domainCap(urls: DataFrame, k: Int): DataFrame =
+    urls.select(col("doc_id"), col("domain")).distinct()
+      .withColumn("salt", col("doc_id") % 16)
+      .groupBy(col("domain"), col("salt"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, k).as("part"))
+      .groupBy(col("domain"))
+      .agg(slice(array_sort(flatten(collect_list(col("part")))), 1, k).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("pos", "doc_id")))
+      .select(col("domain"), (col("pos") + 1).cast("int").as("rank"), col("doc_id"))
+
+  // ---- Q87: Gopher-style rule-based quality filter ----
+
+  /** Q87 — heuristic quality gate in the Gopher style (Rae et al. 2021
+    * §A1.1, re-parameterized for the synthetic corpus): word-count bounds,
+    * mean-word-length band, short-word-ratio cap, and a ≥2-distinct-
+    * stopwords requirement; `keep` is their conjunction. Every rule is
+    * decided in INTEGER arithmetic (sum_len×1 vs 4×n_words etc.) so the
+    * booleans cannot drift across engines at float boundaries; the reported
+    * ratios are exact-integer IEEE divisions, deterministic on both sides.
+    * Same scan-bound shape as q29/q84. */
+  def q87QualityRules(spark: SparkSession, dir: String): DataFrame =
+    qualityRules(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  private[graft] def qualityRules(docs: DataFrame): DataFrame = {
+    val stopArr = TextQueries.Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    docs.filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        size(expr("filter(w, x -> length(x) <= 2)")).cast("long").as("n_short"),
+        size(array_distinct(expr(s"filter(w, x -> array_contains($stopArr, x))")))
+          .cast("long").as("n_stop"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_short").cast("double") / col("n_words")).as("short_ratio"),
+        col("n_stop").as("n_stop_distinct"),
+        (col("n_words") >= 20 && col("n_words") <= 80).as("r_wordcount"),
+        (col("sum_len") >= col("n_words") * 4 && col("sum_len") <= col("n_words") * 5)
+          .as("r_meanlen"),
+        (col("n_short") * 10 <= col("n_words")).as("r_short"),
+        (col("n_stop") >= 2).as("r_stopwords"))
+      .withColumn("keep",
+        col("r_wordcount") && col("r_meanlen") && col("r_short") && col("r_stopwords"))
+  }
+
+  // ---- catalog wiring ----
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q84_pii_redact" -> (q84PiiRedact _),
+    "q85_domain_census" -> (q85DomainCensus _),
+    "q86_domain_cap" -> (q86DomainCap _),
+    "q87_quality_rules" -> (q87QualityRules _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q84_pii_redact" ->
+      s"""WITH e AS ($piiEnrichSql)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(etext, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(etext, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(etext, '$IpRe')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(etext, '$SsnRe')) AS BIGINT) AS n_ssn,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(etext,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g'), '$SsnRe', '[SSN]', 'g') AS redacted
+         |FROM e ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q85_domain_census" ->
+      s"""WITH e AS ($urlEnrichSql),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(etext, '$UrlRe')) AS url FROM e),
+         |d AS (SELECT doc_id, url, regexp_extract(url, '$DomainRe', 1) AS domain FROM u)
+         |SELECT domain,
+         |  COUNT(*) AS n_urls,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https,
+         |  (domain IN $blockSqlList) AS blocklisted
+         |FROM d GROUP BY domain ORDER BY domain NULLS FIRST""".stripMargin,
+    "q86_domain_cap" ->
+      s"""WITH e AS ($urlEnrichSql),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(etext, '$UrlRe')) AS url FROM e),
+         |d AS (SELECT DISTINCT doc_id, regexp_extract(url, '$DomainRe', 1) AS domain FROM u),
+         |rn AS (SELECT domain, doc_id,
+         |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rank FROM d)
+         |SELECT domain, CAST(rank AS INT) AS rank, doc_id FROM rn
+         |WHERE rank <= $DomainCap ORDER BY domain NULLS FIRST, rank""".stripMargin,
+    "q87_quality_rules" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_len,
+         |  CAST(len(list_filter(w, x -> length(x) <= 2)) AS BIGINT) AS n_short,
+         |  CAST(len(list_distinct(list_filter(w, x -> x IN ${TextQueries.stopSqlList}))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT doc_id, n_words,
+         |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+         |  CAST(n_short AS DOUBLE) / n_words AS short_ratio,
+         |  n_stop AS n_stop_distinct,
+         |  (n_words >= 20 AND n_words <= 80) AS r_wordcount,
+         |  (sum_len >= 4 * n_words AND sum_len <= 5 * n_words) AS r_meanlen,
+         |  (n_short * 10 <= n_words) AS r_short,
+         |  (n_stop >= 2) AS r_stopwords,
+         |  (n_words >= 20 AND n_words <= 80 AND sum_len >= 4 * n_words
+         |    AND sum_len <= 5 * n_words AND n_short * 10 <= n_words
+         |    AND n_stop >= 2) AS keep
+         |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
+  )
+}
