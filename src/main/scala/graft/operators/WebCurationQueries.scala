@@ -55,8 +55,12 @@ object WebCurationQueries {
     * least one PII hit and every detector sees both positives and
     * negatives. Pure function of doc_id — the oracle rebuilds it in SQL. */
   private[operators] def withPiiText(docs: DataFrame): Column =
+    concat(col("text"), piiSuffix)
+
+  /** The appended PII strata alone (composable — q88 stacks them with the
+    * URL strata over one base text). */
+  private[operators] def piiSuffix: Column =
     concat(
-      col("text"),
       when(col("doc_id") % 3 === 0,
         concat(lit(" contact user"), sid(col("doc_id")), lit("@ex"),
           sid(col("doc_id") % 7), lit(".com now"))).otherwise(lit("")),
@@ -77,8 +81,11 @@ object WebCurationQueries {
     * for doc_id % 6 == 0 — 28 domains total, the cdn hosts ~50% hotter,
     * two of them blocklisted. */
   private[operators] def withUrlText(docs: DataFrame): Column =
+    concat(col("text"), urlSuffix)
+
+  /** The appended URL strata alone (see [[piiSuffix]]). */
+  private[operators] def urlSuffix: Column =
     concat(
-      col("text"),
       when(col("doc_id") % 2 === 0,
         concat(lit(" see https://s"), sid(col("doc_id") % 23),
           lit(".example.org/p/"), sid(col("doc_id")), lit(" ref"))).otherwise(lit("")),
@@ -89,21 +96,37 @@ object WebCurationQueries {
   // concat(), not SQL `||`: these fragments are interpolated into outer
   // stripMargin templates, and stripMargin-after-interpolation would eat
   // one pipe of a line-leading `||`.
-  private def piiEnrichSql: String =
-    """SELECT doc_id, concat(text,
-      |  CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 7 AS VARCHAR), '.com now') ELSE '' END,
+  private def piiCasesSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 7 AS VARCHAR), '.com now') ELSE '' END,
       |  CASE WHEN doc_id % 4 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') ELSE '' END,
       |  CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id % 199 AS VARCHAR), '.', CAST(doc_id % 97 AS VARCHAR), ' up') ELSE '' END,
-      |  CASE WHEN doc_id % 6 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' id') ELSE '' END
-      |  ) AS etext
-      |FROM documents WHERE text IS NOT NULL""".stripMargin
+      |  CASE WHEN doc_id % 6 = 0 THEN concat(' ssn ', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' id') ELSE '' END""".stripMargin
+
+  private def urlCasesSql: String =
+    """CASE WHEN doc_id % 2 = 0 THEN concat(' see https://s', CAST(doc_id % 23 AS VARCHAR), '.example.org/p/', CAST(doc_id AS VARCHAR), ' ref') ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN concat(' mirror http://cdn', CAST(doc_id % 5 AS VARCHAR), '.example.net/x/', CAST(doc_id % 11 AS VARCHAR), ' end') ELSE '' END""".stripMargin
+
+  private def piiEnrichSql: String =
+    s"""SELECT doc_id, concat(text,
+       |  $piiCasesSql
+       |  ) AS etext
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   private def urlEnrichSql: String =
-    """SELECT doc_id, concat(text,
-      |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://s', CAST(doc_id % 23 AS VARCHAR), '.example.org/p/', CAST(doc_id AS VARCHAR), ' ref') ELSE '' END,
-      |  CASE WHEN doc_id % 6 = 0 THEN concat(' mirror http://cdn', CAST(doc_id % 5 AS VARCHAR), '.example.net/x/', CAST(doc_id % 11 AS VARCHAR), ' end') ELSE '' END
-      |  ) AS etext
-      |FROM documents WHERE text IS NOT NULL""".stripMargin
+    s"""SELECT doc_id, concat(text,
+       |  $urlCasesSql
+       |  ) AS etext
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** q88's enrichment: BOTH strata families over one base text (PII tokens
+    * never collide with the URL regexes and vice versa — no '@' in URLs,
+    * no scheme prefix on PII). */
+  private def webEnrichSql: String =
+    s"""SELECT doc_id, source, text, concat(text,
+       |  $piiCasesSql,
+       |  $urlCasesSql
+       |  ) AS etext
+       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
   // ---- Q84: PII detection + redaction ----
 
@@ -117,6 +140,19 @@ object WebCurationQueries {
   def q84PiiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
+  /** The redaction chain over any string column — the PRODUCTION scrub
+    * (no enrichment; null in → null out). Replacement order
+    * email→phone→ip→ssn is part of the contract. */
+  def scrubText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"), SsnRe, "[SSN]")
+
+  /** Production entry: scrub the `text` column of any document frame in
+    * place. A pure projection — streaming-safe with no state or watermark
+    * ([[graft.streaming.StreamingOps.scrubArrivals]] is the stream twin). */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.withColumn("text", scrubText(col("text")))
+
   /** The census+redaction over any document frame (split out for reuse and
     * constructed-corpus specs). */
   private[graft] def piiRedact(docs: DataFrame): DataFrame = {
@@ -129,9 +165,7 @@ object WebCurationQueries {
       n(PhoneRe).as("n_phone"),
       n(IpRe).as("n_ip"),
       n(SsnRe).as("n_ssn"),
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col("etext"),
-        EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"), SsnRe, "[SSN]")
-        .as("redacted"))
+      scrubText(col("etext")).as("redacted"))
   }
 
   // ---- Q85: URL extraction + domain census ----
@@ -228,6 +262,77 @@ object WebCurationQueries {
         col("r_wordcount") && col("r_meanlen") && col("r_short") && col("r_stopwords"))
   }
 
+  // ---- Q88: the composed web-curation drop chain ----
+
+  /** Q88 — the web layer composed into one per-source drop chain with a
+    * per-stage audit (the q52/q75/q78 composition discipline applied to
+    * q84–q87): over the doubly-enriched text,
+    *   1. PII scrub — redact, never drop (`n_pii_docs` audits how many
+    *      docs carried any hit);
+    *   2. quality gate — q87's integer-decided rules on the RAW text
+    *      (stage independence: redaction must not change a doc's fate);
+    *   3. domain cap — a doc competes for a cap slot of its FIRST URL's
+    *      domain (its "source domain"); docs with no URL are uncapped.
+    *      Same salted two-phase top-K as q86 — no per-domain window;
+    *   4. audit — per `source`: docs seen, PII carriers, quality
+    *      survivors, cap evictions, kept docs, kept token volume
+    *      (whitespace tokens of the SCRUBBED text — each PII token
+    *      redacts to exactly one placeholder, so token counts are stable
+    *      through stage 1).
+    * Stage costs at 100 TB: stages 1–2 ride the scan (one codegen'd
+    * projection); stage 3 shuffles ≤ salts×K rows per domain plus one
+    * broadcast-sized join back (|domains|×K rows); stage 4 is one
+    * map-side-partial groupBy at |sources| cardinality. */
+  def q88WebCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text"),
+        concat(col("text"), piiSuffix, urlSuffix).as("etext"))
+
+    def nHits(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0)))
+    val flagged = docs.select(
+      col("doc_id"), col("source"),
+      (nHits(EmailRe) + nHits(PhoneRe) + nHits(IpRe) + nHits(SsnRe) > 0).as("has_pii"),
+      size(split(scrubText(col("etext")), " ")).cast("long").as("n_tokens"),
+      regexp_extract(col("etext"), DomainRe, 1).as("first_domain"),
+      qualityKeep(col("text")).as("q_keep"))
+
+    // stage 3: cap slots per first_domain over quality SURVIVORS (an
+    // evicted slot would otherwise be wasted on a doc stage 2 drops)
+    val capped = domainCap(
+      flagged.filter(col("q_keep") && col("first_domain") =!= "")
+        .select(col("doc_id"), col("first_domain").as("domain")),
+      DomainCap)
+      .select(col("domain").as("first_domain"), col("doc_id"), lit(true).as("in_cap"))
+
+    val decided = flagged.join(capped, Seq("first_domain", "doc_id"), "left")
+      .withColumn("kept",
+        col("q_keep") && (col("first_domain") === "" || coalesce(col("in_cap"), lit(false))))
+
+    decided.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("has_pii"), 1)).as("n_pii_docs"),
+        count(when(col("q_keep"), 1)).as("n_quality"),
+        count(when(col("q_keep") && !col("kept"), 1)).as("n_cap_out"),
+        count(when(col("kept"), 1)).as("n_kept"),
+        coalesce(sum(when(col("kept"), col("n_tokens"))), lit(0L)).cast("long")
+          .as("tokens_kept"))
+      .orderBy(col("source").asc)
+  }
+
+  /** q87's keep conjunction as a single reusable Column over a raw text
+    * column (integer-decided, same arithmetic as [[qualityRules]]). */
+  private def qualityKeep(text: Column): Column = {
+    val stops = array(TextQueries.Stopwords.map(lit): _*)
+    val w = split(text, " ")
+    val n = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val nShort = size(filter(w, x => length(x) <= 2)).cast("long")
+    val nStop = size(array_distinct(filter(w, x => array_contains(stops, x)))).cast("long")
+    n >= 20 && n <= 80 && sumLen >= n * 4 && sumLen <= n * 5 &&
+      nShort * 10 <= n && nStop >= 2
+  }
+
   // ---- catalog wiring ----
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -235,6 +340,7 @@ object WebCurationQueries {
     "q85_domain_census" -> (q85DomainCensus _),
     "q86_domain_cap" -> (q86DomainCap _),
     "q87_quality_rules" -> (q87QualityRules _),
+    "q88_web_curation" -> (q88WebCuration _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -287,5 +393,36 @@ object WebCurationQueries {
          |    AND sum_len <= 5 * n_words AND n_short * 10 <= n_words
          |    AND n_stop >= 2) AS keep
          |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q88_web_curation" ->
+      s"""WITH e AS ($webEnrichSql),
+         |f AS (SELECT doc_id, source,
+         |  (len(regexp_extract_all(etext, '$EmailRe')) + len(regexp_extract_all(etext, '$PhoneRe'))
+         |    + len(regexp_extract_all(etext, '$IpRe')) + len(regexp_extract_all(etext, '$SsnRe'))) > 0 AS has_pii,
+         |  CAST(len(string_split(regexp_replace(regexp_replace(regexp_replace(regexp_replace(etext,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |    '$IpRe', '[IP]', 'g'), '$SsnRe', '[SSN]', 'g'), ' ')) AS BIGINT) AS n_tokens,
+         |  regexp_extract(etext, '$DomainRe', 1) AS first_domain
+         |FROM e),
+         |q AS (SELECT doc_id,
+         |  (n >= 20 AND n <= 80 AND sl >= 4 * n AND sl <= 5 * n
+         |    AND ns * 10 <= n AND nst >= 2) AS q_keep
+         |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sl,
+         |  CAST(len(list_filter(w, x -> length(x) <= 2)) AS BIGINT) AS ns,
+         |  CAST(len(list_distinct(list_filter(w, x -> x IN ${TextQueries.stopSqlList}))) AS BIGINT) AS nst
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM e))),
+         |c AS (SELECT doc_id, row_number() OVER (PARTITION BY first_domain ORDER BY doc_id) AS rn
+         |  FROM (SELECT f.doc_id, f.first_domain FROM f JOIN q USING (doc_id)
+         |        WHERE q.q_keep AND f.first_domain <> '')),
+         |k AS (SELECT f.source, f.has_pii, f.n_tokens, q.q_keep,
+         |  (q.q_keep AND (f.first_domain = '' OR (c.rn IS NOT NULL AND c.rn <= $DomainCap))) AS kept
+         |  FROM f JOIN q USING (doc_id) LEFT JOIN c ON c.doc_id = f.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(CASE WHEN has_pii THEN 1 END) AS n_pii_docs,
+         |  COUNT(CASE WHEN q_keep THEN 1 END) AS n_quality,
+         |  COUNT(CASE WHEN q_keep AND NOT kept THEN 1 END) AS n_cap_out,
+         |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT) AS tokens_kept
+         |FROM k GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
   )
 }

@@ -106,6 +106,16 @@ object StreamingOps {
       .select(col("doc_id"))
       .dropDuplicates("doc_id")
 
+  /** Ingest-time PII scrub: q84's redaction chain over an arriving
+    * document stream. A stateless projection — no watermark, no state, no
+    * shuffle; it rides every micro-batch's scan for free, which is why a
+    * production ingest runs the scrub FIRST (before any text lands in an
+    * index, a shard, or a log line). Batch-equivalent by construction:
+    * the same [[graft.operators.WebCurationQueries.scrubText]] column
+    * drives both forms (StreamingSpec pins replay == batch). */
+  def scrubArrivals(docsStream: DataFrame): DataFrame =
+    graft.operators.WebCurationQueries.piiScrub(docsStream)
+
   /** Stream-static near-dup INGEST probe: a stream of arriving documents is
     * shingled/signed/banded per micro-batch (the streaming-safe
     * [[graft.operators.DedupQueries.bandDocs]] transform) and equi-joined

@@ -89,6 +89,18 @@ class WebCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(!r2.getBoolean(5) && r2.getBoolean(6) && !r2.getBoolean(9))
   }
 
+  test("q88 audit columns reconcile: kept = quality survivors minus cap evictions") {
+    val out = WebCurationQueries.q88WebCuration(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, nQual, nCapOut, nKept) = (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nKept === nQual - nCapOut, s"source ${r.getString(0)}")
+      assert(nQual <= nDocs && nKept <= nQual)
+    }
+    // PII strata cover ~63% of doc_ids; with >= 10 docs per source some carriers exist
+    assert(out.map(_.getLong(2)).sum > 0)
+  }
+
   test("q87 mean-word-len band is a strict integer comparison (no float drift)") {
     // 10 words, sum_len 51 => mean 5.1 > 5.0 band: r_meanlen false
     val over = Seq.fill(9)("fiver") ++ Seq("sixers")  // 9*5 + 6 = 51

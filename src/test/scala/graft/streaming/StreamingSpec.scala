@@ -221,6 +221,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batchReal == Set((10L, 20L), (11L, -1L), (12L, 21L), (13L, -1L)))
   }
 
+  test("ingest PII scrub: streaming replay equals the batch scrub, nulls pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      StreamingSpec.Doc(1L, "mail me at alice@corp.io or call +1-555-0199 now"),
+      StreamingSpec.Doc(2L, "server 192.168.0.17 and ssn 123-45-6789 leaked"),
+      StreamingSpec.Doc(3L, "nothing sensitive in this arrival"),
+      StreamingSpec.Doc(4L, null))
+    val batch = graft.operators.WebCurationQueries.piiScrub(docs.toDF())
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val (q, name) = runToMemory(StreamingOps.scrubArrivals(stream.toDF()))
+    stream.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(streamed == batch)
+    val scrubbed = streamed.toMap
+    assert(scrubbed(1L).get == "mail me at [EMAIL] or call [PHONE] now")
+    assert(scrubbed(2L).get == "server [IP] and ssn [SSN] leaked")
+    assert(scrubbed(3L).get == "nothing sensitive in this arrival")
+    assert(scrubbed(4L).isEmpty)
+  }
+
   test("checkpoint recovery: a restarted query resumes from committed offsets") {
     import spark.implicits._
     val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
