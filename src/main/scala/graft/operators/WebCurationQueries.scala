@@ -333,6 +333,63 @@ object WebCurationQueries {
       nShort * 10 <= n && nStop >= 2
   }
 
+  // ---- Q89: normalization-aware exact dedup ----
+
+  private val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** Canonical text normalization before exact hashing (the C4 / Lee et
+    * al. pre-dedup normalization: case-fold, strip punctuation, collapse
+    * whitespace). Case-folds via `translate` over the ASCII range rather
+    * than `lower()` — Spark and DuckDB agree on `translate` byte-for-byte,
+    * while full-unicode lower() has engine-specific special casing (the
+    * Turkish-İ class of divergence) that would poison the oracle on
+    * non-ASCII corpora. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(translate(c, Upper, Lower), "[^a-z0-9 ]", ""),
+      " +", " "))
+
+  /** Q89 — normalized exact dedup: per doc, the duplicate-family size
+    * under RAW exact hashing vs under [[normalizeText]]-then-hash, the
+    * normalized family's keeper flag, and whether normalization recovered
+    * dups raw hashing missed. The corpus is noised deterministically per
+    * doc_id stratum (upper-case / trailing punctuation / doubled spaces)
+    * so the raw hash splinters each true family across variants and the
+    * normalized hash must reunite it — the value-checked demonstration of
+    * why production dedup hashes normalized text (Lee et al. 2021; C4's
+    * preprocessing). Plan: one codegen'd normalization projection + two
+    * census groupBys on md5 keys (uniform 32-byte shuffle keys, map-side
+    * partials collapse hot families — the q52 census discipline); rejoins
+    * are null-safe equi-joins on the hash. */
+  def q89NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val noised = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, translate(col("text"), Lower, Upper))
+          .when(col("doc_id") % 3 === 1, concat(col("text"), lit(" !! ??")))
+          .otherwise(regexp_replace(col("text"), " ", "  ")).as("text"))
+    normalizedDedup(noised).orderBy(col("doc_id").asc)
+  }
+
+  /** The census body over any (doc_id, text) frame — q89 routes the noised
+    * corpus here; specs feed constructed stratified families. */
+  private[graft] def normalizedDedup(docs: DataFrame): DataFrame = {
+    val hashed = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        md5(col("text")).as("raw_h"),
+        md5(normalizeText(col("text"))).as("norm_h"))
+    val rawCensus = hashed.groupBy(col("raw_h")).agg(count(lit(1)).as("raw_n"))
+    val normCensus = hashed.groupBy(col("norm_h"))
+      .agg(count(lit(1)).as("norm_n"), min(col("doc_id")).as("norm_keeper"))
+    hashed.join(rawCensus, "raw_h").join(normCensus, "norm_h")
+      .select(
+        col("doc_id"),
+        col("raw_n"),
+        col("norm_n"),
+        (col("doc_id") === col("norm_keeper")).as("is_canonical_norm"),
+        (col("norm_n") > col("raw_n")).as("recovered"))
+  }
+
   // ---- catalog wiring ----
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -341,6 +398,7 @@ object WebCurationQueries {
     "q86_domain_cap" -> (q86DomainCap _),
     "q87_quality_rules" -> (q87QualityRules _),
     "q88_web_curation" -> (q88WebCuration _),
+    "q89_normalized_dedup" -> (q89NormalizedDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -424,5 +482,23 @@ object WebCurationQueries {
          |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept,
          |  CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT) AS tokens_kept
          |FROM k GROUP BY source ORDER BY source NULLS FIRST""".stripMargin,
+    "q89_normalized_dedup" ->
+      s"""WITH v AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN translate(text, '$Lower', '$Upper')
+         |       WHEN doc_id % 3 = 1 THEN concat(text, ' !! ??')
+         |       ELSE regexp_replace(text, ' ', '  ', 'g') END AS vtext
+         |  FROM documents WHERE text IS NOT NULL),
+         |h AS (SELECT doc_id, md5(vtext) AS raw_h,
+         |  md5(trim(regexp_replace(regexp_replace(translate(vtext, '$Upper', '$Lower'),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h
+         |  FROM v),
+         |r AS (SELECT raw_h, COUNT(*) AS raw_n FROM h GROUP BY raw_h),
+         |n AS (SELECT norm_h, COUNT(*) AS norm_n, MIN(doc_id) AS norm_keeper
+         |  FROM h GROUP BY norm_h)
+         |SELECT h.doc_id, r.raw_n, n.norm_n,
+         |  (h.doc_id = n.norm_keeper) AS is_canonical_norm,
+         |  (n.norm_n > r.raw_n) AS recovered
+         |FROM h JOIN r USING (raw_h) JOIN n USING (norm_h)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

@@ -101,6 +101,40 @@ class WebCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.getLong(2)).sum > 0)
   }
 
+  test("q89 normalization reunites families the variant noise splinters") {
+    val out = WebCurationQueries.q89NormalizedDedup(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"doc ${r.getLong(0)}: norm_n < raw_n")
+      assert(r.getBoolean(4) === (r.getLong(2) > r.getLong(1)))
+    }
+    assert(out.count(_.getBoolean(3)) >= 1)
+  }
+
+  test("q89 body: normalization reunites a family split across noise variants") {
+    val fam = WebCurationQueries.normalizedDedup(docs(
+      1L -> "shared body text",
+      2L -> "SHARED BODY TEXT",       // case noise
+      3L -> "shared body text !!",    // punctuation noise
+      4L -> "shared  body   text",    // whitespace noise
+      5L -> "a different doc")).orderBy("doc_id").collect()
+    val members = fam.filter(_.getLong(0) <= 4L)
+    assert(members.forall(r => r.getLong(1) === 1L && r.getLong(2) === 4L && r.getBoolean(4)))
+    assert(members.map(r => (r.getLong(0), r.getBoolean(3))).toSet ===
+      Set((1L, true), (2L, false), (3L, false), (4L, false)))
+    val other = fam.find(_.getLong(0) == 5L).get
+    assert(other.getLong(2) === 1L && !other.getBoolean(4) && other.getBoolean(3))
+  }
+
+  test("normalizeText folds case, strips punctuation, collapses whitespace") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq((1L, "  The  QUICK,, brown-fox!!  jumps  42 times.  "))
+      .toDF("doc_id", "t")
+      .select(WebCurationQueries.normalizeText(col("t"))).collect()(0).getString(0)
+    assert(got == "the quick brownfox jumps 42 times")
+  }
+
   test("q87 mean-word-len band is a strict integer comparison (no float drift)") {
     // 10 words, sum_len 51 => mean 5.1 > 5.0 band: r_meanlen false
     val over = Seq.fill(9)("fiver") ++ Seq("sixers")  // 9*5 + 6 = 51
