@@ -29,7 +29,7 @@ object TextQueries {
   // second list would let the gate silently drift from the metric)
   private[operators] val Stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
   private[operators] def stopSqlList: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
-  private def stopArray: String = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private[operators] def stopArray: String = Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
 
   /** Word-or-symbol tokenizer ("BPE-ish" pre-tokenization: words, digits
     * runs, or single punctuation marks — the usual pre-merge split). Same

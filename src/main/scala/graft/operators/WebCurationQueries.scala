@@ -31,10 +31,24 @@ import org.apache.spark.sql.functions._
 object WebCurationQueries {
 
   // ---- detection patterns (Java ∩ RE2; single-quoted-safe for DuckDB) ----
+  // Deliberately conservative, boundary-free patterns: no lookaround (RE2
+  // lacks it) and no \b (Java's is unicode-word-aware, RE2's ASCII-only —
+  // a silent cross-engine divergence on non-ASCII corpora). The trade is
+  // documented at [[scrubText]]: a digit run longer than a field can be
+  // partially matched. A deployment extends the set via the scrubText
+  // overload rather than editing these oracle-pinned constants.
   private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[operators] val PhoneRe = "\\+1-555-[0-9]{4}"
+  // general +1 NANP number first, then the corpus' fictional +1-555-XXXX
+  // test exchange (leftmost-FIRST alternation in both engines, so the
+  // general form wins where both could start)
+  private[operators] val PhoneRe =
+    "\\+1[-. ]?(\\([0-9]{3}\\)|[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}|\\+1-555-[0-9]{4}"
   private[operators] val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   private[operators] val SsnRe   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** The default scrub pattern set, in replacement order. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    EmailRe -> "[EMAIL]", PhoneRe -> "[PHONE]", IpRe -> "[IP]", SsnRe -> "[SSN]")
   private[operators] val UrlRe   = "https?://[A-Za-z0-9.-]+[A-Za-z0-9/._-]*"
   private[operators] val DomainRe = "https?://([A-Za-z0-9.-]+)"
 
@@ -46,6 +60,16 @@ object WebCurationQueries {
   /** Per-domain cap for q86 (RefinedWeb-style "no domain dominates"). */
   private[operators] val DomainCap = 5
 
+  // q87/q88 quality thresholds — single-sourced: the Spark rules, the
+  // qualityKeep conjunction, AND the oracle SQL all interpolate these
+  // (re-tuning one side cannot silently desynchronize the others).
+  private[operators] val QWordMin  = 20  // word-count band
+  private[operators] val QWordMax  = 80
+  private[operators] val QLenLo    = 4   // mean-word-length band, integer-compared
+  private[operators] val QLenHi    = 5
+  private[operators] val QShortDen = 10  // short-word ratio <= 1/QShortDen
+  private[operators] val QStopMin  = 2   // distinct stopwords required
+
   // ---- deterministic enrichment (the q38 pattern) ----
 
   private def sid(c: Column): Column = c.cast("string")
@@ -54,8 +78,7 @@ object WebCurationQueries {
     * appended on divisibility strata (3/4/5/6), so ~63% of docs carry at
     * least one PII hit and every detector sees both positives and
     * negatives. Pure function of doc_id — the oracle rebuilds it in SQL. */
-  private[operators] def withPiiText(docs: DataFrame): Column =
-    concat(col("text"), piiSuffix)
+  private[operators] def withPiiText: Column = concat(col("text"), piiSuffix)
 
   /** The appended PII strata alone (composable — q88 stacks them with the
     * URL strata over one base text). */
@@ -80,8 +103,7 @@ object WebCurationQueries {
     * even doc_ids, plus an http mirror on one of 5 cdn*.example.net hosts
     * for doc_id % 6 == 0 — 28 domains total, the cdn hosts ~50% hotter,
     * two of them blocklisted. */
-  private[operators] def withUrlText(docs: DataFrame): Column =
-    concat(col("text"), urlSuffix)
+  private[operators] def withUrlText: Column = concat(col("text"), urlSuffix)
 
   /** The appended URL strata alone (see [[piiSuffix]]). */
   private[operators] def urlSuffix: Column =
@@ -140,12 +162,21 @@ object WebCurationQueries {
   def q84PiiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
-  /** The redaction chain over any string column — the PRODUCTION scrub
-    * (no enrichment; null in → null out). Replacement order
-    * email→phone→ip→ssn is part of the contract. */
-  def scrubText(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
-      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"), SsnRe, "[SSN]")
+  /** The redaction chain over any string column (no enrichment; null in →
+    * null out). Replacement order email→phone→ip→ssn is part of the
+    * contract. The default [[PiiPatterns]] are a conservative, boundary-
+    * free baseline (emails, +1 NANP phones, dotted-quad IPs, SSN-shaped
+    * ids) — NOT an exhaustive PII taxonomy: international phone formats,
+    * bare 10-digit numbers, and IDs embedded in longer digit runs pass
+    * through or are partially matched. A deployment supplies its vetted
+    * pattern set via the overload; the defaults are what the q84/q88
+    * oracles pin. */
+  def scrubText(c: Column): Column = scrubText(c, PiiPatterns)
+
+  /** [[scrubText]] with an explicit (pattern → placeholder) chain,
+    * applied in order. */
+  def scrubText(c: Column, patterns: Seq[(String, String)]): Column =
+    patterns.foldLeft(c) { case (acc, (re, tag)) => regexp_replace(acc, re, tag) }
 
   /** Production entry: scrub the `text` column of any document frame in
     * place. A pure projection — streaming-safe with no state or watermark
@@ -157,7 +188,7 @@ object WebCurationQueries {
     * constructed-corpus specs). */
   private[graft] def piiRedact(docs: DataFrame): DataFrame = {
     val e = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), withPiiText(docs).as("etext"))
+      .select(col("doc_id"), withPiiText.as("etext"))
     def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
     e.select(
       col("doc_id"),
@@ -191,7 +222,7 @@ object WebCurationQueries {
   /** (doc_id, url, domain) stream — shared by q85/q86. */
   private[graft] def docUrls(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), withUrlText(docs).as("etext"))
+      .select(col("doc_id"), withUrlText.as("etext"))
       .select(col("doc_id"),
         explode(regexp_extract_all(col("etext"), lit(UrlRe), lit(0))).as("url"))
       .withColumn("domain", regexp_extract(col("url"), DomainRe, 1))
@@ -237,7 +268,6 @@ object WebCurationQueries {
     qualityRules(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
   private[graft] def qualityRules(docs: DataFrame): DataFrame = {
-    val stopArr = TextQueries.Stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
     docs.filter(col("text").isNotNull)
       .withColumn("w", split(col("text"), " "))
       .select(
@@ -245,7 +275,7 @@ object WebCurationQueries {
         size(col("w")).cast("long").as("n_words"),
         expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
         size(expr("filter(w, x -> length(x) <= 2)")).cast("long").as("n_short"),
-        size(array_distinct(expr(s"filter(w, x -> array_contains($stopArr, x))")))
+        size(array_distinct(expr(s"filter(w, x -> array_contains(${TextQueries.stopArray}, x))")))
           .cast("long").as("n_stop"))
       .select(
         col("doc_id"),
@@ -253,11 +283,11 @@ object WebCurationQueries {
         (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
         (col("n_short").cast("double") / col("n_words")).as("short_ratio"),
         col("n_stop").as("n_stop_distinct"),
-        (col("n_words") >= 20 && col("n_words") <= 80).as("r_wordcount"),
-        (col("sum_len") >= col("n_words") * 4 && col("sum_len") <= col("n_words") * 5)
+        (col("n_words") >= QWordMin && col("n_words") <= QWordMax).as("r_wordcount"),
+        (col("sum_len") >= col("n_words") * QLenLo && col("sum_len") <= col("n_words") * QLenHi)
           .as("r_meanlen"),
-        (col("n_short") * 10 <= col("n_words")).as("r_short"),
-        (col("n_stop") >= 2).as("r_stopwords"))
+        (col("n_short") * QShortDen <= col("n_words")).as("r_short"),
+        (col("n_stop") >= QStopMin).as("r_stopwords"))
       .withColumn("keep",
         col("r_wordcount") && col("r_meanlen") && col("r_short") && col("r_stopwords"))
   }
@@ -329,8 +359,8 @@ object WebCurationQueries {
     val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
     val nShort = size(filter(w, x => length(x) <= 2)).cast("long")
     val nStop = size(array_distinct(filter(w, x => array_contains(stops, x)))).cast("long")
-    n >= 20 && n <= 80 && sumLen >= n * 4 && sumLen <= n * 5 &&
-      nShort * 10 <= n && nStop >= 2
+    n >= QWordMin && n <= QWordMax && sumLen >= n * QLenLo && sumLen <= n * QLenHi &&
+      nShort * QShortDen <= n && nStop >= QStopMin
   }
 
   // ---- Q89: normalization-aware exact dedup ----
@@ -443,13 +473,13 @@ object WebCurationQueries {
          |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
          |  CAST(n_short AS DOUBLE) / n_words AS short_ratio,
          |  n_stop AS n_stop_distinct,
-         |  (n_words >= 20 AND n_words <= 80) AS r_wordcount,
-         |  (sum_len >= 4 * n_words AND sum_len <= 5 * n_words) AS r_meanlen,
-         |  (n_short * 10 <= n_words) AS r_short,
-         |  (n_stop >= 2) AS r_stopwords,
-         |  (n_words >= 20 AND n_words <= 80 AND sum_len >= 4 * n_words
-         |    AND sum_len <= 5 * n_words AND n_short * 10 <= n_words
-         |    AND n_stop >= 2) AS keep
+         |  (n_words >= $QWordMin AND n_words <= $QWordMax) AS r_wordcount,
+         |  (sum_len >= $QLenLo * n_words AND sum_len <= $QLenHi * n_words) AS r_meanlen,
+         |  (n_short * $QShortDen <= n_words) AS r_short,
+         |  (n_stop >= $QStopMin) AS r_stopwords,
+         |  (n_words >= $QWordMin AND n_words <= $QWordMax AND sum_len >= $QLenLo * n_words
+         |    AND sum_len <= $QLenHi * n_words AND n_short * $QShortDen <= n_words
+         |    AND n_stop >= $QStopMin) AS keep
          |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q88_web_curation" ->
       s"""WITH e AS ($webEnrichSql),
@@ -462,8 +492,8 @@ object WebCurationQueries {
          |  regexp_extract(etext, '$DomainRe', 1) AS first_domain
          |FROM e),
          |q AS (SELECT doc_id,
-         |  (n >= 20 AND n <= 80 AND sl >= 4 * n AND sl <= 5 * n
-         |    AND ns * 10 <= n AND nst >= 2) AS q_keep
+         |  (n >= $QWordMin AND n <= $QWordMax AND sl >= $QLenLo * n AND sl <= $QLenHi * n
+         |    AND ns * $QShortDen <= n AND nst >= $QStopMin) AS q_keep
          |FROM (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
          |  CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sl,
          |  CAST(len(list_filter(w, x -> length(x) <= 2)) AS BIGINT) AS ns,

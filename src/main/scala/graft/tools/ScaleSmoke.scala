@@ -38,7 +38,10 @@ object ScaleSmoke {
     "q65_semantic_dedup", "q66_decontamination", "q67_repetition",
     "q68_bpe_pairs", "q71_exact_spans", "q72_rarity", "q73_shard_stats",
     "q74_incremental_neardup", "q75_curation_v2", "q76_source_overlap",
-    "q77_span_dedup", "q78_ingest_clean", "q79_edit_verify", "q80_bloom_dedup")
+    "q77_span_dedup", "q78_ingest_clean", "q79_edit_verify", "q80_bloom_dedup",
+    "q82_ann_ivfpq", "q83_hybrid_search", "q84_pii_redact", "q85_domain_census",
+    "q86_domain_cap", "q87_quality_rules", "q88_web_curation",
+    "q89_normalized_dedup")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsCol: Option[String] = None): DataFrame =

@@ -46,6 +46,31 @@ class WebCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(out.map(_.getLong(0)).toSeq === Seq(-6L))  // no crash, null dropped
   }
 
+  test("scrubText redacts general +1 NANP phones, not just the test exchange") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "call me at +1-212-867-5309 thanks"),
+      (2L, "or +1 (415) 555-0134 works"),
+      (3L, "test exchange +1-555-0042 stays covered"),
+      (4L, "bare 2128675309 digits pass through untouched")).toDF("doc_id", "text")
+    val got = WebCurationQueries.piiScrub(rows).orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(got(0) == "call me at [PHONE] thanks")
+    assert(got(1) == "or [PHONE] works")
+    assert(got(2) == "test exchange [PHONE] stays covered")
+    assert(got(3) == "bare 2128675309 digits pass through untouched")
+  }
+
+  test("scrubText overload applies a custom pattern chain in order") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq((1L, "ticket ABC-1234 for bob@x.io"))
+      .toDF("doc_id", "t")
+      .select(WebCurationQueries.scrubText(col("t"),
+        Seq("[A-Z]{3}-[0-9]{4}" -> "[TICKET]") ++ WebCurationQueries.PiiPatterns))
+      .collect()(0).getString(0)
+    assert(got == "ticket [TICKET] for [EMAIL]")
+  }
+
   test("q85 census flags exactly the blocklisted domains and splits schemes") {
     val out = WebCurationQueries.q85DomainCensus(spark, "/root/testdata/sf0.001").collect()
     val byDomain = out.map(r => r.getString(0) -> r).toMap
