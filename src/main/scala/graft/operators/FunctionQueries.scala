@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.CentroidAggregator
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -256,6 +256,46 @@ object FunctionQueries {
       .orderBy(col("l_returnflag").asc)
   }
 
+  // ---- Q93: sketch-proposed, exactly-verified heavy hitters ----
+
+  /** Misra–Gries capacity for q93: with vocab <= k the sketch is exact;
+    * in general it guarantees a superset of tokens with count > N/(k+1).
+    * [[HHDen]] sets the reporting threshold (count * HHDen > N, i.e.
+    * frequency > 1/HHDen); completeness needs k + 1 >= HHDen. */
+  private[operators] val HHCap = 64
+  private[operators] val HHDen = 100
+
+  /** Q93 — per-language heavy-hitter tokens via the two-pass
+    * sketch-then-verify pattern (the only affordable shape at 100 TB:
+    * exact global token census first would shuffle the full corpus;
+    * Misra–Gries shuffles one <= [[HHCap]]-entry buffer per language):
+    * pass 1 runs [[graft.functions.MisraGriesAggregator]] as a real
+    * two-phase aggregate whose merged sketch is a GUARANTEED superset of
+    * every token with frequency > 1/(HHCap+1); pass 2 exactly counts only
+    * the proposed candidates (a tiny broadcast join — <= HHCap rows per
+    * language) and keeps those above 1/[[HHDen]]. The exact-count filter
+    * makes the result deterministic even though the sketch's surplus
+    * entries depend on partition/merge order — the oracle recomputes the
+    * same answer from a full exact census. */
+  def q93HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAggregator(HHCap), Encoders.STRING)
+    val tokens = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val candidates = tokens.groupBy(col("lang"))
+      .agg(mg(col("token")).as("sketch"))
+      .select(col("lang"), explode(map_keys(col("sketch"))).as("token"))
+    val totals = tokens.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    tokens.join(broadcast(candidates), Seq("lang", "token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .join(broadcast(totals), "lang")
+      .filter(col("n_occ") * HHDen > col("n_total"))
+      .select(col("lang"), col("token"), col("n_occ"), col("n_docs"))
+      .orderBy(col("lang").asc, col("n_occ").desc, col("token").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q35_label_centroids" -> (q35LabelCentroids _),
     "q36_explode_tokens" -> (q36ExplodeTokens _),
@@ -263,6 +303,7 @@ object FunctionQueries {
     "q43_percentiles" -> (q43Percentiles _),
     "q58_approx_percentile" -> (q58ApproxPercentile _),
     "q44_moments" -> (q44Moments _),
+    "q93_heavy_hitters" -> (q93HeavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -282,6 +323,16 @@ object FunctionQueries {
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 20"),
     "q37_approx_distinct" ->
       "SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_bounds FROM events",
+    "q93_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |t2 AS (SELECT * FROM t WHERE token <> ''),
+         |tot AS (SELECT lang, COUNT(*) AS n FROM t2 GROUP BY lang)
+         |SELECT t2.lang AS lang, token, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM t2 JOIN tot ON t2.lang = tot.lang
+         |GROUP BY t2.lang, token, tot.n HAVING COUNT(*) * $HHDen > tot.n
+         |ORDER BY t2.lang NULLS FIRST, n_occ DESC, token""".stripMargin,
     "q58_approx_percentile" ->
       ("SELECT l_returnflag, COUNT(*) AS cnt, TRUE AS within_bounds " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"),

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus curation — the intra-document structural stage of a
+  * crawl pipeline, complementing [[WebCurationQueries]]'s document-level
+  * rules: C4's line filters (Raffel et al. 2020 §2.2 — keep lines ending
+  * in terminal punctuation with enough words, drop javascript boilerplate
+  * lines, drop pages containing "lorem ipsum" or "{") and CCNet/Dolma-style
+  * cross-document repeated-line removal (a line occurring in a large share
+  * of documents is boilerplate — headers, footers, cookie banners — and is
+  * stripped from every document that carries it).
+  *
+  * The synthetic corpus is single-line word salad, so — the q38/q84
+  * pattern — each operator first reshapes the text into lines with
+  * doc_id-derived strata (a terminal-punctuation flip, a javascript line,
+  * a lorem-ipsum line, a brace line, a too-short line, two clean filler
+  * lines), and the DuckDB oracle rebuilds the identical enrichment; every
+  * count, flag, and rebuilt text is value-checked, not vacuously empty.
+  *
+  * Scale shape: q90 is a pure codegen'd projection over higher-order
+  * array functions — it rides the scan, zero shuffles before the output
+  * sort. q91 is explode → one map-side-partial census at |unique lines|
+  * cardinality → a provably tiny broadcast back: a boilerplate line must
+  * appear in > 1/[[BoilerDen]] of all documents, so by pigeonhole there
+  * are at most BoilerDen × (avg lines/doc) such lines in ANY corpus —
+  * the broadcast is bounded by construction, never by luck. Rebuilds use
+  * order-preserving `filter` over the original line array (no
+  * position bookkeeping, no window).
+  */
+object LineCurationQueries {
+
+  // ---- line rules (C4 §2.2, re-parameterized like q87's Gopher rules) ----
+  private[operators] val LMinWords = 3  // C4: >= 3 words per line
+  private[operators] val LMinKept  = 2  // page keep: >= LMinKept surviving lines
+  private[operators] val PunctRe   = "[.!?\"]$" // terminal punctuation
+  // boilerplate: line present in > 1/BoilerDen of all docs (integer-decided)
+  private[operators] val BoilerDen = 10
+
+  // ---- enrichment strata (pure functions of doc_id; oracle recomputes) ----
+  private val LineJs    = "you need javascript enabled to view it."
+  private val LineLorem = "lorem ipsum dolor sit amet."
+  private val LineBrace = "function() { return 0; }"
+  private val LineShort = "ok fine."
+  private val LineFox   = "the quick brown fox jumps over the lazy dog."
+  private val LineExtra = "a second fine sentence appears right here."
+
+  /** Reshape the single-line corpus text into a multi-line page: the base
+    * text (terminal '.' only for even ids — exercising the punctuation
+    * rule both ways), plus stratified noise/filler lines. */
+  private[operators] def lineText: Column = {
+    def nl(cond: Column, line: String): Column =
+      when(cond, concat(lit("\n"), lit(line))).otherwise(lit(""))
+    concat(col("text"),
+      when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")),
+      nl(col("doc_id") % 3 === 0, LineJs),
+      nl(col("doc_id") % 11 === 0, LineLorem),
+      nl(col("doc_id") % 13 === 0, LineBrace),
+      nl(col("doc_id") % 5 === 0, LineShort),
+      nl(col("doc_id") % 2 === 1, LineFox),
+      nl(col("doc_id") % 7 === 0, LineExtra))
+  }
+
+  private def lineEnrichSql: String =
+    s"""SELECT doc_id, concat(text,
+       |  CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END,
+       |  CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), '$LineJs') ELSE '' END,
+       |  CASE WHEN doc_id % 11 = 0 THEN concat(chr(10), '$LineLorem') ELSE '' END,
+       |  CASE WHEN doc_id % 13 = 0 THEN concat(chr(10), '$LineBrace') ELSE '' END,
+       |  CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), '$LineShort') ELSE '' END,
+       |  CASE WHEN doc_id % 2 = 1 THEN concat(chr(10), '$LineFox') ELSE '' END,
+       |  CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), '$LineExtra') ELSE '' END
+       |  ) AS etext FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  // ---- Q90: C4-style line quality filter ----
+
+  // per-line rule fragments for Spark SQL lambdas ('l' is the line).
+  // Drop-reason classification is priority-ordered (js > punctuation >
+  // word count) so each dropped line is counted exactly once.
+  private val sIsJs    = "contains(l, 'javascript')"
+  private val sIsPunct = s"l rlike '$PunctRe'"
+  private val sIsWords = s"size(split(l, ' ')) >= $LMinWords"
+  private val sKeep    = s"NOT $sIsJs AND $sIsPunct AND $sIsWords"
+  // DuckDB twins (same rules, list_* spellings)
+  private val dIsJs    = "contains(l, 'javascript')"
+  private val dIsPunct = s"regexp_matches(l, '$PunctRe')"
+  private val dIsWords = s"len(string_split(l, ' ')) >= $LMinWords"
+  private val dKeep    = s"NOT $dIsJs AND $dIsPunct AND $dIsWords"
+
+  /** Q90 — C4 line-level cleaning (Raffel et al. 2020 §2.2): per page,
+    * classify every line (keep / javascript / no terminal punctuation /
+    * too few words), flag the page-level "lorem ipsum" and "{" drops,
+    * decide page retention (>= [[LMinKept]] kept lines and neither page
+    * flag), and rebuild the cleaned text from the kept lines in order.
+    * One codegen'd projection over array higher-order functions — at
+    * 100 TB this is scan-bound like q29/q84/q87. */
+  def q90LineQuality(spark: SparkSession, dir: String): DataFrame =
+    lineQuality(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  private[graft] def lineQuality(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lineText.as("etext"))
+      .withColumn("lines", split(col("etext"), "\n"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr(s"size(filter(lines, l -> $sKeep))").cast("long").as("n_kept"),
+        expr(s"size(filter(lines, l -> $sIsJs))").cast("long").as("n_drop_js"),
+        expr(s"size(filter(lines, l -> NOT $sIsJs AND NOT $sIsPunct))")
+          .cast("long").as("n_drop_punct"),
+        expr(s"size(filter(lines, l -> NOT $sIsJs AND $sIsPunct AND NOT ($sIsWords)))")
+          .cast("long").as("n_drop_words"),
+        col("etext").contains("lorem ipsum").as("page_lorem"),
+        col("etext").contains("{").as("page_brace"),
+        (expr(s"size(filter(lines, l -> $sKeep))") >= LMinKept &&
+          !col("etext").contains("lorem ipsum") && !col("etext").contains("{"))
+          .as("page_keep"),
+        expr(s"array_join(filter(lines, l -> $sKeep), chr(10))").as("clean_text"))
+
+  // ---- Q91: cross-document repeated-line (boilerplate) removal ----
+
+  /** Q91 — repeated-line boilerplate removal (CCNet, Wenzek et al. 2020;
+    * Dolma's paragraph dedup): a line appearing in more than
+    * 1/[[BoilerDen]] of all documents is corpus boilerplate and is
+    * stripped from every page; per doc this reports line/boilerplate
+    * counts and the rebuilt text. The census groups on md5(line) (uniform
+    * 32-char shuffle keys, map-side partials collapse hot lines — the q52
+    * census discipline); the resulting boilerplate set is pigeonhole-
+    * bounded (<= BoilerDen × avg-lines-per-doc entries) so it travels as a
+    * one-row broadcast array and the rebuild is a shuffle-free projection
+    * over the original line order. */
+  def q91BoilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    boilerplateLines(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  private[graft] def boilerplateLines(docs: DataFrame): DataFrame = {
+    val pages = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lineText.as("etext"))
+      .withColumn("lines", split(col("etext"), "\n"))
+    val exploded = pages.select(col("doc_id"), explode(col("lines")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("h"))
+    val census = exploded.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val total = pages.agg(count(lit(1)).as("n_total"))
+    // bounded-by-pigeonhole boilerplate set as a single-row array (empty
+    // array when nothing crosses the threshold — agg over zero rows still
+    // yields one row)
+    val boiler = census.crossJoin(broadcast(total))
+      .filter(col("nd") * BoilerDen > col("n_total"))
+      .agg(collect_list(col("h")).as("bl"))
+    pages.crossJoin(broadcast(boiler))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("size(filter(lines, l -> array_contains(bl, md5(l))))")
+          .cast("long").as("n_boiler"),
+        expr("array_join(filter(lines, l -> NOT array_contains(bl, md5(l))), chr(10))")
+          .as("clean_text"))
+  }
+
+  // ---- catalog wiring ----
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q90_line_quality" -> (q90LineQuality _),
+    "q91_boilerplate_lines" -> (q91BoilerplateLines _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q90_line_quality" ->
+      s"""WITH e AS ($lineEnrichSql),
+         |x AS (SELECT doc_id, string_split(etext, chr(10)) AS lines, etext FROM e)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> $dKeep)) AS BIGINT) AS n_kept,
+         |  CAST(len(list_filter(lines, l -> $dIsJs)) AS BIGINT) AS n_drop_js,
+         |  CAST(len(list_filter(lines, l -> NOT $dIsJs AND NOT $dIsPunct)) AS BIGINT) AS n_drop_punct,
+         |  CAST(len(list_filter(lines, l -> NOT $dIsJs AND $dIsPunct AND NOT ($dIsWords))) AS BIGINT) AS n_drop_words,
+         |  contains(etext, 'lorem ipsum') AS page_lorem,
+         |  contains(etext, '{') AS page_brace,
+         |  (len(list_filter(lines, l -> $dKeep)) >= $LMinKept
+         |    AND NOT contains(etext, 'lorem ipsum') AND NOT contains(etext, '{')) AS page_keep,
+         |  array_to_string(list_filter(lines, l -> $dKeep), chr(10)) AS clean_text
+         |FROM x ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q91_boilerplate_lines" ->
+      s"""WITH e AS ($lineEnrichSql),
+         |x AS (SELECT doc_id, string_split(etext, chr(10)) AS lines FROM e),
+         |u AS (SELECT doc_id, unnest(lines) AS line FROM x),
+         |c AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS nd FROM u GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n FROM e),
+         |b AS (SELECT COALESCE(list(h), []) AS bl FROM c, tot WHERE c.nd * $BoilerDen > tot.n)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(lines, l -> list_contains(b.bl, md5(l)))) AS BIGINT) AS n_boiler,
+         |  array_to_string(list_filter(lines, l -> NOT list_contains(b.bl, md5(l))), chr(10)) AS clean_text
+         |FROM x, b ORDER BY doc_id NULLS FIRST""".stripMargin,
+  )
+}

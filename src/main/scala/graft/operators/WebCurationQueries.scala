@@ -420,6 +420,86 @@ object WebCurationQueries {
         (col("norm_n") > col("raw_n")).as("recovered"))
   }
 
+  // ---- Q92: URL canonicalization + canonical-family census ----
+
+  // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then
+  // alphanum/+/-/.), shared by both engines
+  private val SchemeHostRe = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)"
+
+  /** Canonicalize a URL column the way a crawl-frontier dedup does
+    * (RFC 3986 §6 syntax-based normalization plus the usual tracking-param
+    * strip): drop the fragment, case-fold scheme+host only (paths stay
+    * case-sensitive; `translate` over ASCII, not `lower()` — the q89
+    * cross-engine discipline), strip default ports (:443/:80), drop utm_*
+    * query params, and sort the survivors for order-independence. Pure
+    * string expressions end to end — codegen'd, shuffle-free. */
+  def canonicalizeUrl(u: Column): Column = {
+    val nofrag = regexp_replace(u, "#.*$", "")
+    val base = split_part(nofrag, lit("?"), lit(1))
+    val qs = split_part(nofrag, lit("?"), lit(2))
+    val sh = regexp_extract(base, SchemeHostRe, 1)
+    val path = base.substr(length(sh) + lit(1), length(base))
+    val shl = translate(sh, Upper, Lower)
+    val shNoPort = when(shl.endsWith(":443"), shl.substr(lit(1), length(shl) - lit(4)))
+      .when(shl.endsWith(":80"), shl.substr(lit(1), length(shl) - lit(3)))
+      .otherwise(shl)
+    val params = array_join(
+      array_sort(filter(split(qs, "&"), p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(shNoPort, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
+  /** Messy-URL enrichment for q92: one URL per doc whose raw form varies
+    * by doc_id stratum (upper-cased scheme/host, explicit :443, two query-
+    * param orders, a utm_source tracker, a fragment) while its canonical
+    * form depends only on (doc_id % 7, doc_id % 50) — so canonicalization
+    * must reunite each family across all surface variants. */
+  private[operators] def rawUrl: Column =
+    concat(
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://S"), sid(col("doc_id") % 7), lit(".EXAMPLE.ORG")))
+        .otherwise(concat(lit("https://s"), sid(col("doc_id") % 7), lit(".example.org"))),
+      when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), sid(col("doc_id") % 50),
+      when(col("doc_id") % 2 === 0, lit("?b=2&a=1")).otherwise(lit("?a=1&b=2")),
+      when(col("doc_id") % 5 === 0, lit("&utm_source=feed")).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, concat(lit("#sec"), sid(col("doc_id") % 50)))
+        .otherwise(lit("")))
+
+  private def urlRawEnrichSql: String =
+    """SELECT doc_id, concat(
+      |  CASE WHEN doc_id % 4 = 0 THEN concat('HTTPS://S', CAST(doc_id % 7 AS VARCHAR), '.EXAMPLE.ORG') ELSE concat('https://s', CAST(doc_id % 7 AS VARCHAR), '.example.org') END,
+      |  CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END,
+      |  '/p/', CAST(doc_id % 50 AS VARCHAR),
+      |  CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END,
+      |  CASE WHEN doc_id % 5 = 0 THEN '&utm_source=feed' ELSE '' END,
+      |  CASE WHEN doc_id % 6 = 0 THEN concat('#sec', CAST(doc_id % 50 AS VARCHAR)) ELSE '' END
+      |  ) AS url_raw FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  /** Q92 — URL canonicalization + family census: canonicalize every raw
+    * URL, then group by canonical form to report how many surface variants
+    * and documents each canonical URL spans and which doc is the family
+    * keeper (min doc_id) — the crawl-frontier "have we fetched this
+    * already" operator. Plan: one codegen'd canonicalization projection,
+    * one census groupBy on the canonical string (uniform keys, map-side
+    * partials), one equi-rejoin — the q89 census discipline applied to
+    * URLs. */
+  def q92UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), rawUrl.as("url_raw"))
+      .withColumn("url_canon", canonicalizeUrl(col("url_raw")))
+    val fam = c.groupBy(col("url_canon"))
+      .agg(
+        countDistinct(col("url_raw")).as("n_variants"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keeper"))
+    c.join(fam, "url_canon")
+      .select(col("doc_id"), col("url_raw"), col("url_canon"),
+        col("n_variants"), col("n_docs"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // ---- catalog wiring ----
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -429,6 +509,7 @@ object WebCurationQueries {
     "q87_quality_rules" -> (q87QualityRules _),
     "q88_web_curation" -> (q88WebCuration _),
     "q89_normalized_dedup" -> (q89NormalizedDedup _),
+    "q92_url_canonical" -> (q92UrlCanonical _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -530,5 +611,18 @@ object WebCurationQueries {
          |  (n.norm_n > r.raw_n) AS recovered
          |FROM h JOIN r USING (raw_h) JOIN n USING (norm_h)
          |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q92_url_canonical" ->
+      s"""WITH e AS ($urlRawEnrichSql),
+         |s1 AS (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$$', '') AS nofrag FROM e),
+         |s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base, split_part(nofrag, '?', 2) AS qs FROM s1),
+         |s3 AS (SELECT *, regexp_extract(base, '$SchemeHostRe', 1) AS sh FROM s2),
+         |s4 AS (SELECT *, translate(sh, '$Upper', '$Lower') AS shl, substring(base, length(sh)+1) AS path FROM s3),
+         |s5 AS (SELECT *, CASE WHEN shl LIKE '%:443' THEN substring(shl, 1, length(shl)-4)
+         |                      WHEN shl LIKE '%:80' THEN substring(shl, 1, length(shl)-3) ELSE shl END AS shnp,
+         |  array_to_string(list_sort(list_filter(string_split(qs, '&'), p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS params FROM s4),
+         |c AS (SELECT doc_id, url_raw, concat(shnp, path, CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS url_canon FROM s5),
+         |g AS (SELECT url_canon, COUNT(DISTINCT url_raw) AS n_variants, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM c GROUP BY 1)
+         |SELECT c.doc_id, c.url_raw, c.url_canon, g.n_variants, g.n_docs, (c.doc_id = g.keeper) AS is_keeper
+         |FROM c JOIN g USING (url_canon) ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

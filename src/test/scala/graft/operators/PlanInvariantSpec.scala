@@ -24,7 +24,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     "q75_curation_v2",
     // q83: BOTH its BNLJs are 1-row broadcasts (q53's corpus count on the
     // lexical leg; the single query vector on the embedding leg)
-    "q83_hybrid_search")
+    "q83_hybrid_search",
+    // q91: BOTH its BNLJs are 1-row broadcasts (the doc-count scalar and
+    // the pigeonhole-bounded boilerplate-hash array)
+    "q91_boilerplate_lines")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
