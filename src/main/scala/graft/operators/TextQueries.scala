@@ -499,6 +499,49 @@ object TextQueries {
       .withColumn("rarity_milli", expr("rarity_sum DIV n_tokens"))
   }
 
+  // ---- Q94: unigram-LM perplexity scoring (the CCNet quality split) ----
+
+  /** Q94 — language-model quality scoring in the CCNet style (Wenzek et
+    * al. 2020): train a unigram LM on the corpus itself (token census +
+    * corpus total), score every document by its per-token cross-entropy
+    *   H = ln(N) − (Σ_t ln count(t)) / n_tokens   (nats/token)
+    * and split the corpus into head/middle/tail terciles of H — CCNet's
+    * signature move, where "reads like common text" (low H) gates what
+    * enters training. Determinism across engines: the per-doc Σ is a
+    * SEQUENTIAL left fold over the document's own token order (Spark
+    * `aggregate`, DuckDB `list_reduce` — same addition order, and the
+    * 0.0+x seed is exact in IEEE), the model travels as a one-row
+    * broadcast map, and H is rounded to 6 decimals before the tercile
+    * sort with doc_id as tiebreak. Plan: census groupBy (vocab-sized,
+    * map-side partials) → broadcast map → codegen'd scoring projection;
+    * the tercile ntile is a one-pass global sort over 16-byte rows —
+    * same cost class as every entry's deterministic output sort; at
+    * 100 TB swap it for approx-percentile cutpoints from a sample, which
+    * is CCNet's own practice. */
+  def q94Perplexity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val counts = toks.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val model = counts.agg(
+      map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("mp"),
+      sum(col("cnt")).as("n_corpus"))
+    toks.crossJoin(broadcast(model))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(
+          log(col("n_corpus")) -
+            expr("aggregate(toks, 0.0D, (a, tk) -> a + ln(CAST(element_at(mp, tk) AS DOUBLE)))")
+              / size(col("toks")),
+          6).as("h_nats"))
+      .withColumn("bucket",
+        ntile(3).over(Window.orderBy(col("h_nats").asc, col("doc_id").asc)).cast("int"))
+      .orderBy(col("doc_id").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -513,9 +556,24 @@ object TextQueries {
     "q68_bpe_pairs" -> (q68BpePairs _),
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
+    "q94_perplexity" -> (q94Perplexity _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q94_perplexity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |t2 AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+        |u AS (SELECT unnest(toks) AS token FROM t2),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM u GROUP BY token),
+        |m AS (SELECT MAP(list(token ORDER BY token), list(cnt ORDER BY token)) AS mp,
+        |             SUM(cnt) AS n_corpus FROM c),
+        |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(ln(m.n_corpus) - list_reduce(list_transform(toks, tk -> ln(CAST(map_extract(m.mp, tk)[1] AS DOUBLE))), (a, b) -> a + b) / len(toks), 6) AS h_nats
+        |  FROM t2, m)
+        |SELECT doc_id, n_tokens, h_nats,
+        |  CAST(ntile(3) OVER (ORDER BY h_nats, doc_id) AS INT) AS bucket
+        |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q72_rarity" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
          |  FROM documents WHERE text IS NOT NULL),

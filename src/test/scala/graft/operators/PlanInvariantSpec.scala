@@ -27,7 +27,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     "q83_hybrid_search",
     // q91: BOTH its BNLJs are 1-row broadcasts (the doc-count scalar and
     // the pigeonhole-bounded boilerplate-hash array)
-    "q91_boilerplate_lines")
+    "q91_boilerplate_lines",
+    // q94: the BNLJ is the 1-row broadcast of the unigram model map
+    "q94_perplexity")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
