@@ -75,14 +75,30 @@ object LineCurationQueries {
 
   // ---- Q90: C4-style line quality filter ----
 
-  // per-line rule fragments for Spark SQL lambdas ('l' is the line).
-  // Drop-reason classification is priority-ordered (js > punctuation >
-  // word count) so each dropped line is counted exactly once.
-  private val sIsJs    = "contains(l, 'javascript')"
-  private val sIsPunct = s"l rlike '$PunctRe'"
-  private val sIsWords = s"size(split(l, ' ')) >= $LMinWords"
-  private val sKeep    = s"NOT $sIsJs AND $sIsPunct AND $sIsWords"
-  // DuckDB twins (same rules, list_* spellings)
+  /** The per-line keep rule (C4 §2.2): no javascript mention, terminal
+    * punctuation, >= [[LMinWords]] words. Shared by q90, [[cleanLines]],
+    * and [[pageKeepCol]] so the batch operator and the production/stream
+    * forms cannot drift apart. */
+  private[operators] def lineKeep(l: Column): Column =
+    !l.contains("javascript") && l.rlike(PunctRe) && size(split(l, " ")) >= LMinWords
+
+  /** Production form: strip rule-failing lines from a raw text column,
+    * preserving line order (null in -> null out). Pure projection —
+    * streaming-safe, the line-level twin of
+    * [[WebCurationQueries.scrubText]]. */
+  def cleanLines(c: Column): Column =
+    array_join(filter(split(c, "\n"), l => lineKeep(l)), "\n")
+
+  /** Production page gate over a raw text column: >= [[LMinKept]] kept
+    * lines and neither page-level flag (lorem ipsum / brace). Null in ->
+    * null out (callers decide the null policy). */
+  def pageKeepCol(c: Column): Column =
+    size(filter(split(c, "\n"), l => lineKeep(l))) >= LMinKept &&
+      !c.contains("lorem ipsum") && !c.contains("{")
+
+  // DuckDB rule fragments ('l' is the line); drop-reason classification
+  // is priority-ordered (js > punctuation > word count) so each dropped
+  // line is counted exactly once.
   private val dIsJs    = "contains(l, 'javascript')"
   private val dIsPunct = s"regexp_matches(l, '$PunctRe')"
   private val dIsWords = s"len(string_split(l, ' ')) >= $LMinWords"
@@ -98,25 +114,27 @@ object LineCurationQueries {
   def q90LineQuality(spark: SparkSession, dir: String): DataFrame =
     lineQuality(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
-  private[graft] def lineQuality(docs: DataFrame): DataFrame =
+  private[graft] def lineQuality(docs: DataFrame): DataFrame = {
+    val lines = col("lines")
+    def cnt(p: Column => Column) = size(filter(lines, p)).cast("long")
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), lineText.as("etext"))
       .withColumn("lines", split(col("etext"), "\n"))
       .select(
         col("doc_id"),
-        size(col("lines")).cast("long").as("n_lines"),
-        expr(s"size(filter(lines, l -> $sKeep))").cast("long").as("n_kept"),
-        expr(s"size(filter(lines, l -> $sIsJs))").cast("long").as("n_drop_js"),
-        expr(s"size(filter(lines, l -> NOT $sIsJs AND NOT $sIsPunct))")
-          .cast("long").as("n_drop_punct"),
-        expr(s"size(filter(lines, l -> NOT $sIsJs AND $sIsPunct AND NOT ($sIsWords)))")
-          .cast("long").as("n_drop_words"),
+        size(lines).cast("long").as("n_lines"),
+        cnt(l => lineKeep(l)).as("n_kept"),
+        cnt(l => l.contains("javascript")).as("n_drop_js"),
+        cnt(l => !l.contains("javascript") && !l.rlike(PunctRe)).as("n_drop_punct"),
+        cnt(l => !l.contains("javascript") && l.rlike(PunctRe) &&
+          size(split(l, " ")) < LMinWords).as("n_drop_words"),
         col("etext").contains("lorem ipsum").as("page_lorem"),
         col("etext").contains("{").as("page_brace"),
-        (expr(s"size(filter(lines, l -> $sKeep))") >= LMinKept &&
+        (size(filter(lines, l => lineKeep(l))) >= LMinKept &&
           !col("etext").contains("lorem ipsum") && !col("etext").contains("{"))
           .as("page_keep"),
-        expr(s"array_join(filter(lines, l -> $sKeep), chr(10))").as("clean_text"))
+        array_join(filter(lines, l => lineKeep(l)), "\n").as("clean_text"))
+  }
 
   // ---- Q91: cross-document repeated-line (boilerplate) removal ----
 

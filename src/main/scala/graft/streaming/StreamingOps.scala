@@ -116,6 +116,20 @@ object StreamingOps {
   def scrubArrivals(docsStream: DataFrame): DataFrame =
     graft.operators.WebCurationQueries.piiScrub(docsStream)
 
+  /** Stateless C4 line cleaning at ingest (q90's rules as a stream
+    * projection): drop pages failing the page gate, strip rule-failing
+    * lines from the survivors — before anything reaches an index, shard,
+    * or log. Runs AFTER [[scrubArrivals]] in a production chain: each PII
+    * token redacts to exactly one placeholder, so line word counts and
+    * terminal punctuation are stable through the scrub (the q88
+    * stage-independence argument). Null-text docs pass through untouched,
+    * like the scrub. No state, no watermark, no shuffle. */
+  def cleanArrivals(docsStream: DataFrame): DataFrame =
+    docsStream
+      .filter(coalesce(
+        graft.operators.LineCurationQueries.pageKeepCol(col("text")), lit(true)))
+      .withColumn("text", graft.operators.LineCurationQueries.cleanLines(col("text")))
+
   /** Stream-static near-dup INGEST probe: a stream of arriving documents is
     * shingled/signed/banded per micro-batch (the streaming-safe
     * [[graft.operators.DedupQueries.bandDocs]] transform) and equi-joined

@@ -4,6 +4,7 @@ import graft.SparkTestSession
 import graft.streaming.StreamingOps.Ev
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -244,6 +245,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(scrubbed(2L).get == "server [IP] and ssn [SSN] leaked")
     assert(scrubbed(3L).get == "nothing sensitive in this arrival")
     assert(scrubbed(4L).isEmpty)
+  }
+
+  test("ingest line cleaning: streaming replay equals batch, page gate drops, nulls pass") {
+    import spark.implicits._
+    // a page with 2 kept lines (fox + extra) survives with noise stripped;
+    // a 1-kept-line page is dropped by the gate; a lorem page is dropped;
+    // a null-text doc passes through untouched
+    val keepPage = "the quick brown fox jumps over the lazy dog.\nok fine.\na second fine sentence appears right here."
+    val onePage  = "just one good line right here today.\nno punct line"
+    val loremPage = "a perfectly fine first sentence here.\nanother fine sentence follows right here.\nlorem ipsum dolor sit amet."
+    val docs = Seq(
+      StreamingSpec.Doc(1L, keepPage),
+      StreamingSpec.Doc(2L, onePage),
+      StreamingSpec.Doc(3L, loremPage),
+      StreamingSpec.Doc(4L, null))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val batch = shape(docs.toDF()
+      .filter(coalesce(graft.operators.LineCurationQueries.pageKeepCol(col("text")), lit(true)))
+      .withColumn("text", graft.operators.LineCurationQueries.cleanLines(col("text"))))
+
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val (q, name) = runToMemory(StreamingOps.cleanArrivals(stream.toDF()))
+    stream.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = shape(spark.table(name))
+    assert(streamed == batch)
+    val byId = streamed.toMap
+    assert(byId.keySet == Set(1L, 4L), "gate drops the 1-kept and lorem pages")
+    assert(byId(1L).get ==
+      "the quick brown fox jumps over the lazy dog.\na second fine sentence appears right here.")
+    assert(byId(4L).isEmpty)
   }
 
   test("checkpoint recovery: a restarted query resumes from committed offsets") {
