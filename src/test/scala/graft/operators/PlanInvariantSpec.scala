@@ -29,7 +29,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // the pigeonhole-bounded boilerplate-hash array)
     "q91_boilerplate_lines",
     // q94: the BNLJ is the 1-row broadcast of the unigram model map
-    "q94_perplexity")
+    "q94_perplexity",
+    // q95: the BNLJs are 1-row broadcasts of the node-count scalar
+    "q95_pagerank")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
