@@ -287,6 +287,49 @@ object AnalyticsQueries {
       .orderBy(col("view_id").asc, col("purchase_id").asc_nulls_first)
   }
 
+  // ---- Q96: deterministic weighted priority sampling ----
+
+  /** Sample size for q96. */
+  private[operators] val SampleK = 100
+
+  /** A hash-derived uniform in [0, 2^32): fold the first 8 hex digits of
+    * md5 into an integer. The SQL TEXT is identical for Spark and DuckDB
+    * (instr/substring/CAST only, BIGINT-cast place values so no INT
+    * overflow under ANSI), so both engines derive the same u for every
+    * row by construction. */
+  private[operators] def uFoldSql(h: String): String =
+    (0 until 8).map { i =>
+      s"(instr('0123456789abcdef', substring($h, ${i + 1}, 1)) - 1) * CAST(${1L << (4 * (7 - i))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Q96 — weighted priority sampling (Duffield/Lund/Thorup): each doc
+    * draws u from the hash-derived uniform and gets priority w/u (here
+    * w = n_chars); the SampleK highest priorities form a weighted sample
+    * whose inclusion probability is proportional to weight — the
+    * one-pass, mergeable way to draw a weighted subset of a 100 TB
+    * corpus (top-K of priorities distributes as TakeOrdered partial
+    * top-Ks per partition; no global shuffle, no per-row state). Fully
+    * deterministic: u is md5-derived integer arithmetic and the priority
+    * is one exact double multiply + one correctly-rounded divide, so
+    * both engines produce bit-identical doubles. */
+  def q96PrioritySample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = uFoldSql("md5(CAST(doc_id AS STRING))")
+    val p = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("weight"),
+        expr(s"CAST($u AS BIGINT)").as("u_int"))
+      .withColumn("priority",
+        col("weight").cast("double") * lit(4294967296.0) / (col("u_int") + lit(1L)))
+    // distributed top-K (TakeOrdered), THEN rank the K survivors
+    p.orderBy(col("priority").desc, col("doc_id").asc).limit(SampleK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("priority").desc, col("doc_id").asc)).cast("int"))
+      .orderBy(col("rank").asc)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q48_cube" -> (q48Cube _),
     "q49_pivot" -> (q49Pivot _),
@@ -298,9 +341,19 @@ object AnalyticsQueries {
     "q64_view_purchase_batch" -> (q64ViewPurchaseBatch _),
     "q70_temperature_sample" -> (q70TemperatureSample _),
     "q73_shard_stats" -> (q73ShardStats _),
+    "q96_priority_sample" -> (q96PrioritySample _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q96_priority_sample" ->
+      s"""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |  CAST(${uFoldSql("md5(CAST(doc_id AS STRING))")} AS BIGINT) AS u_int
+         |  FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+         |p AS (SELECT doc_id, weight, u_int,
+         |  CAST(weight AS DOUBLE) * 4294967296.0 / (u_int + 1) AS priority FROM w),
+         |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rank FROM p)
+         |SELECT doc_id, weight, u_int, priority, CAST(rank AS INT) AS rank FROM r
+         |WHERE rank <= $SampleK ORDER BY rank""".stripMargin,
     "q73_shard_stats" ->
       s"""WITH d AS (SELECT
         |    CAST($shardOracleExpr AS BIGINT) AS shard,

@@ -542,6 +542,45 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---- Q97: adjacent-pair PMI (collocation mining) ----
+
+  private[operators] val PmiMinCount = 5
+  private[operators] val PmiTopK    = 200
+
+  /** Q97 — pointwise mutual information over adjacent token pairs
+    * (Church & Hanks 1990): PMI(a,b) = ln(N·c(a,b) / (c(a·)·c(·b))) with
+    * the margins taken over the PAIR distribution, the word2vec-era
+    * collocation statistic that still drives phrase detection in corpus
+    * prep. All counts are exact integers from one pair census (the q68
+    * shuffle shape — THE heavy aggregation; margins and the total derive
+    * from the census, orders of magnitude smaller); the only float math
+    * is one exact double multiply per side of a correctly-rounded divide
+    * and one ln, rounded to 6 — no float accumulation anywhere, so both
+    * engines agree bit-for-bit. Products stay < 2^53 (pair counts ×
+    * corpus totals ~1e13 at 10x). Low-support pairs (< [[PmiMinCount]])
+    * are dropped before ranking, the standard PMI-vs-noise guard. */
+  def q97PmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cp = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ca = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+    val cb = cp.groupBy(col("b")).agg(sum(col("c_ab")).as("c_b"))
+    val n = cp.agg(sum(col("c_ab")).as("nn"))
+    cp.join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
+      .filter(col("c_ab") >= PmiMinCount)
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("nn") /
+          (col("c_a").cast("double") * col("c_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(PmiTopK)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q29_text_stats" -> (q29TextStats _),
     "q30_lang_stats" -> (q30LangStats _),
@@ -557,9 +596,25 @@ object TextQueries {
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
+    "q97_pmi_pairs" -> (q97PmiPairs _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q97_pmi_pairs" ->
+      s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |t2 AS (SELECT toks FROM t WHERE len(toks) >= 2),
+         |pr AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'a': toks[i], 'b': toks[i+1]})) AS p FROM t2),
+         |pairs AS (SELECT p.a AS a, p.b AS b FROM pr),
+         |cp AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY a, b),
+         |ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cp GROUP BY a),
+         |cb AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cp GROUP BY b),
+         |n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nn FROM cp)
+         |SELECT cp.a AS a, cp.b AS b, cp.c_ab AS c_ab,
+         |  round(ln(CAST(cp.c_ab AS DOUBLE) * nn / (CAST(ca.c_a AS DOUBLE) * cb.c_b)), 6) AS pmi
+         |FROM cp JOIN ca ON cp.a = ca.a JOIN cb ON cp.b = cb.b CROSS JOIN n
+         |WHERE cp.c_ab >= $PmiMinCount
+         |ORDER BY pmi DESC, a, b LIMIT $PmiTopK""".stripMargin,
     "q94_perplexity" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents WHERE text IS NOT NULL),

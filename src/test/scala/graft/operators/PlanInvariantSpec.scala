@@ -31,7 +31,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q94: the BNLJ is the 1-row broadcast of the unigram model map
     "q94_perplexity",
     // q95: the BNLJs are 1-row broadcasts of the node-count scalar
-    "q95_pagerank")
+    "q95_pagerank",
+    // q97: the BNLJ is the 1-row broadcast of the pair-total scalar
+    "q97_pmi_pairs")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
