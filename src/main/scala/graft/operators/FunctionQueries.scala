@@ -261,9 +261,14 @@ object FunctionQueries {
   /** Misra–Gries capacity for q93: with vocab <= k the sketch is exact;
     * in general it guarantees a superset of tokens with count > N/(k+1).
     * [[HHDen]] sets the reporting threshold (count * HHDen > N, i.e.
-    * frequency > 1/HHDen); completeness needs k + 1 >= HHDen. */
-  private[operators] val HHCap = 64
+    * frequency > 1/HHDen); completeness REQUIRES k + 1 >= HHDen — the
+    * require below keeps the pair honest (review r8: a 64-capacity
+    * sketch against a 1/100 threshold could evict a token the exact
+    * oracle reports on an adversarial distribution). */
+  private[operators] val HHCap = 128
   private[operators] val HHDen = 100
+  require(HHCap + 1 >= HHDen,
+    s"q93 completeness needs HHCap+1 >= HHDen ($HHCap+1 < $HHDen)")
 
   /** Q93 — per-language heavy-hitter tokens via the two-pass
     * sketch-then-verify pattern (the only affordable shape at 100 TB:
@@ -283,10 +288,17 @@ object FunctionQueries {
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val candidates = tokens.groupBy(col("lang"))
-      .agg(mg(col("token")).as("sketch"))
+    // one scan/shuffle carries BOTH the sketch and the per-language total
+    // (identical grouping keys — review r8: a separate totals groupBy paid
+    // a full extra corpus tokenization for a per-language scalar)
+    // localCheckpoint pins the |langs|-row result so the two consumers
+    // below cannot re-run the corpus scan
+    val sketches = tokens.groupBy(col("lang"))
+      .agg(mg(col("token")).as("sketch"), count(lit(1)).as("n_total"))
+      .localCheckpoint()
+    val candidates = sketches
       .select(col("lang"), explode(map_keys(col("sketch"))).as("token"))
-    val totals = tokens.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val totals = sketches.select(col("lang"), col("n_total"))
     tokens.join(broadcast(candidates), Seq("lang", "token"))
       .groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))

@@ -96,6 +96,24 @@ object LineCurationQueries {
     size(filter(split(c, "\n"), l => lineKeep(l))) >= LMinKept &&
       !c.contains("lorem ipsum") && !c.contains("{")
 
+  /** The composed production form over a document frame's `text` column:
+    * drop pages failing the gate, rewrite survivors to their kept lines.
+    * Splits and filters each text ONCE (review r8: calling [[pageKeepCol]]
+    * and [[cleanLines]] separately re-runs the split + per-line rules —
+    * Catalyst does not CSE higher-order lambdas). Null-text rows pass
+    * through untouched. Pure projection + filter — batch and streaming
+    * safe. */
+  def cleanPages(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__kept", filter(split(col("text"), "\n"), l => lineKeep(l)))
+      .filter(col("text").isNull ||
+        (size(col("__kept")) >= LMinKept &&
+          !col("text").contains("lorem ipsum") && !col("text").contains("{")))
+      .withColumn("text",
+        when(col("text").isNull, col("text"))
+          .otherwise(array_join(col("__kept"), "\n")))
+      .drop("__kept")
+
   // DuckDB rule fragments ('l' is the line); drop-reason classification
   // is priority-ordered (js > punctuation > word count) so each dropped
   // line is counted exactly once.
@@ -117,23 +135,28 @@ object LineCurationQueries {
   private[graft] def lineQuality(docs: DataFrame): DataFrame = {
     val lines = col("lines")
     def cnt(p: Column => Column) = size(filter(lines, p)).cast("long")
+    // the keep-filter is materialized ONCE per row ("kept") — Catalyst
+    // does not CSE higher-order lambdas, so repeating filter(lines,
+    // lineKeep) in n_kept/page_keep/clean_text would run the regex +
+    // word split three times over every line (review r8)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), lineText.as("etext"))
       .withColumn("lines", split(col("etext"), "\n"))
+      .withColumn("kept", filter(lines, l => lineKeep(l)))
       .select(
         col("doc_id"),
         size(lines).cast("long").as("n_lines"),
-        cnt(l => lineKeep(l)).as("n_kept"),
+        size(col("kept")).cast("long").as("n_kept"),
         cnt(l => l.contains("javascript")).as("n_drop_js"),
         cnt(l => !l.contains("javascript") && !l.rlike(PunctRe)).as("n_drop_punct"),
         cnt(l => !l.contains("javascript") && l.rlike(PunctRe) &&
           size(split(l, " ")) < LMinWords).as("n_drop_words"),
         col("etext").contains("lorem ipsum").as("page_lorem"),
         col("etext").contains("{").as("page_brace"),
-        (size(filter(lines, l => lineKeep(l))) >= LMinKept &&
+        (size(col("kept")) >= LMinKept &&
           !col("etext").contains("lorem ipsum") && !col("etext").contains("{"))
           .as("page_keep"),
-        array_join(filter(lines, l => lineKeep(l)), "\n").as("clean_text"))
+        array_join(col("kept"), "\n").as("clean_text"))
   }
 
   // ---- Q91: cross-document repeated-line (boilerplate) removal ----

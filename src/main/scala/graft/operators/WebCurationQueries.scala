@@ -440,8 +440,13 @@ object WebCurationQueries {
     val sh = regexp_extract(base, SchemeHostRe, 1)
     val path = base.substr(length(sh) + lit(1), length(base))
     val shl = translate(sh, Upper, Lower)
-    val shNoPort = when(shl.endsWith(":443"), shl.substr(lit(1), length(shl) - lit(4)))
-      .when(shl.endsWith(":80"), shl.substr(lit(1), length(shl) - lit(3)))
+    // default-port strip is SCHEME-RELATIVE (RFC 3986 §6.2.3): only
+    // https:443 and http:80 are defaults; http-on-443 names a different
+    // resource and must keep its port (review r8)
+    val shNoPort = when(shl.startsWith("https://") && shl.endsWith(":443"),
+        shl.substr(lit(1), length(shl) - lit(4)))
+      .when(shl.startsWith("http://") && shl.endsWith(":80"),
+        shl.substr(lit(1), length(shl) - lit(3)))
       .otherwise(shl)
     val params = array_join(
       array_sort(filter(split(qs, "&"), p => p =!= "" && !p.startsWith("utm_"))), "&")
@@ -617,8 +622,8 @@ object WebCurationQueries {
          |s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base, split_part(nofrag, '?', 2) AS qs FROM s1),
          |s3 AS (SELECT *, regexp_extract(base, '$SchemeHostRe', 1) AS sh FROM s2),
          |s4 AS (SELECT *, translate(sh, '$Upper', '$Lower') AS shl, substring(base, length(sh)+1) AS path FROM s3),
-         |s5 AS (SELECT *, CASE WHEN shl LIKE '%:443' THEN substring(shl, 1, length(shl)-4)
-         |                      WHEN shl LIKE '%:80' THEN substring(shl, 1, length(shl)-3) ELSE shl END AS shnp,
+         |s5 AS (SELECT *, CASE WHEN shl LIKE 'https://%' AND shl LIKE '%:443' THEN substring(shl, 1, length(shl)-4)
+         |                      WHEN shl LIKE 'http://%' AND shl LIKE '%:80' THEN substring(shl, 1, length(shl)-3) ELSE shl END AS shnp,
          |  array_to_string(list_sort(list_filter(string_split(qs, '&'), p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS params FROM s4),
          |c AS (SELECT doc_id, url_raw, concat(shnp, path, CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS url_canon FROM s5),
          |g AS (SELECT url_canon, COUNT(DISTINCT url_raw) AS n_variants, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM c GROUP BY 1)

@@ -125,10 +125,7 @@ object StreamingOps {
     * stage-independence argument). Null-text docs pass through untouched,
     * like the scrub. No state, no watermark, no shuffle. */
   def cleanArrivals(docsStream: DataFrame): DataFrame =
-    docsStream
-      .filter(coalesce(
-        graft.operators.LineCurationQueries.pageKeepCol(col("text")), lit(true)))
-      .withColumn("text", graft.operators.LineCurationQueries.cleanLines(col("text")))
+    graft.operators.LineCurationQueries.cleanPages(docsStream)
 
   /** Stream-static near-dup INGEST probe: a stream of arriving documents is
     * shingled/signed/banded per micro-batch (the streaming-safe

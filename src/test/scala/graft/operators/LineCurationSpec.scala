@@ -94,10 +94,14 @@ class LineCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(canon("HTTPS://Host.COM/Path/File?x=1#frag") === "https://host.com/Path/File?x=1")
   }
 
-  test("q92 canonicalizer: strips default ports only") {
+  test("q92 canonicalizer: strips default ports only, scheme-relative") {
     assert(canon("https://h.com:443/x") === "https://h.com/x")
     assert(canon("http://h.com:80/x") === "http://h.com/x")
     assert(canon("https://h.com:8443/x") === "https://h.com:8443/x")
+    // RFC 3986 §6.2.3: a NON-default port is part of the identity even
+    // when it is the other scheme's default
+    assert(canon("http://h.com:443/x") === "http://h.com:443/x")
+    assert(canon("https://h.com:80/x") === "https://h.com:80/x")
   }
 
   test("q92 canonicalizer: sorts params, strips utm_*, drops empty query") {
