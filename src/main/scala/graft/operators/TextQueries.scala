@@ -507,38 +507,74 @@ object TextQueries {
     *   H = ln(N) − (Σ_t ln count(t)) / n_tokens   (nats/token)
     * and split the corpus into head/middle/tail terciles of H — CCNet's
     * signature move, where "reads like common text" (low H) gates what
-    * enters training. Determinism across engines: the per-doc Σ is a
-    * SEQUENTIAL left fold over the document's own token order (Spark
-    * `aggregate`, DuckDB `list_reduce` — same addition order, and the
-    * 0.0+x seed is exact in IEEE), the model travels as a one-row
-    * broadcast map, and H is rounded to 6 decimals before the tercile
-    * sort with doc_id as tiebreak. Plan: census groupBy (vocab-sized,
-    * map-side partials) → broadcast map → codegen'd scoring projection;
-    * the tercile ntile is a one-pass global sort over 16-byte rows —
-    * same cost class as every entry's deterministic output sort; at
-    * 100 TB swap it for approx-percentile cutpoints from a sample, which
-    * is CCNet's own practice. */
+    * enters training.
+    *
+    * Scale shape (rewritten per VERDICT r8 #2 — the r7/r8 form broadcast
+    * the ENTIRE vocabulary as a one-row map, contradicting q72's own
+    * ruling that the corpus vocab is un-broadcastable, and ranked with a
+    * global ntile window):
+    *   1. explode to (doc_id, pos, token); census groupBy(token) —
+    *      vocab-sized, map-side partials (the q72 shape);
+    *   2. equi-join tokens⋈census on token — the standard co-partitioned
+    *      big-big join; the Zipf-hot head splits under AQE skew-join. The
+    *      only broadcast is the 1-row corpus total;
+    *   3. per-doc fold: collect_list(struct(pos, ln cnt)) — per-group
+    *      state bounded by DOC LENGTH, not vocab — sorted by pos, then a
+    *      SEQUENTIAL left fold in the document's own token order (Spark
+    *      `aggregate`, DuckDB `list_reduce` — same addition order, 0.0+x
+    *      seed exact in IEEE), so H is bit-identical to the r8 formula;
+    *   4. terciles by EXACT global rank without a single-task window:
+    *      range-partition + sort on (h_nats, doc_id) (strict total
+    *      order), per-partition row_number (a PARTITIONED window), plus a
+    *      partition-offset join. The offsets collect is ≤
+    *      shuffle-partitions rows — config-bounded like the IVF codebook
+    *      collects. ntile(3)'s bucket sizes (first n%3 buckets get
+    *      ⌈n/3⌉) are reproduced from the total, so output is
+    *      row-identical to the window formulation (the oracle). */
   def q94Perplexity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
-    val counts = toks.select(explode(col("toks")).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val model = counts.agg(
-      map_from_entries(collect_list(struct(col("token"), col("cnt")))).as("mp"),
-      sum(col("cnt")).as("n_corpus"))
-    toks.crossJoin(broadcast(model))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
+    val tokenPos = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "token")))
+    val counts = tokenPos.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_corpus"))
+
+    val scored = tokenPos.join(counts, "token")
+      .select(col("doc_id"), col("pos"), log(col("cnt").cast("double")).as("ln_cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_sort(collect_list(struct(col("pos"), col("ln_cnt")))).as("terms"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
         round(
           log(col("n_corpus")) -
-            expr("aggregate(toks, 0.0D, (a, tk) -> a + ln(CAST(element_at(mp, tk) AS DOUBLE)))")
-              / size(col("toks")),
+            expr("aggregate(terms, 0.0D, (a, t) -> a + t.ln_cnt)") / col("n_tokens"),
           6).as("h_nats"))
-      .withColumn("bucket",
-        ntile(3).over(Window.orderBy(col("h_nats").asc, col("doc_id").asc)).cast("int"))
+
+    // exact rank via range partition + local row_number + offset join
+    val parted = Materialize.materialize(
+      scored.repartitionByRange(col("h_nats"), col("doc_id"))
+        .sortWithinPartitions(col("h_nats").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("local_rn", row_number().over(
+          Window.partitionBy(col("pid")).orderBy(col("h_nats").asc, col("doc_id").asc))))
+    val partCounts = parted.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = partCounts.map(_._2).sum
+    val offsets = partCounts.map(_._1).zip(
+      partCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val (q3, rem) = (n / 3, n % 3)
+    val b1 = q3 + (if (rem >= 1) 1L else 0L)
+    val b2 = b1 + q3 + (if (rem >= 2) 1L else 0L)
+
+    parted.join(broadcast(offsets.toDF("pid", "off")), "pid")
+      .withColumn("rank", col("off") + col("local_rn"))
+      .select(col("doc_id"), col("n_tokens"), col("h_nats"),
+        when(col("rank") <= b1, 1).when(col("rank") <= b2, 2).otherwise(3)
+          .cast("int").as("bucket"))
       .orderBy(col("doc_id").asc)
   }
 

