@@ -10,7 +10,8 @@ import java.nio.file.{Files, Paths}
   *  - full materialization through a noop sink — `count()` lets Catalyst
   *    prune top-level sorts/projections, under-measuring the declared shape;
   *  - one warmup pass over every query (JVM/codegen warmup is ~3 s and would
-  *    otherwise land on whichever query runs first), then a timed second run;
+  *    otherwise land on whichever query runs first), then three timed passes
+  *    keeping the per-query minimum;
   *  - fixed alphabetical query order, so rounds are comparable;
   *  - stdout stays clean (log4j2 → stderr, sbt OutputStrategy pass-through);
   *    the JSON is also written to target/bench.json as a durable artifact.
@@ -84,6 +85,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
 
+    // host-load metadata (VERDICT r8 #5: a bench artifact from a
+    // contended host must be recognizable AS one from the artifact
+    // alone). 1-minute loadavg before and after the whole run.
+    def loadavg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
+
     // Dev-only filter for single-query iteration (unset in driver runs).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -102,18 +112,21 @@ object Bench {
     // Warmup: run everything once (codegen, parquet footer cache, JIT).
     queries.foreach { case (name, fn) => runOne(name, fn) }
 
-    // Two timed passes, keep the per-query minimum: steady-state local-mode
-    // runs still jitter +/-1s on GC/compilation; min-of-2 is the stable
-    // honest estimator of the warmed cost (the DuckDB baseline is likewise
-    // a warmed pass).
+    // Three timed passes, keep the per-query minimum: steady-state
+    // local-mode runs still jitter +/-1s on GC/compilation, and a
+    // transient host-contention spike (the r8 evening-probe adjudication:
+    // untouched sub-second queries inflated 1.3x median on a busy host)
+    // poisons any single pass; min-of-3 per query makes one contended
+    // pass recoverable (VERDICT r8 #5). The DuckDB twin uses the same
+    // min-of-3 discipline so the ratio stays apples-to-apples.
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       runOne(name, fn)
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
+    val passes = Seq.fill(3)(timedPass())
     val results = queries.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name))
+      name -> passes.map(_(name)).min
     }
 
     val qs = results
@@ -153,8 +166,9 @@ object Bench {
           .mkString("{", ",", "}")
         f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f,"duckdb_queries":$duckJson,"ratios":$ratiosJson"""
       }
+    val loadAfter = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson${paired.getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3${paired.getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -30,6 +30,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer is a Map[String,Long] capped at k entries (~k * avg-token bytes;
   * k=64 → a few KiB), so a groupBy over billions of rows shuffles only
   * |groups| * k entries — the 100 TB shape for "top tokens per language".
+  *
+  * Allocation cost (ADVICE r8, accepted trade): `reduce` returns a fresh
+  * immutable Map per input row (`updated` is O(log k) path-copying; the
+  * rare decrement branch rebuilds all k entries, amortized O(1)/token by
+  * the k-increments-per-sweep argument). A mutable HashMap buffer would
+  * cut the per-token allocation but forces a Kryo/ObjectType encoder in
+  * place of the ExpressionEncoder, and q93's wall-clock is dominated by
+  * the upstream explode + shuffle, not this buffer — so the simpler
+  * value-semantics buffer stays until a profile says otherwise.
   */
 final class MisraGriesAggregator(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {

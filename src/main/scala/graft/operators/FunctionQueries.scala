@@ -281,7 +281,14 @@ object FunctionQueries {
     * language) and keeps those above 1/[[HHDen]]. The exact-count filter
     * makes the result deterministic even though the sketch's surplus
     * entries depend on partition/merge order — the oracle recomputes the
-    * same answer from a full exact census. */
+    * same answer from a full exact census.
+    *
+    * NULL-lang rows are EXCLUDED by contract: both inner joins below key
+    * on `lang`, so a document with lang IS NULL contributes to no
+    * language's census and no "(null)" group is reported — heavy hitters
+    * are per-LANGUAGE statistics and an unidentified language is not a
+    * reportable group (ADVICE r8; the DuckDB oracle's JOIN matches). Run
+    * lang-ID (q31) upstream if null-lang docs must be attributed. */
   def q93HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val mg = udaf(new graft.functions.MisraGriesAggregator(HHCap), Encoders.STRING)
     val tokens = Tables.documents(spark, dir)
@@ -291,11 +298,11 @@ object FunctionQueries {
     // one scan/shuffle carries BOTH the sketch and the per-language total
     // (identical grouping keys — review r8: a separate totals groupBy paid
     // a full extra corpus tokenization for a per-language scalar)
-    // localCheckpoint pins the |langs|-row result so the two consumers
-    // below cannot re-run the corpus scan
-    val sketches = tokens.groupBy(col("lang"))
-      .agg(mg(col("token")).as("sketch"), count(lit(1)).as("n_total"))
-      .localCheckpoint()
+    // Materialize pins the |langs|-row result so the two consumers
+    // below cannot re-run the corpus scan (shared helper: reliable
+    // checkpoint on a cluster when spark.graft.checkpointDir is set)
+    val sketches = Materialize.materialize(tokens.groupBy(col("lang"))
+      .agg(mg(col("token")).as("sketch"), count(lit(1)).as("n_total")))
     val candidates = sketches
       .select(col("lang"), explode(map_keys(col("sketch"))).as("token"))
     val totals = sketches.select(col("lang"), col("n_total"))

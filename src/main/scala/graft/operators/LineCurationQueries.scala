@@ -189,13 +189,21 @@ object LineCurationQueries {
     val boiler = census.crossJoin(broadcast(total))
       .filter(col("nd") * BoilerDen > col("n_total"))
       .agg(collect_list(col("h")).as("bl"))
+    // md5 is computed ONCE per line (hs), not once per consumer — the
+    // n_boiler filter and the clean_text rebuild both read the same hash
+    // array (ADVICE r8: the previous form hashed every line twice). The
+    // membership probe stays array_contains: Spark map values are
+    // array-backed (ArrayBasedMapData), so element_at(map, k) is the same
+    // linear scan — and |bl| is pigeonhole-bounded (<= BoilerDen ×
+    // avg-lines-per-doc), a small constant at any corpus scale.
     pages.crossJoin(broadcast(boiler))
+      .withColumn("hs", expr("transform(lines, l -> md5(l))"))
       .select(
         col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),
-        expr("size(filter(lines, l -> array_contains(bl, md5(l))))")
+        expr("size(filter(hs, h -> array_contains(bl, h)))")
           .cast("long").as("n_boiler"),
-        expr("array_join(filter(lines, l -> NOT array_contains(bl, md5(l))), chr(10))")
+        expr("array_join(filter(lines, (l, i) -> NOT array_contains(bl, element_at(hs, i + 1))), chr(10))")
           .as("clean_text"))
   }
 

@@ -438,7 +438,12 @@ object WebCurationQueries {
   def canonicalizeUrl(u: Column): Column = {
     val nofrag = regexp_replace(u, "#.*$", "")
     val base = split_part(nofrag, lit("?"), lit(1))
-    val qs = split_part(nofrag, lit("?"), lit(2))
+    // everything after the FIRST '?' — split_part(_, '?', 2) kept only the
+    // text between the first and second '?', silently truncating queries
+    // that legally contain '?' (RFC 3986 §3.4 allows it) and collapsing
+    // distinct URLs into one canonical family (ADVICE r8). (?s) keeps the
+    // extract total on any input handed to this public API.
+    val qs = regexp_extract(nofrag, "(?s)\\?(.*)", 1)
     val sh = regexp_extract(base, SchemeHostRe, 1)
     val path = base.substr(length(sh) + lit(1), length(base))
     val shl = translate(sh, Upper, Lower)
@@ -621,7 +626,7 @@ object WebCurationQueries {
     "q92_url_canonical" ->
       s"""WITH e AS ($urlRawEnrichSql),
          |s1 AS (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$$', '') AS nofrag FROM e),
-         |s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base, split_part(nofrag, '?', 2) AS qs FROM s1),
+         |s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base, regexp_extract(nofrag, '(?s)\\?(.*)', 1) AS qs FROM s1),
          |s3 AS (SELECT *, regexp_extract(base, '$SchemeHostRe', 1) AS sh FROM s2),
          |s4 AS (SELECT *, translate(sh, '$Upper', '$Lower') AS shl, substring(base, length(sh)+1) AS path FROM s3),
          |s5 AS (SELECT *, CASE WHEN shl LIKE 'https://%' AND shl LIKE '%:443' THEN substring(shl, 1, length(shl)-4)

@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.Sessions
+import graft.operators.{GraphQueries, Materialize, Tables, WebCurationQueries}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-scale PageRank smoke (dev tool; VERDICT r8 #4): q95's oracle
+  * graph is doc_id % 23 — 23 nodes — so before this tool the power
+  * iteration had never run at a size where its joins actually shuffle.
+  * Here the SAME [[GraphQueries.powerIteration]] code path runs over the
+  * real corpus's doc↔domain bipartite graph at the given SF:
+  *
+  *   - nodes: every doc with ≥1 URL (id 2·doc_id) and every domain
+  *     (id 2·xxhash64(domain)|1 — odd ids, disjoint from doc ids);
+  *   - edges: doc→domain for each distinct (doc, domain) pair, PLUS the
+  *     reverse domain→doc edge, so no node is a sink (q95 is the
+  *     no-dangling-redistribution variant; a one-directional bipartite
+  *     graph would drain mass through the all-sink domain side and smoke
+  *     only that drain).
+  *
+  * Reports |V|, |E|, per-iteration wall seconds (= one edges⋈ranks
+  * shuffle join + one groupBy(dst) + node rejoin each), total rank mass
+  * vs the 10^6-micro scale (conservation within truncation loss), and
+  * the top-hub share — the numbers ROUND9_NOTES records.
+  *
+  * Usage: runMain graft.tools.PageRankSmoke [sfDir] [iters]
+  */
+object PageRankSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1.0")
+    val iters = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = Sessions.build("local[32]", 32, "graft-pagerank-smoke")
+
+    val pairs = WebCurationQueries
+      .docUrls(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("domain")).distinct()
+    val fwd = pairs.select(
+      (col("doc_id") * 2).as("src"),
+      (xxhash64(col("domain")).bitwiseOR(1)).as("dst"))
+    val edges = Materialize.materialize(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+
+    val nEdges = edges.count()
+    val nNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct().count()
+
+    // per-iteration timing: run k iterations for k = 1..iters and diff —
+    // each call re-derives from the SAME materialized edges, so the
+    // increments isolate one iteration's join+agg cost
+    val cum = (1 to iters).map { k =>
+      val t0 = System.nanoTime()
+      GraphQueries.powerIteration(edges, k).select(sum(col("r"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val perIter = cum.zip(0.0 +: cum.dropRight(1)).map { case (a, b) => a - b }
+
+    val ranks = GraphQueries.powerIteration(edges, iters)
+    val Array(mass, topRank) = ranks
+      .select(sum(col("r")), max(col("r"))).collect()(0) match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+    println(
+      f"""{"metric":"pagerank_smoke","sf_dir":"$sfDir","n_nodes":$nNodes,"n_edges":$nEdges,"iters":$iters,"iter_sec":[${cum.map(c => f"$c%.2f").mkString(",")}],"iter_sec_marginal":[${perIter.map(c => f"$c%.2f").mkString(",")}],"rank_mass":$mass,"scale":1000000,"top_rank_micro":$topRank}""")
+    spark.stop()
+  }
+}

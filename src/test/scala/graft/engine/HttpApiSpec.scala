@@ -42,6 +42,29 @@ class HttpApiSpec extends AnyFunSuite with SparkTestSession {
     assert(r.statusCode == 200 && r.body.contains("ok"))
   }
 
+  test("static assets serve with correct content types; pages link them") {
+    val css = get("/static/style.css")
+    assert(css.statusCode == 200, css.body)
+    assert(css.headers.firstValue("Content-Type").orElse("") == "text/css; charset=utf-8")
+    assert(css.body.contains("body"))
+    val png = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/static/logo.png")).GET.build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    assert(png.statusCode == 200)
+    assert(png.headers.firstValue("Content-Type").orElse("") == "image/png")
+    assert(png.body.take(4).sameElements(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    // the HTML shell references the stylesheet; the landing page the logo
+    assert(get("/").body.contains("/static/style.css"))
+    assert(get("/").body.contains("/static/logo.png"))
+  }
+
+  test("static route 404s unknown assets and rejects traversal names") {
+    assert(get("/static/nope.css").statusCode == 404)
+    assert(get("/static/").statusCode == 404)
+    // encoded traversal must not escape the static namespace
+    assert(get("/static/..%2Flog4j2.properties").statusCode == 404)
+  }
+
   test("GET /api/estimate computes with query-param defaults; agrees with " +
       "the direct Api path; 400 on missing/invalid params") {
     // the GET defaults are 2 GB / 3 nodes: pass a worker size that can

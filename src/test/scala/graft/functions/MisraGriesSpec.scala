@@ -122,4 +122,51 @@ class MisraGriesSpec extends AnyFunSuite with SparkTestSession {
     assert(got === expected)
     assert(got.nonEmpty, "corpus should surface heavy hitters")
   }
+
+  test("sketch-then-verify is stable across shuffle-partition counts on a Zipf corpus") {
+    // the MG sketch is merge-order-dependent BY DESIGN: changing the
+    // partition count changes which surplus candidates survive pass 1.
+    // The exact second pass must make the FINAL answer identical anyway —
+    // run the full two-pass pipeline under 1, 7, and 200 shuffle
+    // partitions over an adversarial Zipf stream (hot head exactly at the
+    // reporting threshold, long tail churning the buffer) and require
+    // set-identical results (VERDICT r8 #9).
+    import spark.implicits._
+    val rnd = new Random(42)
+    val rows = (1 to 3) flatMap { g =>
+      // per group: one token at ~2× threshold, one just above, heavy tail
+      val hot = Seq.fill(400)(s"g${g}_hot") ++ Seq.fill(110)(s"g${g}_edge")
+      val tail = Seq.fill(9490)(s"g${g}_t${rnd.nextInt(3000)}")
+      rnd.shuffle(hot ++ tail).map(t => (s"lang$g", t))
+    }
+    val df = rows.toDF("lang", "token").repartition(17)
+    val k = 128
+    def runOnce(parts: Int): Set[(String, String, Long)] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val mg = F.udaf(new MisraGriesAggregator(k), Encoders.STRING)
+        val sketches = df.groupBy("lang")
+          .agg(mg(F.col("token")).as("sketch"), F.count(F.lit(1)).as("n_total"))
+        val candidates = sketches
+          .select(F.col("lang"), F.explode(F.map_keys(F.col("sketch"))).as("token"))
+        val totals = sketches.select(F.col("lang"), F.col("n_total"))
+        df.join(F.broadcast(candidates), Seq("lang", "token"))
+          .groupBy("lang", "token").agg(F.count(F.lit(1)).as("n_occ"))
+          .join(F.broadcast(totals), "lang")
+          .filter(F.col("n_occ") * 100 > F.col("n_total"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val results = Seq(1, 7, 200).map(p => p -> runOnce(p))
+    val exactTruth = rows.groupBy(identity).collect {
+      case ((lang, tok), xs) if xs.size * 100L > rows.count(_._1 == lang) =>
+        (lang, tok, xs.size.toLong)
+    }.toSet
+    results.foreach { case (p, got) =>
+      assert(got === exactTruth, s"partition count $p diverged from exact truth")
+    }
+    assert(exactTruth.exists(_._2.endsWith("_hot")), "hot tokens must be reported")
+    assert(exactTruth.exists(_._2.endsWith("_edge")), "edge tokens must be reported")
+  }
 }

@@ -111,4 +111,14 @@ class LineCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(canon("https://h.com/x") === "https://h.com/x")
     assert(canon("https://h.com/x#only-frag") === "https://h.com/x")
   }
+
+  test("q92 canonicalizer: a '?' INSIDE the query is kept, not truncated") {
+    // RFC 3986 §3.4 allows '?' in the query; split-on-second-'?' silently
+    // dropped '?b=2' here and collapsed distinct URLs into one canonical
+    // family (ADVICE r8)
+    assert(canon("https://h.com/x?a=1?b=2") === "https://h.com/x?a=1?b=2")
+    assert(canon("https://h.com/x?redir=/p%3Fq?z=1") === "https://h.com/x?redir=/p%3Fq?z=1")
+    // distinct inner-'?' queries must stay distinct canonical forms
+    assert(canon("https://h.com/x?a=1?b=2") !== canon("https://h.com/x?a=1?c=3"))
+  }
 }

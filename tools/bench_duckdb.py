@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """DuckDB-side of the BASELINE.md §4 comparison: run every oracle SQL from a
-Verify dump's oracle_sql.json over the given sf dir, warmed, min of two timed
-passes (the same discipline as graft.Bench), and print per-query + total.
+Verify dump's oracle_sql.json over the given sf dir, warmed, min of three
+timed passes (the same discipline as graft.Bench), and print per-query + total.
 
 Usage: python3 tools/bench_duckdb.py /root/testdata/sf0.1 /tmp/verify_out [--json]
 
@@ -34,7 +34,8 @@ def main(sf_dir, out_dir, as_json=False):
     for name, sql in sorted(oracles.items()):
         con.execute(sql).fetchall()
     results = {}
-    for _ in range(2):
+    # min-of-3, mirroring graft.Bench (one contended pass is recoverable)
+    for _ in range(3):
         for name, sql in sorted(oracles.items()):
             t0 = time.time()
             con.execute(sql).fetchall()
