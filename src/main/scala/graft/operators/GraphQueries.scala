@@ -64,15 +64,24 @@ object GraphQueries {
     * each iteration's ranks go through [[Materialize.materialize]] to keep
     * plan depth constant and be cluster-restartable. Returns one (node, r)
     * row per node. Caller materializes `edges` (both consumers also derive
-    * degrees from it). */
-  private[graft] def powerIteration(edges: DataFrame, iters: Int): DataFrame = {
+    * degrees from it).
+    *
+    * `scale` is the total rank mass in integer units. Truncating DIVs lose
+    * up to ~1 unit per node per truncation site, so granularity must suit
+    * |V|: q95's oracle-pinned 10^6 micro is exact-reproducible but loses
+    * ~2% mass per iteration at |V| ~ 2.5×10^4 (the r9 smoke measured it);
+    * at real graph sizes pass a finer scale (the smoke uses 10^12 — still
+    * Long-safe: contrib sums are bounded by the scale itself). */
+  private[graft] def powerIteration(edges: DataFrame, iters: Int,
+      scale: Long = Scale): DataFrame = {
+    val basePerN = scale * (100 - DampPct) / 100
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val cnt = nodes.agg(count(lit(1)).as("nn"))
 
     var ranks = Materialize.materialize(nodes.crossJoin(broadcast(cnt))
-      .select(col("node"), expr(s"CAST($Scale DIV nn AS BIGINT)").as("r")))
+      .select(col("node"), expr(s"CAST($scale DIV nn AS BIGINT)").as("r")))
     for (_ <- 1 to iters) {
       val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
@@ -82,7 +91,7 @@ object GraphQueries {
       ranks = Materialize.materialize(nodes.crossJoin(broadcast(cnt))
         .join(sums, Seq("node"), "left")
         .select(col("node"),
-          expr(s"CAST($BasePerN DIV nn + $DampPct * COALESCE(c, 0L) DIV 100 AS BIGINT)").as("r")))
+          expr(s"CAST($basePerN DIV nn + $DampPct * COALESCE(c, 0L) DIV 100 AS BIGINT)").as("r")))
     }
     ranks
   }
