@@ -33,7 +33,11 @@ object SparkEntry {
       ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
       // Multimodal decode census (r4: oracle-checked — the deterministic
       // fake encoder lets DuckDB recompute expected metadata from documents).
-      ("q38_media_meta" -> (graft.multimodal.MultimodalOps.q38MediaMeta _))
+      ("q38_media_meta" -> (graft.multimodal.MultimodalOps.q38MediaMeta _)) +
+      // Perceptual image near-dup (r9: dHash over decoded BMP pixels,
+      // banded LSH + exact hamming verify — oracle re-derives the pixel
+      // arithmetic from the deterministic layout).
+      ("q98_image_phash" -> (graft.multimodal.MultimodalOps.q98ImagePhash _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -43,5 +47,6 @@ object SparkEntry {
       AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle ++
       WebCurationQueries.oracle ++ LineCurationQueries.oracle ++
       GraphQueries.oracle +
-      ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle)
+      ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
+      ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle)
 }

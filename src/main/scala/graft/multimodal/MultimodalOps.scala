@@ -227,11 +227,19 @@ object MultimodalOps {
     * the text bytes as pixel data (zero-padded/truncated to the exact pixel
     * buffer); odd doc_id -> PCM16 WAV at 8000+4000*(id%3) Hz, 1+(id/2)%2
     * channels, text bytes truncated to a whole number of sample frames. */
-  def mediaFromDocumentsReal(spark: SparkSession, dir: String): Dataset[Media] = {
+  def mediaFromDocumentsReal(spark: SparkSession, dir: String): Dataset[Media] =
+    mediaFromDocsReal(
+      graft.operators.Tables.documents(spark, dir)
+        .filter(col("text").isNotNull) // null text = no media asset (NullInputSpec)
+        .select(col("doc_id"), col("text")))
+
+  /** [[mediaFromDocumentsReal]] over an arbitrary pre-filtered (doc_id,
+    * text) frame — q98 routes an ASCII-restricted corpus through the same
+    * encoder so its oracle's char==byte arithmetic stays total. */
+  def mediaFromDocsReal(docs: DataFrame): Dataset[Media] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    graft.operators.Tables.documents(spark, dir)
-      .filter(col("text").isNotNull) // null text = no media asset (NullInputSpec)
-      .select(col("doc_id"), col("text"))
+    docs
       .as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
@@ -426,4 +434,187 @@ object MultimodalOps {
       |  CAST(MAX(frames) AS INT) AS max_frames, CAST(MAX(width) AS INT) AS max_width,
       |  CAST(MAX(rate) AS INT) AS max_rate
       |FROM m GROUP BY kind ORDER BY kind NULLS FIRST""".stripMargin
+
+  // ---- Q98: perceptual image near-dup (dHash over decoded BMP pixels) ----
+
+  /** Hamming radius for "perceptually near": ≤ [[PhHamT]] of the 64
+    * difference bits may differ (dHash convention ~8-10/64; the corpus's
+    * near-dup text strata land at 2-8 bits apart, distinct texts at ~32). */
+  private[multimodal] val PhHamT = 8
+
+  /** 64-bit difference hash of a 24bpp BMP, returned as four 16-bit bands
+    * (band k = bits 16k..16k+15, bit j of the hash at position j%16):
+    * sample a 9×8 nearest-neighbor luma grid through the REAL header
+    * (bottom-up rows, 4-byte row padding — the [[resizeBmp]] pixel
+    * addressing), then bit (x, y) = lum(x,y) < lum(x+1,y) — the classic
+    * gradient fingerprint that survives re-encodes and small edits (the
+    * image-side analogue of q25's text SimHash). Bands are the LSH unit:
+    * by pigeonhole a pair within hamming 3 MUST agree on ≥1 of the 4
+    * bands; at the operator's radius [[PhHamT]] band agreement is the
+    * standard high-recall (not guaranteed-complete) candidate filter —
+    * exactly q23/q25's banding role, and both engines band identically so
+    * the census stays oracle-exact regardless. Non-BMP/malformed rows
+    * drop (the module's tolerant-reader contract). */
+  def dHashBands(b: Array[Byte]): Option[Array[Int]] =
+    decodeBmpMeta(b).filter(m => m.bpp == 24 && m.width > 0 && m.height > 0)
+      .map { m =>
+        val stride = (m.width * 3 + 3) & ~3
+        val lum = new Array[Int](72)
+        var i = 0
+        while (i < 72) {
+          val x = i % 9; val y = i / 9
+          val sx = x * m.width / 9; val sy = y * m.height / 8
+          val base = 54 + (m.height - 1 - sy) * stride + sx * 3
+          def at(k: Int): Int =
+            if (base + k < b.length) b(base + k) & 0xff else 0
+          lum(i) = (at(0) + at(1) + at(2)) / 3
+          i += 1
+        }
+        val bands = new Array[Int](4)
+        var j = 0
+        while (j < 64) {
+          val x = j % 8; val y = j / 8
+          if (lum(y * 9 + x) < lum(y * 9 + x + 1)) bands(j / 16) |= 1 << (j % 16)
+          j += 1
+        }
+        bands
+      }
+
+  /** Q98 — perceptual image near-dup census: encode the corpus's BMP
+    * assets, dHash each through its real header, and report per image its
+    * 64-bit fingerprint, the exact-hash family (size + canonical flag, the
+    * q22 discipline on pixel content), and the banded near-dup census
+    * (partner count + smallest partner at hamming ≤ [[PhHamT]]) — the
+    * image-side dedup stage a multimodal corpus runs beside text minhash
+    * (LAION-style pipelines dedup on exactly this kind of perceptual
+    * fingerprint).
+    *
+    * Scale shape: decode+hash is one narrow mapPartitions (byte surgery —
+    * the documented criterion); the candidate join is 4 banded equi-joins
+    * (never all-pairs — same LSH discipline as q23/q25); verification is
+    * bit_count over four 16-bit xors per CANDIDATE pair only. ASCII docs
+    * only, on both engines alike: the oracle re-derives pixel bytes as
+    * `ascii(substr(text, …))`, which equals the UTF-8 byte only when
+    * char==byte, so the operator declares the same precondition instead
+    * of silently diverging on multibyte corpora. */
+  def q98ImagePhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 2 === 0 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+    val hashed = mediaFromDocsReal(docs)
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          dHashBands(m.content).map { bs =>
+            val phash = (0 until 64)
+              .map(j => if ((bs(j / 16) >> (j % 16) & 1) == 1) '1' else '0')
+              .mkString
+            (m.media_id, phash, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+      }
+      .toDF("doc_id", "phash", "b0", "b1", "b2", "b3")
+
+    // exact family census on the full fingerprint (collapse-first)
+    val fam = hashed.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(count(lit(1)).as("n_exact"), min(col("doc_id")).as("keeper"))
+
+    // banded candidates: agree on at least one 16-bit band
+    val bandRows = hashed.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("k", "v")))
+    val cand = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.k") === col("y.k") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val sig = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+    def side(s: String) =
+      sig.select(Seq(col("doc_id").as(s"doc_$s")) ++
+        (0 to 3).map(k => col(s"b$k").as(s"b${k}$s")): _*)
+    val near = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .filter((0 to 3).map(k =>
+        expr(s"bit_count(b${k}a ^ b${k}b)")).reduce(_ + _) <= PhHamT)
+      .select(col("doc_a"), col("doc_b"))
+    val partners = near.select(col("doc_a").as("doc_id"), col("doc_b").as("p"))
+      .union(near.select(col("doc_b").as("doc_id"), col("doc_a").as("p")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("p")).as("min_near"))
+
+    hashed.join(fam, Seq("b0", "b1", "b2", "b3"))
+      .join(partners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        col("n_exact").cast("long").as("n_exact"),
+        (col("doc_id") === col("keeper")).as("is_canonical"),
+        coalesce(col("n_near"), lit(0L)).cast("long").as("n_near"),
+        col("min_near").cast("long").as("min_near"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** DuckDB twin of [[q98ImagePhash]]: pixel byte i of doc d is text byte
+    * i when i < min(octet_length, stride·h) else 0 (encodeBmp copies the
+    * text bytes sequentially — row padding included — and zero-fills),
+    * and on the ASCII-restricted corpus text byte i == ascii(substr(i+1)).
+    * Same 9×8 grid, luma, bit, band, pair, and hamming arithmetic. */
+  val q98Oracle: String = {
+    val base = "(h-1-(i//9)*h//8)*stride + (i%9)*w//9*3"
+    def byteAt(off: Int) =
+      s"CASE WHEN $base + $off < least(blen, stride*h) " +
+        s"THEN ascii(substr(text, $base + $off + 1, 1)) ELSE 0 END"
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    4 + ((doc_id % 13) + 13) % 13 AS w,
+       |    3 + ((doc_id % 7) + 7) % 7 AS h,
+       |    ((4 + ((doc_id % 13) + 13) % 13) * 3 + 3) // 4 * 4 AS stride,
+       |    octet_length(encode(text)) AS blen
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 2 = 0
+       |    AND octet_length(encode(text)) = length(text)),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(72), i ->
+       |    (${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)}) // 3) AS lum
+       |  FROM b),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_aggr(list_transform(range(64), j ->
+       |      CASE WHEN lum[(j//8)*9 + (j%8) + 1] < lum[(j//8)*9 + (j%8) + 2]
+       |           THEN '1' ELSE '0' END), 'string_agg', '') AS phash,
+       |    list_transform(range(4), k ->
+       |      list_sum(list_transform(range(16), t ->
+       |        CASE WHEN lum[((k*16+t)//8)*9 + (k*16+t)%8 + 1]
+       |                  < lum[((k*16+t)//8)*9 + (k*16+t)%8 + 2]
+       |             THEN CAST(pow(2, t) AS BIGINT) ELSE 0 END))) AS bands
+       |  FROM g),
+       |fam AS (
+       |  SELECT phash, COUNT(*) AS n_exact, MIN(doc_id) AS keeper
+       |  FROM hs GROUP BY phash),
+       |br AS (
+       |  SELECT doc_id, k, bands[k+1] AS v
+       |  FROM hs, (SELECT unnest(range(4)) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM br x JOIN br y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
+       |near AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN hs a ON cand.doc_a = a.doc_id
+       |            JOIN hs b2 ON cand.doc_b = b2.doc_id
+       |  WHERE bit_count(xor(a.bands[1], b2.bands[1])) + bit_count(xor(a.bands[2], b2.bands[2]))
+       |      + bit_count(xor(a.bands[3], b2.bands[3])) + bit_count(xor(a.bands[4], b2.bands[4]))
+       |      <= $PhHamT),
+       |part AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near, MIN(p) AS min_near
+       |  FROM (SELECT doc_a AS doc_id, doc_b AS p FROM near
+       |        UNION ALL SELECT doc_b AS doc_id, doc_a AS p FROM near)
+       |  GROUP BY doc_id)
+       |SELECT hs.doc_id, hs.phash,
+       |  CAST(fam.n_exact AS BIGINT) AS n_exact,
+       |  hs.doc_id = fam.keeper AS is_canonical,
+       |  COALESCE(part.n_near, 0) AS n_near,
+       |  CAST(part.min_near AS BIGINT) AS min_near
+       |FROM hs JOIN fam ON hs.phash = fam.phash
+       |LEFT JOIN part ON hs.doc_id = part.doc_id
+       |ORDER BY hs.doc_id NULLS FIRST""".stripMargin
+  }
 }

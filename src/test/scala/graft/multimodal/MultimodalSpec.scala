@@ -219,4 +219,55 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       MultimodalOps.frameSample(Seq(Media(1L, whole)).toDS(), 0)
     }
   }
+
+  test("dHashBands reads the real header: gradient bits match hand math") {
+    // 9x1 image, luma strictly increasing left to right: every horizontal
+    // comparison lum(x) < lum(x+1) is true on the only sampled row, so all
+    // 64 bits set -> every band = 0xFFFF
+    val inc = new Array[Byte](27)
+    (0 until 9).foreach(x => (0 until 3).foreach(k => inc(x * 3 + k) = (x * 20).toByte))
+    val bandsInc = MultimodalOps.dHashBands(MultimodalOps.encodeBmp(9, 1, inc)).get
+    assert(bandsInc.toSeq === Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF))
+    // flat image: no gradient anywhere -> all bits clear
+    val flat = Array.fill[Byte](27)(100.toByte)
+    val bandsFlat = MultimodalOps.dHashBands(MultimodalOps.encodeBmp(9, 1, flat)).get
+    assert(bandsFlat.toSeq === Seq(0, 0, 0, 0))
+    // non-BMP bytes drop
+    assert(MultimodalOps.dHashBands("RIFFnotabmp".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("dHashBands is stable under a small edit, far for distinct content") {
+    def hash(px: Array[Byte]) =
+      MultimodalOps.dHashBands(MultimodalOps.encodeBmp(12, 8, px)).get
+    def ham(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill[Byte](12 * 8 * 3 + 8 * 4)(0)
+    rnd.nextBytes(base)
+    val edited = base.clone(); edited(40) = (edited(40) + 7).toByte
+    val other = new Array[Byte](base.length); rnd.nextBytes(other)
+    assert(ham(hash(base), hash(base.clone())) === 0)
+    assert(ham(hash(base), hash(edited)) <= 4, "one-byte edit moves few bits")
+    assert(ham(hash(base), hash(other)) > 12, "distinct content is far")
+  }
+
+  test("q98 family and near censuses are internally consistent on sf0.001") {
+    val out = MultimodalOps.q98ImagePhash(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byHash = out.groupBy(_.getString(1))
+    byHash.foreach { case (ph, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length), s"n_exact wrong for $ph")
+      assert(rows.count(_.getBoolean(3)) === 1, s"one canonical per family $ph")
+      assert(rows.filter(_.getBoolean(3)).head.getLong(0) ===
+        rows.map(_.getLong(0)).min)
+    }
+    // near census symmetry: if a lists b as min partner, b has >= 1 partner
+    val near = out.filter(_.getLong(4) > 0)
+    assert(near.nonEmpty, "corpus near-dup strata should surface near images")
+    val n = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    near.foreach { r =>
+      assert(!r.isNullAt(5) && n(r.getLong(5)) > 0,
+        s"partner of ${r.getLong(0)} must also count a partner")
+    }
+  }
 }
