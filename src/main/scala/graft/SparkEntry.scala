@@ -37,7 +37,10 @@ object SparkEntry {
       // Perceptual image near-dup (r9: dHash over decoded BMP pixels,
       // banded LSH + exact hamming verify — oracle re-derives the pixel
       // arithmetic from the deterministic layout).
-      ("q98_image_phash" -> (graft.multimodal.MultimodalOps.q98ImagePhash _))
+      ("q98_image_phash" -> (graft.multimodal.MultimodalOps.q98ImagePhash _)) +
+      // Audio fingerprint near-dup (r9: the WAV twin of q98 — energy-
+      // envelope hash through the real header, same banded census).
+      ("q99_audio_fingerprint" -> (graft.multimodal.MultimodalOps.q99AudioFingerprint _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -48,5 +51,6 @@ object SparkEntry {
       WebCurationQueries.oracle ++ LineCurationQueries.oracle ++
       GraphQueries.oracle +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
-      ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle)
+      ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
+      ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle)
 }

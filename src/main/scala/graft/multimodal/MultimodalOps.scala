@@ -515,12 +515,20 @@ object MultimodalOps {
         }
       }
       .toDF("doc_id", "phash", "b0", "b1", "b2", "b3")
+    fingerprintCensus(hashed, PhHamT)
+  }
 
-    // exact family census on the full fingerprint (collapse-first)
+  /** Shared census tail for the fingerprint dedup entries (q98 images,
+    * q99 audio): exact-hash family (size + min-id canonical, the q22
+    * discipline on content fingerprints) and the banded near census —
+    * candidates agree on ≥1 of the four band values (an equi-join per
+    * band position, never all-pairs), verification is exact hamming over
+    * the four bands (bit_count of xor), near partners aggregate to a
+    * count + smallest partner per doc. Input: (doc_id, phash, b0..b3). */
+  private def fingerprintCensus(hashed: DataFrame, hamT: Int): DataFrame = {
     val fam = hashed.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(count(lit(1)).as("n_exact"), min(col("doc_id")).as("keeper"))
 
-    // banded candidates: agree on at least one 16-bit band
     val bandRows = hashed.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("k", "v")))
     val cand = bandRows.as("x")
@@ -536,7 +544,7 @@ object MultimodalOps {
         (0 to 3).map(k => col(s"b$k").as(s"b${k}$s")): _*)
     val near = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
       .filter((0 to 3).map(k =>
-        expr(s"bit_count(b${k}a ^ b${k}b)")).reduce(_ + _) <= PhHamT)
+        expr(s"bit_count(b${k}a ^ b${k}b)")).reduce(_ + _) <= hamT)
       .select(col("doc_a"), col("doc_b"))
     val partners = near.select(col("doc_a").as("doc_id"), col("doc_b").as("p"))
       .union(near.select(col("doc_b").as("doc_id"), col("doc_a").as("p")))
@@ -552,6 +560,39 @@ object MultimodalOps {
         col("min_near").cast("long").as("min_near"))
       .orderBy(col("doc_id").asc)
   }
+
+  /** SQL twin of [[fingerprintCensus]] as CTEs appended after an `hs`
+    * CTE exposing (doc_id, phash, bands LIST(BIGINT) of 4). */
+  private def censusOracleTail(hamT: Int): String =
+    s"""fam AS (
+       |  SELECT phash, COUNT(*) AS n_exact, MIN(doc_id) AS keeper
+       |  FROM hs GROUP BY phash),
+       |br AS (
+       |  SELECT doc_id, k, bands[k+1] AS v
+       |  FROM hs, (SELECT unnest(range(4)) AS k)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM br x JOIN br y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
+       |near AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN hs a ON cand.doc_a = a.doc_id
+       |            JOIN hs b2 ON cand.doc_b = b2.doc_id
+       |  WHERE bit_count(xor(a.bands[1], b2.bands[1])) + bit_count(xor(a.bands[2], b2.bands[2]))
+       |      + bit_count(xor(a.bands[3], b2.bands[3])) + bit_count(xor(a.bands[4], b2.bands[4]))
+       |      <= $hamT),
+       |part AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near, MIN(p) AS min_near
+       |  FROM (SELECT doc_a AS doc_id, doc_b AS p FROM near
+       |        UNION ALL SELECT doc_b AS doc_id, doc_a AS p FROM near)
+       |  GROUP BY doc_id)
+       |SELECT hs.doc_id, hs.phash,
+       |  CAST(fam.n_exact AS BIGINT) AS n_exact,
+       |  hs.doc_id = fam.keeper AS is_canonical,
+       |  COALESCE(part.n_near, 0) AS n_near,
+       |  CAST(part.min_near AS BIGINT) AS min_near
+       |FROM hs JOIN fam ON hs.phash = fam.phash
+       |LEFT JOIN part ON hs.doc_id = part.doc_id
+       |ORDER BY hs.doc_id NULLS FIRST""".stripMargin
 
   /** DuckDB twin of [[q98ImagePhash]]: pixel byte i of doc d is text byte
     * i when i < min(octet_length, stride·h) else 0 (encodeBmp copies the
@@ -587,34 +628,123 @@ object MultimodalOps {
        |                  < lum[((k*16+t)//8)*9 + (k*16+t)%8 + 2]
        |             THEN CAST(pow(2, t) AS BIGINT) ELSE 0 END))) AS bands
        |  FROM g),
-       |fam AS (
-       |  SELECT phash, COUNT(*) AS n_exact, MIN(doc_id) AS keeper
-       |  FROM hs GROUP BY phash),
-       |br AS (
-       |  SELECT doc_id, k, bands[k+1] AS v
-       |  FROM hs, (SELECT unnest(range(4)) AS k)),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM br x JOIN br y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
-       |near AS (
-       |  SELECT doc_a, doc_b
-       |  FROM cand JOIN hs a ON cand.doc_a = a.doc_id
-       |            JOIN hs b2 ON cand.doc_b = b2.doc_id
-       |  WHERE bit_count(xor(a.bands[1], b2.bands[1])) + bit_count(xor(a.bands[2], b2.bands[2]))
-       |      + bit_count(xor(a.bands[3], b2.bands[3])) + bit_count(xor(a.bands[4], b2.bands[4]))
-       |      <= $PhHamT),
-       |part AS (
-       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near, MIN(p) AS min_near
-       |  FROM (SELECT doc_a AS doc_id, doc_b AS p FROM near
-       |        UNION ALL SELECT doc_b AS doc_id, doc_a AS p FROM near)
-       |  GROUP BY doc_id)
-       |SELECT hs.doc_id, hs.phash,
-       |  CAST(fam.n_exact AS BIGINT) AS n_exact,
-       |  hs.doc_id = fam.keeper AS is_canonical,
-       |  COALESCE(part.n_near, 0) AS n_near,
-       |  CAST(part.min_near AS BIGINT) AS min_near
-       |FROM hs JOIN fam ON hs.phash = fam.phash
-       |LEFT JOIN part ON hs.doc_id = part.doc_id
-       |ORDER BY hs.doc_id NULLS FIRST""".stripMargin
+       |${censusOracleTail(PhHamT)}""".stripMargin
+  }
+
+  // ---- Q99: audio fingerprint near-dup (energy envelope over PCM) ----
+
+  /** Hamming radius for "acoustically near": ≤ [[AuHamT]] of the 32
+    * envelope-gradient bits may differ. */
+  private[multimodal] val AuHamT = 6
+
+  /** Minimum samples for a well-defined 33-window envelope. */
+  private[multimodal] val AuMinSamples = 33
+
+  /** 32-bit energy-envelope fingerprint of a PCM16 WAV, as four 8-bit
+    * bands: split the data chunk's int16-LE samples into 33 equal windows
+    * through the REAL header, take each window's mean |amplitude|
+    * (truncating integer mean), and bit j = env(j) < env(j+1) — the
+    * loudness-gradient fingerprint (the spirit of Shazam/Chromaprint
+    * constellation hashing reduced to its exact-integer core), the audio
+    * twin of [[dHashBands]]. 8-bit bands are the LSH unit: pigeonhole-
+    * complete at hamming ≤ 3, high-recall at the operator's [[AuHamT]];
+    * both engines band identically so the census is oracle-exact
+    * regardless. Non-WAV, malformed, or shorter-than-[[AuMinSamples]]
+    * assets drop (the tolerant-reader contract + a declared minimum-
+    * duration precondition, mirrored in the oracle). */
+  def envFingerprint(b: Array[Byte]): Option[Array[Int]] =
+    decodeWavMeta(b).filter { m =>
+      val fb = math.max(1, m.channels * (m.bits / 8))
+      m.bits == 16 &&
+        44L + m.n_frames.toLong * fb <= b.length &&
+        m.n_frames.toLong * m.channels >= AuMinSamples
+    }.map { m =>
+      val ns = m.n_frames * m.channels
+      val env = new Array[Int](33)
+      var w = 0
+      while (w < 33) {
+        val from = w.toLong * ns / 33
+        val until = (w + 1).toLong * ns / 33
+        var s = 0L
+        var i = from
+        while (i < until) {
+          val off = 44 + 2 * i.toInt
+          val v = (b(off) & 0xff) | (b(off + 1) << 8) // int16 LE, sign from high byte
+          s += math.abs(v)
+          i += 1
+        }
+        env(w) = (s / (until - from)).toInt
+        w += 1
+      }
+      val bands = new Array[Int](4)
+      var j = 0
+      while (j < 32) {
+        if (env(j) < env(j + 1)) bands(j / 8) |= 1 << (j % 8)
+        j += 1
+      }
+      bands
+    }
+
+  /** Q99 — audio fingerprint near-dup census: the WAV-side twin of q98.
+    * Envelope-hash every PCM asset through its real header, then the same
+    * exact-family + banded-near census ([[fingerprintCensus]]) at hamming
+    * ≤ [[AuHamT]] of 32. Same scale shape (one narrow mapPartitions
+    * decode; band equi-joins, never all-pairs) and the same declared
+    * ASCII-corpus precondition for oracle byte arithmetic. */
+  def q99AudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.operators.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 2 === 1 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+    val hashed = mediaFromDocsReal(docs)
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          envFingerprint(m.content).map { bs =>
+            val phash = (0 until 32)
+              .map(j => if ((bs(j / 8) >> (j % 8) & 1) == 1) '1' else '0')
+              .mkString
+            (m.media_id, phash, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+      }
+      .toDF("doc_id", "phash", "b0", "b1", "b2", "b3")
+    fingerprintCensus(hashed, AuHamT)
+  }
+
+  /** DuckDB twin of [[q99AudioFingerprint]]: sample i of doc d is the
+    * int16-LE pair (text byte 2i, 2i+1) — the WAV data chunk is the text
+    * truncated to whole frames ([[mediaFromDocsReal]]), so n_samples =
+    * (blen // block_align) · block_align / 2; sign via the ≥ 32768 fold.
+    * Same windows, means, bits, bands, and census arithmetic. */
+  val q99Oracle: String = {
+    val raw = "ascii(substr(text, 2*i+1, 1)) + 256*ascii(substr(text, 2*i+2, 1))"
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    2 * (1 + CASE WHEN ((doc_id % 4) + 4) % 4 = 3 THEN 1 ELSE 0 END) AS ba,
+       |    octet_length(encode(text)) AS blen
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 2 = 1
+       |    AND octet_length(encode(text)) = length(text)),
+       |s AS (
+       |  SELECT doc_id, (blen // ba) * ba // 2 AS ns, text
+       |  FROM b WHERE (blen // ba) * ba // 2 >= $AuMinSamples),
+       |e AS (
+       |  SELECT doc_id, list_transform(range(33), w ->
+       |    list_sum(list_transform(range(w*ns//33, (w+1)*ns//33), i ->
+       |      abs(CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)))
+       |    // ((w+1)*ns//33 - w*ns//33)) AS env
+       |  FROM s),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_aggr(list_transform(range(32), j ->
+       |      CASE WHEN env[j+1] < env[j+2] THEN '1' ELSE '0' END),
+       |      'string_agg', '') AS phash,
+       |    list_transform(range(4), k ->
+       |      list_sum(list_transform(range(8), t ->
+       |        CASE WHEN env[k*8+t+1] < env[k*8+t+2]
+       |             THEN CAST(pow(2, t) AS BIGINT) ELSE 0 END))) AS bands
+       |  FROM e),
+       |${censusOracleTail(AuHamT)}""".stripMargin
   }
 }

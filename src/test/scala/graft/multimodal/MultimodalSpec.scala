@@ -251,6 +251,49 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(ham(hash(base), hash(other)) > 12, "distinct content is far")
   }
 
+  test("envFingerprint reads the real WAV header: envelope bits match hand math") {
+    // 66 mono samples, |amplitude| strictly increasing per window -> every
+    // env(w) < env(w+1) true -> all 32 bits set -> 4x 0xFF bands
+    val inc = new Array[Byte](66 * 2)
+    (0 until 66).foreach { i =>
+      val v = i * 100
+      inc(2 * i) = (v & 0xff).toByte; inc(2 * i + 1) = (v >> 8).toByte
+    }
+    val up = MultimodalOps.envFingerprint(
+      MultimodalOps.encodeWavPcm16(8000, 1, inc)).get
+    assert(up.toSeq === Seq(0xFF, 0xFF, 0xFF, 0xFF))
+    // constant amplitude: no gradient -> all clear
+    val flat = new Array[Byte](66 * 2)
+    (0 until 66).foreach { i => flat(2 * i) = 100.toByte; flat(2 * i + 1) = 0 }
+    assert(MultimodalOps.envFingerprint(
+      MultimodalOps.encodeWavPcm16(8000, 1, flat)).get.toSeq === Seq(0, 0, 0, 0))
+    // negative samples count by magnitude: -v and +v give the same envelope
+    val neg = inc.clone()
+    (0 until 66).foreach { i =>
+      val v = -(i * 100)
+      neg(2 * i) = (v & 0xff).toByte; neg(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    assert(MultimodalOps.envFingerprint(
+      MultimodalOps.encodeWavPcm16(8000, 1, neg)).get.toSeq === up.toSeq)
+    // too short for 33 windows drops; non-WAV drops
+    assert(MultimodalOps.envFingerprint(
+      MultimodalOps.encodeWavPcm16(8000, 1, new Array[Byte](32 * 2))).isEmpty)
+    assert(MultimodalOps.envFingerprint("BMnotawav".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("q99 family and near censuses are internally consistent on sf0.001") {
+    val out = MultimodalOps.q99AudioFingerprint(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (ph, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length), s"n_exact wrong for $ph")
+      assert(rows.count(_.getBoolean(3)) === 1, s"one canonical per family $ph")
+    }
+    val near = out.filter(_.getLong(4) > 0)
+    assert(near.nonEmpty, "near-dup strata should surface near audio")
+    val n = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    near.foreach(r => assert(!r.isNullAt(5) && n(r.getLong(5)) > 0))
+  }
+
   test("q98 family and near censuses are internally consistent on sf0.001") {
     val out = MultimodalOps.q98ImagePhash(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
