@@ -456,7 +456,15 @@ object MultimodalOps {
     * the census stays oracle-exact regardless. Non-BMP/malformed rows
     * drop (the module's tolerant-reader contract). */
   def dHashBands(b: Array[Byte]): Option[Array[Int]] =
-    decodeBmpMeta(b).filter(m => m.bpp == 24 && m.width > 0 && m.height > 0)
+    decodeBmpMeta(b).filter { m =>
+      // header must be honest about the bytes present (the decimateWav
+      // guard): Long arithmetic so a hostile width field cannot overflow
+      // stride/base into negative Int indexing — a malformed asset DROPS,
+      // per the tolerant-reader contract, instead of throwing (review r9)
+      val strideL = (m.width.toLong * 3 + 3) & ~3L
+      m.bpp == 24 && m.width > 0 && m.height > 0 &&
+        54L + strideL * m.height <= b.length
+    }
       .map { m =>
         val stride = (m.width * 3 + 3) & ~3
         val lum = new Array[Int](72)

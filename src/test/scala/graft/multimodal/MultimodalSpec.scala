@@ -236,6 +236,23 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(MultimodalOps.dHashBands("RIFFnotabmp".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("dHashBands drops a hostile-width BMP header instead of crashing") {
+    // valid magic + bpp 24, but width = 0x40000000: (width*3+3)&~3
+    // overflows a 32-bit stride negative — the guard must DROP the row
+    // (tolerant-reader contract), not throw from negative array indexing
+    val evil = MultimodalOps.encodeBmp(4, 2, new Array[Byte](24))
+    def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    putIntLE(evil, 18, 0x40000000) // width field
+    assert(MultimodalOps.dHashBands(evil).isEmpty)
+    // truncated honest header (claims more pixel bytes than present) drops
+    val whole = MultimodalOps.encodeBmp(9, 4, new Array[Byte](120))
+    val truncated = java.util.Arrays.copyOfRange(whole, 0, whole.length - 20)
+    assert(MultimodalOps.dHashBands(truncated).isEmpty)
+  }
+
   test("dHashBands is stable under a small edit, far for distinct content") {
     def hash(px: Array[Byte]) =
       MultimodalOps.dHashBands(MultimodalOps.encodeBmp(12, 8, px)).get
