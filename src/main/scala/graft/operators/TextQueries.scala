@@ -531,10 +531,17 @@ object TextQueries {
     *      collects. ntile(3)'s bucket sizes (first n%3 buckets get
     *      ⌈n/3⌉) are reproduced from the total, so output is
     *      row-identical to the window formulation (the oracle). */
-  def q94Perplexity(spark: SparkSession, dir: String): DataFrame = {
+  def q94Perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexitySplit(Tables.documents(spark, dir))
+
+  /** The q94 body over ANY (doc_id, text) frame — q94 routes the corpus
+    * here; tools/PerplexitySmoke races it against the retired r8
+    * formulation on a vocab-heavy synthetic corpus. */
+  private[graft] def perplexitySplit(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     import spark.implicits._
-    val toks = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
     val tokenPos = toks.select(col("doc_id"),

@@ -88,7 +88,8 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
       "src/main/scala/graft/operators/Materialize.scala",
       "src/main/scala/graft/tools/CanonicalSmoke.scala",
       "src/main/scala/graft/tools/HotSpanSmoke.scala",
-      "src/main/scala/graft/tools/DomainCapSmoke.scala")
+      "src/main/scala/graft/tools/DomainCapSmoke.scala",
+      "src/main/scala/graft/tools/PerplexitySmoke.scala")
     val root = java.nio.file.Paths.get("src/main/scala")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
