@@ -466,15 +466,19 @@ object MultimodalOps {
         54L + strideL * m.height <= b.length
     }
       .map { m =>
-        val stride = (m.width * 3 + 3) & ~3
+        // sample addressing in Long end to end (ADVICE r9): with the guard
+        // in Int, a guard-passing ~2 GB hostile BMP (width ~7e8, height 1)
+        // overflowed x * width negative, yielding a negative base that
+        // passed `base + k < length` and threw AIOOBE instead of dropping
+        val stride = (m.width.toLong * 3 + 3) & ~3L
         val lum = new Array[Int](72)
         var i = 0
         while (i < 72) {
           val x = i % 9; val y = i / 9
-          val sx = x * m.width / 9; val sy = y * m.height / 8
-          val base = 54 + (m.height - 1 - sy) * stride + sx * 3
+          val sx = x * m.width.toLong / 9; val sy = y * m.height.toLong / 8
+          val base = 54L + (m.height - 1 - sy) * stride + sx * 3
           def at(k: Int): Int =
-            if (base + k < b.length) b(base + k) & 0xff else 0
+            if (base + k < b.length) b((base + k).toInt) & 0xff else 0
           lum(i) = (at(0) + at(1) + at(2)) / 3
           i += 1
         }

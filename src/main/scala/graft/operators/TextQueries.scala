@@ -530,7 +530,15 @@ object TextQueries {
     *      shuffle-partitions rows — config-bounded like the IVF codebook
     *      collects. ntile(3)'s bucket sizes (first n%3 buckets get
     *      ⌈n/3⌉) are reproduced from the total, so output is
-    *      row-identical to the window formulation (the oracle). */
+    *      row-identical to the window formulation (the oracle).
+    *
+    * CONTRACT NOTE (ADVICE r9): unlike the rest of the catalog this entry
+    * is EAGER at DataFrame-construction time — step 4's Materialize + the
+    * (config-bounded) partition-count collect run real jobs before the
+    * returned frame is acted on, so building/explaining the q94 plan scans
+    * the corpus once. Intentional: the offsets cannot be known without
+    * running the rank partitioning (the same trade as the IVF index
+    * builds, which are eager for the same reason). */
   def q94Perplexity(spark: SparkSession, dir: String): DataFrame =
     perplexitySplit(Tables.documents(spark, dir))
 

@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * Here the SAME [[GraphQueries.powerIteration]] code path runs over the
   * real corpus's doc↔domain bipartite graph at the given SF:
   *
-  *   - nodes: every doc with ≥1 URL (id 2·doc_id) and every domain
-  *     (id 2·xxhash64(domain)|1 — odd ids, disjoint from doc ids);
+  *   - nodes: every doc with ≥1 URL (id 2·doc_id — even) and every domain
+  *     (id xxhash64(domain)|1 — odd, so disjoint from doc ids; ADVICE r9:
+  *     the doubling applies to doc ids only, the domain id just sets the
+  *     low bit);
   *   - edges: doc→domain for each distinct (doc, domain) pair, PLUS the
   *     reverse domain→doc edge, so no node is a sink (q95 is the
   *     no-dangling-redistribution variant; a one-directional bipartite
