@@ -372,12 +372,21 @@ object WebCurationQueries {
 
   /** Canonical text normalization before exact hashing (the C4 / Lee et
     * al. pre-dedup normalization: case-fold, strip punctuation, collapse
-    * whitespace). Case-folds via `translate` over the ASCII range rather
-    * than `lower()` — Spark and DuckDB agree on `translate` byte-for-byte,
-    * while full-unicode lower() has engine-specific special casing (the
-    * Turkish-İ class of divergence) that would poison the oracle on
-    * non-ASCII corpora. */
-  def normalizeText(c: Column): Column =
+    * whitespace). Case-folds over the ASCII range only, never unicode
+    * lower() — engines disagree on special casing (the Turkish-İ class of
+    * divergence), ASCII folding they agree on byte-for-byte.
+    *
+    * r10: routed through the native single-pass kernel
+    * [[graft.functions.NormalizeText]] (VERDICT r9 #1 — the retired
+    * two-regexp chain was the engine's worst constant factor, 25× DuckDB
+    * at sf1.0). Semantics are pinned against [[normalizeTextDeclarative]]
+    * by a WebCurationSpec differential property over adversarial strings. */
+  def normalizeText(c: Column): Column = graft.functions.NormalizeText(c)
+
+  /** The retired declarative form — kept as executable documentation of
+    * the exact semantics (it is literally the oracle's SQL) and as the
+    * differential-spec reference for the native kernel. */
+  private[graft] def normalizeTextDeclarative(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(translate(c, Upper, Lower), "[^a-z0-9 ]", ""),
       " +", " "))
@@ -390,10 +399,17 @@ object WebCurationQueries {
     * so the raw hash splinters each true family across variants and the
     * normalized hash must reunite it — the value-checked demonstration of
     * why production dedup hashes normalized text (Lee et al. 2021; C4's
-    * preprocessing). Plan: one codegen'd normalization projection + two
-    * census groupBys on md5 keys (uniform 32-byte shuffle keys, map-side
-    * partials collapse hot families — the q52 census discipline); rejoins
-    * are null-safe equi-joins on the hash. */
+    * preprocessing). Plan (r10, VERDICT r9 #1): ONE hashing projection
+    * (native-kernel normalization + two md5s, codegen'd) under two
+    * PARTITIONED window passes (count over raw_h; count+min over norm_h).
+    * The retired census-then-rejoin shape scanned the projection in three
+    * plan branches — Catalyst does not CSE across branches, so every doc
+    * was regex-normalized more than once — and its rejoins shipped every
+    * full row by hash key anyway, so its map-side census partials bought
+    * nothing the windows lose: a hot family lands in one task either way
+    * (m rows through the norm_h exchange), and the window form halves the
+    * shuffles (2 vs 4) while evaluating the normalization exactly once,
+    * lazily. */
   def q89NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
     val noised = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"),
@@ -406,14 +422,16 @@ object WebCurationQueries {
   /** The census body over any (doc_id, text) frame — q89 routes the noised
     * corpus here; specs feed constructed stratified families. */
   private[graft] def normalizedDedup(docs: DataFrame): DataFrame = {
-    val hashed = docs.filter(col("text").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    val wRaw = Window.partitionBy(col("raw_h"))
+    val wNorm = Window.partitionBy(col("norm_h"))
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         md5(col("text")).as("raw_h"),
         md5(normalizeText(col("text"))).as("norm_h"))
-    val rawCensus = hashed.groupBy(col("raw_h")).agg(count(lit(1)).as("raw_n"))
-    val normCensus = hashed.groupBy(col("norm_h"))
-      .agg(count(lit(1)).as("norm_n"), min(col("doc_id")).as("norm_keeper"))
-    hashed.join(rawCensus, "raw_h").join(normCensus, "norm_h")
+      .withColumn("raw_n", count(lit(1)).over(wRaw))
+      .withColumn("norm_n", count(lit(1)).over(wNorm))
+      .withColumn("norm_keeper", min(col("doc_id")).over(wNorm))
       .select(
         col("doc_id"),
         col("raw_n"),
