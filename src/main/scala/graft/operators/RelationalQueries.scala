@@ -245,11 +245,30 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"), dsum($"value").as("sv"))
       .orderBy($"h".asc, $"event_type".asc)
 
-  /** Q20 — fan-out join + agg (generator-equivalent correlated duplication). */
+  /** Q20 — fan-out join + agg (generator-equivalent correlated duplication).
+    * Deliberately kept in the naive shape — the row exists to demonstrate
+    * join fan-out; [[q100FanOutPreAgg]] is the scale-shaped twin. */
   def q20FanOut(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey", "inner")
       .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .orderBy($"o_orderpriority".asc)
+
+  /** Q100 — q20's partial-aggregation-below-join twin (VERDICT r9 #4): the
+    * same 5-row answer, but lineitem collapses to per-orderkey line counts
+    * BEFORE the join — count(*) over a fan-out join == sum of per-key
+    * counts whenever the aggregate is decomposable — so the join ships a
+    * 2-column (orderkey, n_lines) frame instead of full-width lineitem
+    * rows and the fan-out never materializes. Bench-paired beside q20 the
+    * way q61/q62 sit beside q45/q23: at 100 TB the pre-aggregation is the
+    * difference between shuffling the fact table's row count and its
+    * distinct-key count. RelationalSpec asserts the two forms
+    * row-identical on the real corpus. */
+  def q100FanOutPreAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey", "inner")
+      .groupBy($"o_orderpriority").agg(sum($"n_lines").as("cnt"))
       .orderBy($"o_orderpriority".asc)
 
   /** Q39 — snowflake dimension chain: customer -> nation -> region, both
@@ -318,6 +337,7 @@ object RelationalQueries {
     "q18_math_fns"       -> (q18Math _),
     "q19_tumble_window"  -> (q19Tumble _),
     "q20_fanout_join"    -> (q20FanOut _),
+    "q100_fanout_preagg" -> (q100FanOutPreAgg _),
     "q39_region_join"    -> (q39RegionJoin _),
     "q40_set_ops"        -> (q40SetOps _),
     "q41_hop_window"     -> (q41HopWindow _),
@@ -383,6 +403,11 @@ object RelationalQueries {
         "GROUP BY 1, 2 ORDER BY h NULLS FIRST, event_type NULLS FIRST"),
     "q20_fanout_join" ->
       "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST",
+    "q100_fanout_preagg" ->
+      ("SELECT o_orderpriority, CAST(SUM(n_lines) AS BIGINT) AS cnt " +
+        "FROM (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey) l " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST"),
     "q39_region_join" ->
       ("SELECT r_name, COUNT(*) AS cnt, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal " +
         "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
