@@ -530,21 +530,45 @@ object MultimodalOps {
     fingerprintCensus(hashed, PhHamT)
   }
 
+  /** Hot-band bucket cap (VERDICT r9 #5 / ADVICE r9): a band value shared
+    * by more than this many assets is SKIPPED as a candidate-generation
+    * bucket — the standard LSH hot-bucket mitigation (a degenerate
+    * corpus, e.g. all-flat images hashing every band to zero, would
+    * otherwise make the band self-join O(m²) in that bucket). With the
+    * cap, every surviving bucket contributes ≤ cap² candidate pairs by
+    * construction. The skip is part of the OPERATOR SEMANTICS, mirrored
+    * exactly in the oracle; a pair losing a hot band is still found
+    * through any of its other three bands (and identical-content families
+    * remain fully reported by the exact-hash census regardless). 16384 is
+    * ~3.6× the largest legitimate bucket measured at sf1.0 (q98: 4,542 of
+    * 25,028 images share one flat band; q99: 719). */
+  private[multimodal] val HotBandCap = 16384
+
   /** Shared census tail for the fingerprint dedup entries (q98 images,
     * q99 audio): exact-hash family (size + min-id canonical, the q22
     * discipline on content fingerprints) and the banded near census —
     * candidates agree on ≥1 of the four band values (an equi-join per
-    * band position, never all-pairs), verification is exact hamming over
-    * the four bands (bit_count of xor), near partners aggregate to a
-    * count + smallest partner per doc. Input: (doc_id, phash, b0..b3). */
-  private def fingerprintCensus(hashed: DataFrame, hamT: Int): DataFrame = {
+    * band position, never all-pairs, hot buckets skipped per
+    * [[HotBandCap]]), verification is exact hamming over the four bands
+    * (bit_count of xor), near partners aggregate to a count + smallest
+    * partner per doc. Input: (doc_id, phash, b0..b3). */
+  private[multimodal] def fingerprintCensus(hashed: DataFrame, hamT: Int,
+      hotBandCap: Int = HotBandCap): DataFrame = {
     val fam = hashed.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(count(lit(1)).as("n_exact"), min(col("doc_id")).as("keeper"))
 
     val bandRows = hashed.select(col("doc_id"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("k", "v")))
-    val cand = bandRows.as("x")
-      .join(bandRows.as("y"),
+    // bounded fan-out by construction: only buckets ≤ hotBandCap generate
+    // candidates (semi-join against the bucket census — co-partitioned
+    // with the self-join it guards, map-side-collapsed, narrow)
+    val coldBuckets = bandRows.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("n_bucket"))
+      .filter(col("n_bucket") <= hotBandCap)
+      .select(col("k"), col("v"))
+    val coldRows = bandRows.join(coldBuckets, Seq("k", "v"), "left_semi")
+    val cand = coldRows.as("x")
+      .join(coldRows.as("y"),
         col("x.k") === col("y.k") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -574,7 +598,9 @@ object MultimodalOps {
   }
 
   /** SQL twin of [[fingerprintCensus]] as CTEs appended after an `hs`
-    * CTE exposing (doc_id, phash, bands LIST(BIGINT) of 4). */
+    * CTE exposing (doc_id, phash, bands LIST(BIGINT) of 4) — including
+    * the [[HotBandCap]] hot-bucket skip, so the cap is operator
+    * semantics on both engines, not a Spark-side recall divergence. */
   private def censusOracleTail(hamT: Int): String =
     s"""fam AS (
        |  SELECT phash, COUNT(*) AS n_exact, MIN(doc_id) AS keeper
@@ -582,9 +608,13 @@ object MultimodalOps {
        |br AS (
        |  SELECT doc_id, k, bands[k+1] AS v
        |  FROM hs, (SELECT unnest(range(4)) AS k)),
+       |brf AS (
+       |  SELECT br.* FROM br
+       |  JOIN (SELECT k, v FROM br GROUP BY k, v
+       |        HAVING COUNT(*) <= $HotBandCap) cold USING (k, v)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM br x JOIN br y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
+       |  FROM brf x JOIN brf y ON x.k = y.k AND x.v = y.v AND x.doc_id < y.doc_id),
        |near AS (
        |  SELECT doc_a, doc_b
        |  FROM cand JOIN hs a ON cand.doc_a = a.doc_id

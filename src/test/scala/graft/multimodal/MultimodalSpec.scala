@@ -330,4 +330,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
         s"partner of ${r.getLong(0)} must also count a partner")
     }
   }
+
+  test("fingerprintCensus skips hot band buckets but keeps cold-band pairs") {
+    import spark.implicits._
+    // degenerate family: 50 identical fingerprints — every band bucket
+    // holds 50 rows, beyond the test cap of 10, so candidate generation
+    // must SKIP them (the all-identical-assets corpus that would explode
+    // the self-join quadratically; VERDICT r9 #5). Plus one near pair on
+    // cold bands that must still be found.
+    val degenerate = (1L to 50L).map(i => (i, "deg", 7, 7, 7, 7))
+    val nearPair = Seq((100L, "a", 1, 2, 3, 4), (101L, "b", 1, 2, 3, 5))
+    val hashed = (degenerate ++ nearPair)
+      .toDF("doc_id", "phash", "b0", "b1", "b2", "b3")
+    val out = MultimodalOps.fingerprintCensus(hashed, hamT = 8, hotBandCap = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    // exact census unaffected by the cap: the family still reports fully
+    assert((1L to 50L).forall(i => out(i)._1 == 50L))
+    // near census: hot buckets generated no candidates
+    assert((1L to 50L).forall(i => out(i)._2 == 0L))
+    // the cold pair still surfaces (shared cold bands, hamming 1)
+    assert(out(100L) === ((1L, 1L, 101L)))
+    assert(out(101L) === ((1L, 1L, 100L)))
+    // with the production cap the same frame reports the degenerate
+    // family as near partners again (cap semantics, not a recall bug)
+    val full = MultimodalOps.fingerprintCensus(hashed, hamT = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert((1L to 50L).forall(i => full(i) == 49L))
+  }
 }
