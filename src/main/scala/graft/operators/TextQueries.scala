@@ -415,6 +415,113 @@ object TextQueries {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(BpeTopK)
 
+  // ---- Q101: iterative BPE tokenizer training ----
+
+  /** Merge rounds for q101 (a real tokenizer trains to a vocab budget of
+    * tens of thousands; 8 rounds exercise the full iterate-census-merge
+    * loop the budget just repeats). */
+  val BpeRounds = 8
+
+  /** Q101 — iterative BPE tokenizer TRAINING (Sennrich et al. 2016): q68
+    * computes one merge round; this runs the actual training loop — N
+    * rounds of (adjacent-pair census over the vocabulary → pick the most
+    * frequent pair → apply the merge everywhere) — and returns the merge
+    * table, i.e. the tokenizer. Ties break on (count desc, pair asc),
+    * integer-exact on both engines.
+    *
+    * Representation: the corpus is [[WebCurationQueries.normalizeText]]-
+    * normalized (symbols ⊂ [a-z0-9] — also what makes the encoding
+    * delimiters collision-free), words collapse to a (word, freq) vocab
+    * census FIRST (q68's collapse-first: merges operate on unique words
+    * weighted by frequency, so per-round cost scales with VOCAB size, not
+    * the token stream), and each word is encoded as bracket-delimited
+    * symbols: "chat" → "&lt;c&gt;&lt;h&gt;&lt;a&gt;&lt;t&gt;". A merge of
+    * pair (a,b) is then a plain string replace of "&lt;a&gt;&lt;b&gt;"
+    * with "&lt;ab&gt;" — both engines' `replace` is left-to-right
+    * non-overlapping, which IS BPE's greedy merge order, and the brackets
+    * make a symbol-boundary-crossing match impossible.
+    *
+    * Scale shape: one corpus scan builds the vocab census; every round is
+    * one vocab-sized census job + a 1-ROW collect (the argmax — the q95
+    * bounded-collect discipline) + a narrow projection, with the vocab
+    * [[Materialize]]d per round exactly like `powerIteration` pins its
+    * ranks frames (lineage cut; reliable-checkpoint safe on a cluster).
+    * Like q94, the entry is EAGER at construction (the loop must run to
+    * know the merges). Early-exhaustion (no pairs left) stops the loop;
+    * the oracle's per-round scalar subqueries go empty at the same round,
+    * so both engines emit the same short table. */
+  def q101BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(Tables.documents(spark, dir).filter(col("text").isNotNull), BpeRounds)
+
+  /** The q101 body over ANY (text) frame — tools/BpeSmoke races its
+    * per-round cost across corpus scales. */
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = Materialize.materialize(docs
+      .select(explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("word"), "(.)", "<$1>").as("enc"), col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(col("freq"),
+          split(expr("substring(enc, 2, length(enc) - 2)"), "><").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> concat('<', element_at(s, i), '><', element_at(s, i + 1), '>'))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val mergedEnc = pair.replace("><", "") // "<a><b>" -> "<ab>"
+        merges += ((r, pair, mergedEnc.substring(1, mergedEnc.length - 1),
+          top(0).getLong(1)))
+        vocab = Materialize.materialize(vocab.select(
+          replace(col("enc"), lit(pair), lit(mergedEnc)).as("enc"), col("freq")))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("step", "pair", "merged", "n").orderBy(col("step").asc)
+  }
+
+  /** DuckDB twin of [[q101BpeTrain]], generated by the same round loop
+    * (the q95 CTE-stage discipline): per round a pair census, a LIMIT 1
+    * argmax, and a `replace` re-encoding — MATERIALIZED CTEs, because
+    * e(r) is referenced by both p(r+1) and e(r+1) and inlining would
+    * double the expression tree per round. */
+  private[operators] def bpeOracleSql(rounds: Int): String = {
+    val norm = s"trim(regexp_replace(regexp_replace(translate(text, " +
+      s"'${WebCurationQueries.Upper}', '${WebCurationQueries.Lower}'), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val head = Seq(
+      s"w AS (SELECT $norm AS t FROM documents WHERE text IS NOT NULL)",
+      "v0 AS (SELECT word, COUNT(*) AS freq FROM (SELECT unnest(string_split(t, ' ')) AS word FROM w) WHERE word <> '' GROUP BY word)",
+      "e0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS enc, freq FROM v0)")
+    val perRound = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"p$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (" +
+          "SELECT freq, unnest(list_transform(range(len(s)-1), i -> '<' || s[i+1] || '><' || s[i+2] || '>')) AS pair " +
+          s"FROM (SELECT string_split(substr(enc, 2, length(enc)-2), '><') AS s, freq FROM e$p)) GROUP BY pair)",
+        s"t$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1)",
+        s"e$r AS MATERIALIZED (SELECT replace(enc, (SELECT pair FROM t$r), " +
+          s"(SELECT replace(pair, '><', '') FROM t$r)) AS enc, freq FROM e$p)")
+    }
+    val unions = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS step, pair, " +
+        s"replace(replace(pair, '<', ''), '>', '') AS merged, n FROM t$r"
+    }.mkString(" UNION ALL ")
+    (head ++ perRound).mkString("WITH ", ",\n", "\n") +
+      s"SELECT * FROM ($unions) ORDER BY step NULLS FIRST"
+  }
+
   /** Q69 — document chunking: fixed token windows with stride overlap
     * (64-token windows every 48 tokens) — the segmentation step before the
     * embedding stage of a RAG/training pipeline (long docs exceed the
@@ -644,6 +751,7 @@ object TextQueries {
     "q66_decontamination" -> (q66Decontamination _),
     "q67_repetition" -> (q67Repetition _),
     "q68_bpe_pairs" -> (q68BpePairs _),
+    "q101_bpe_train" -> (q101BpeTrain _),
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
@@ -651,6 +759,7 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q101_bpe_train" -> bpeOracleSql(BpeRounds),
     "q97_pmi_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents WHERE text IS NOT NULL),

@@ -367,8 +367,8 @@ object WebCurationQueries {
 
   // ---- Q89: normalization-aware exact dedup ----
 
-  private val Lower = "abcdefghijklmnopqrstuvwxyz"
-  private val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private[operators] val Lower = "abcdefghijklmnopqrstuvwxyz"
+  private[operators] val Upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
   /** Canonical text normalization before exact hashing (the C4 / Lee et
     * al. pre-dedup normalization: case-fold, strip punctuation, collapse

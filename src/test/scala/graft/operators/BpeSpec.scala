@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-math pins for iterative BPE training (q101): the merge sequence
+  * on a constructed corpus computed by hand (counts, argmax, tie-breaks,
+  * greedy left-to-right application), early exhaustion, and the
+  * normalization front end. */
+class BpeSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def train(texts: Seq[String], rounds: Int) =
+    TextQueries.bpeTrain(texts.toDF("text"), rounds).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("merge sequence matches hand computation, including ties and merged symbols") {
+    // vocab: low:3 lower:1 newest:1
+    // r1: (l,o)=4 (o,w)=4 tie -> '<l><o>' asc; r2: (lo,w)=4;
+    // r3: all remaining pairs tie at 1 -> '<e><r>' asc;
+    // r4: ties at 1 -> '<e><s>' asc ('<e><w>' sorts after it)
+    val got = train(Seq("low lower", "low newest", "low"), 4)
+    assert(got === Seq(
+      (1, "<l><o>", "lo", 4L),
+      (2, "<lo><w>", "low", 4L),
+      (3, "<e><r>", "er", 1L),
+      (4, "<e><s>", "es", 1L)))
+  }
+
+  test("merges apply greedily left-to-right within a word") {
+    // 'aaaa':1 — r1 pair (a,a)=3 occurrences but count is 3 (adjacent
+    // positions); merge left-to-right: <aa><aa>. r2: (aa,aa)=1.
+    val got = train(Seq("aaaa"), 2)
+    assert(got === Seq(
+      (1, "<a><a>", "aa", 3L),
+      (2, "<aa><aa>", "aaaa", 1L)))
+  }
+
+  test("exhaustion stops the loop early with a short merge table") {
+    // single-char words only: no pairs at all
+    assert(train(Seq("a b c", "b c a"), 8).isEmpty)
+    // one two-char word: exactly one merge possible
+    assert(train(Seq("ab"), 8) === Seq((1, "<a><b>", "ab", 1L)))
+  }
+
+  test("normalization front end folds case and strips punctuation before training") {
+    // 'LOW!' and 'low' are the same word post-normalization
+    val got = train(Seq("LOW! low", "l-o-w"), 1)
+    // vocab: low:2, low:1 -> 'low':2 plus 'low' from stripped dashes = 3
+    assert(got === Seq((1, "<l><o>", "lo", 3L)))
+  }
+
+  test("q101 catalog entry returns BpeRounds merges on the real corpus") {
+    val out = TextQueries.q101BpeTrain(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length === TextQueries.BpeRounds)
+    assert(out.map(_.getInt(0)).toSeq === (1 to TextQueries.BpeRounds))
+    // counts are non-increasing only weakly (a merge can surface a new
+    // heavy pair), but every count is positive and pairs are distinct
+    assert(out.forall(_.getLong(3) > 0))
+    assert(out.map(_.getString(1)).distinct.length === out.length)
+  }
+}
