@@ -315,18 +315,36 @@ object WebCurationQueries {
     * broadcast-sized join back (|domains|×K rows — stage 3's shuffle moves
     * ≤ partitions×K ids per domain, buffers capped at K); stage 4 is one
     * map-side-partial groupBy at |sources| cardinality. */
+  /** Session flag: when true, q88's stage-2 quality gate additionally
+    * requires the q102 learned classifier's keep (rules AND model — the
+    * CCNet composition). Default FALSE, so the oracle-pinned q88 output
+    * is unchanged unless a deployment opts in. */
+  private[graft] val UseClassifierConf = "spark.graft.quality.useClassifier"
+
   def q88WebCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"), col("text"),
         concat(col("text"), piiSuffix, urlSuffix).as("etext"))
 
     def nHits(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0)))
-    val flagged = docs.select(
+    val ruleFlagged = docs.select(
       col("doc_id"), col("source"),
       (nHits(EmailRe) + nHits(PhoneRe) + nHits(IpRe) + nHits(SsnRe) > 0).as("has_pii"),
       size(split(scrubText(col("etext")), " ")).cast("long").as("n_tokens"),
       regexp_extract(col("etext"), DomainRe, 1).as("first_domain"),
       qualityKeep(col("text")).as("q_keep"))
+
+    // optional stage 2b: the learned gate (q102) composed onto the rules
+    val flagged =
+      if (!spark.conf.getOption(UseClassifierConf).contains("true")) ruleFlagged
+      else {
+        val scored = classifierScores(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("keep").as("model_keep"))
+        ruleFlagged.join(scored, Seq("doc_id"), "left")
+          .withColumn("q_keep",
+            col("q_keep") && coalesce(col("model_keep"), lit(false)))
+          .drop("model_keep")
+      }
 
     // stage 3: cap slots per first_domain over quality SURVIVORS (an
     // evicted slot would otherwise be wasted on a doc stage 2 drops)
@@ -440,6 +458,82 @@ object WebCurationQueries {
         (col("norm_n") > col("raw_n")).as("recovered"))
   }
 
+  // ---- Q102: model-based quality scoring (fastText-style) ----
+
+  /** Fixed-point scale for classifier weights: w is in units of 1e-5
+    * probability mass. Long-safe up to ~9e13 gram occurrences per class
+    * (cnt·Scale < 2^63), i.e. beyond a 100 TB text corpus. */
+  private[operators] val QcScale = 100000L
+
+  /** md5 hex chars per feature bucket: 3 → 4096 buckets (the hashing
+    * trick; Weinberger et al. 2009). The weight table is ≤ 4096 rows at
+    * ANY corpus scale — broadcast by construction. */
+  private[operators] val QcHexChars = 3
+
+  /** Q102 — LEARNED quality scoring in the fastText style (Joulin et al.
+    * 2016; the CCNet/LLaMA wiki-vs-crawl gate): the rule-based (q87),
+    * repetition (q67), rarity (q72), and perplexity (q94) filters decide
+    * from hand-written heuristics — this one trains a linear classifier
+    * on a labeled split and scores every document with it.
+    *
+    *   - Features: hashed bag of word bigrams over the normalized text
+    *     ([[normalizeText]] → [[graft.functions.WordNGrams]](2) → md5 →
+    *     [[QcHexChars]]-hex bucket) — fastText's exact feature map.
+    *   - Labels: the deterministic curated-vs-crawl split of the corpus's
+    *     own sources (src0–src9 = curated) — the q38/q84 enrichment
+    *     discipline: the labeled set derives from the corpus, so the
+    *     oracle re-derives it bit-for-bit.
+    *   - Weights: per-bucket fixed-point class-rate difference
+    *     w_b = ⌊cP_b·S/totP⌋ − ⌊cN_b·S/totN⌋ — the linearized
+    *     Rocchio/naive-Bayes form, INTEGER-exact in place of float
+    *     log-odds so both engines agree to the bit (the q93/q97 no-float
+    *     discipline). A real fastText run would fit these by SGD; the
+    *     rate-difference weights keep the identical serving shape
+    *     (hashed-feature dot product) with a deterministic oracle.
+    *   - Score: Σ over gram occurrences of w_bucket; keep = score ≥ 0.
+    *
+    * Scale shape: featurization is one codegen'd scan projection +
+    * explode; the featurized (doc_id, curated, bucket) stream is
+    * [[Materialize]]d ONCE (3 narrow columns — it feeds training totals,
+    * the weight census, and scoring; the rarityScores discipline). The
+    * class totals are a 1-row broadcast; the weight table is ≤ 4096 rows
+    * — scoring is a BROADCAST hash join + one groupBy(doc_id). Nothing
+    * driver-side; eager at build like q94/q101 (the Materialize).
+    * Precondition: both classes non-empty (a one-class corpus divides by
+    * zero — Spark yields NULL, DuckDB errors). Docs with < 1 bigram drop
+    * (declared, mirrored in the oracle). */
+  def q102QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    classifierScores(Tables.documents(spark, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** The q102 body over ANY (doc_id, source, text) frame. */
+  private[graft] def classifierScores(docs: DataFrame): DataFrame = {
+    val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (replace(col("source"), lit("src"), lit("")).cast("int") < 10).as("curated"),
+        normalizeText(col("text")).as("t"))
+      .select(col("doc_id"), col("curated"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("doc_id"), col("curated"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b")))
+    val tot = gb.agg(
+      sum(when(col("curated"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("curated"), 0L).otherwise(1L)).as("tn"))
+    val wt = gb.groupBy(col("b"))
+      .agg(
+        sum(when(col("curated"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("curated"), 0L).otherwise(1L)).as("cn"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr(s"cp * $QcScale DIV tp") - expr(s"cn * $QcScale DIV tn")).as("w"))
+    gb.join(broadcast(wt), "b")
+      .groupBy(col("doc_id"), col("curated"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).cast("long").as("score"))
+      .select(col("doc_id"), col("curated"), col("n_grams"), col("score"),
+        (col("score") >= 0).as("keep"))
+  }
+
   // ---- Q92: URL canonicalization + canonical-family census ----
 
   // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then
@@ -540,6 +634,7 @@ object WebCurationQueries {
     "q88_web_curation" -> (q88WebCuration _),
     "q89_normalized_dedup" -> (q89NormalizedDedup _),
     "q92_url_canonical" -> (q92UrlCanonical _),
+    "q102_quality_classifier" -> (q102QualityClassifier _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -654,5 +749,23 @@ object WebCurationQueries {
          |g AS (SELECT url_canon, COUNT(DISTINCT url_raw) AS n_variants, COUNT(*) AS n_docs, MIN(doc_id) AS keeper FROM c GROUP BY 1)
          |SELECT c.doc_id, c.url_raw, c.url_canon, g.n_variants, g.n_docs, (c.doc_id = g.keeper) AS is_keeper
          |FROM c JOIN g USING (url_canon) ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q102_quality_classifier" ->
+      s"""WITH d AS (SELECT doc_id, CAST(replace(source, 'src', '') AS INT) < 10 AS curated,
+         |  trim(regexp_replace(regexp_replace(translate(text, '$Upper', '$Lower'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, curated, string_split(t, ' ') AS w FROM d),
+         |g AS (SELECT doc_id, curated, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
+         |  FROM s WHERE len(w) >= 2),
+         |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g),
+         |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS tp,
+         |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS tn FROM gb),
+         |wt AS (SELECT b,
+         |    (SUM(CASE WHEN curated THEN 1 ELSE 0 END) * $QcScale) // (SELECT tp FROM tot)
+         |  - (SUM(CASE WHEN curated THEN 0 ELSE 1 END) * $QcScale) // (SELECT tn FROM tot) AS w
+         |  FROM gb GROUP BY b),
+         |sc AS (SELECT doc_id, curated, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |  FROM gb JOIN wt USING (b) GROUP BY doc_id, curated)
+         |SELECT doc_id, curated, n_grams, score, score >= 0 AS keep
+         |FROM sc ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the fastText-style quality classifier (q102): an INDEPENDENT
+  * plain-Scala recomputation of the whole pipeline (normalize → bigrams →
+  * md5 buckets → fixed-point rate-difference weights → scores) on both a
+  * constructed corpus and the real corpus, plus the separation sanity the
+  * classifier exists for. */
+class ClassifierSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  /** Plain-Scala reference — mirrors the DuckDB-validated prototype, no
+    * Spark expressions involved. */
+  private def reference(rows: Seq[(Long, String, String)])
+      : Map[Long, (Boolean, Long, Long, Boolean)] = {
+    val S = WebCurationQueries.QcScale
+    def norm(t: String): String =
+      t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+        .replaceAll(" +", " ").trim
+    def buckets(t: String): Seq[Int] = {
+      val w = norm(t).split(" ", -1).toSeq
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.mkString(" ").getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString
+        Integer.parseInt(hex.take(WebCurationQueries.QcHexChars), 16)
+      }.toSeq
+    }
+    val docs = rows.map { case (id, src, text) =>
+      (id, src.stripPrefix("src").toInt < 10, buckets(text))
+    }
+    var tp = 0L; var tn = 0L
+    val cp = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val cn = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, cur, bs) =>
+      bs.foreach { b =>
+        if (cur) { cp(b) += 1; tp += 1 } else { cn(b) += 1; tn += 1 }
+      }
+    }
+    val w = (cp.keySet ++ cn.keySet).map(b =>
+      b -> (cp(b) * S / tp - cn(b) * S / tn)).toMap
+    docs.filter(_._3.nonEmpty).map { case (id, cur, bs) =>
+      val score = bs.map(w).sum
+      id -> ((cur, bs.length.toLong, score, score >= 0))
+    }.toMap
+  }
+
+  private def run(rows: Seq[(Long, String, String)]) =
+    WebCurationQueries.classifierScores(rows.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("matches the plain-Scala reference on a constructed two-class corpus") {
+    val rows = (0L until 40L).map { i =>
+      val src = s"src${i % 20}"
+      val text =
+        if (i % 20 < 10) s"The quick quality prose, sentence $i reads well indeed."
+        else s"click HERE buy now!! cheap $i cheap cheap click now"
+      (i, src, text)
+    } :+ ((40L, "src0", "one")) // single word: no bigram, must drop
+    val got = run(rows)
+    val want = reference(rows)
+    assert(got === want)
+    assert(!got.contains(40L))
+    // the constructed vocab separates: curated keep, crawl drop
+    assert(got.filter(_._2._1).values.forall(_._4))
+    assert(got.filterNot(_._2._1).values.forall(!_._4))
+  }
+
+  test("matches the plain-Scala reference over the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = WebCurationQueries.q102QualityClassifier(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got === reference(docs))
+    assert(got.nonEmpty)
+  }
+}

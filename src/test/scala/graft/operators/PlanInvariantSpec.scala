@@ -34,7 +34,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q95: the BNLJs are 1-row broadcasts of the node-count scalar
     "q95_pagerank",
     // q97: the BNLJ is the 1-row broadcast of the pair-total scalar
-    "q97_pmi_pairs")
+    "q97_pmi_pairs",
+    // q102: the BNLJ is the 1-row broadcast of the class-total scalars
+    // (the weight table itself travels by broadcast HASH join — bounded
+    // at 4096 rows by construction)
+    "q102_quality_classifier")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

@@ -160,6 +160,22 @@ class WebCurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got == "the quick brownfox jumps 42 times")
   }
 
+  test("q88 classifier flag tightens the quality gate monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val off = WebCurationQueries.q88WebCuration(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    spark.conf.set(WebCurationQueries.UseClassifierConf, "true")
+    try {
+      val on = WebCurationQueries.q88WebCuration(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(on.keySet === off.keySet)
+      // rules AND model can only shrink the survivor count, and the
+      // model must actually bite somewhere on the real corpus
+      assert(on.forall { case (src, n) => n <= off(src) })
+      assert(on.values.sum < off.values.sum)
+    } finally spark.conf.unset(WebCurationQueries.UseClassifierConf)
+  }
+
   test("q87 mean-word-len band is a strict integer comparison (no float drift)") {
     // 10 words, sum_len 51 => mean 5.1 > 5.0 band: r_meanlen false
     val over = Seq.fill(9)("fiver") ++ Seq("sixers")  // 9*5 + 6 = 51
