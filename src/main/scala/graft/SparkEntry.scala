@@ -40,7 +40,10 @@ object SparkEntry {
       ("q98_image_phash" -> (graft.multimodal.MultimodalOps.q98ImagePhash _)) +
       // Audio fingerprint near-dup (r9: the WAV twin of q98 — energy-
       // envelope hash through the real header, same banded census).
-      ("q99_audio_fingerprint" -> (graft.multimodal.MultimodalOps.q99AudioFingerprint _))
+      ("q99_audio_fingerprint" -> (graft.multimodal.MultimodalOps.q99AudioFingerprint _)) +
+      // Video fingerprint near-dup (r10: frame-sampled twin over the
+      // GRFT multi-frame stub — per-frame envelope hash, same census).
+      ("q103_video_fingerprint" -> (graft.multimodal.MultimodalOps.q103VideoFingerprint _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -52,5 +55,6 @@ object SparkEntry {
       GraphQueries.oracle +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
       ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
-      ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle)
+      ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle) +
+      ("q103_video_fingerprint" -> graft.multimodal.MultimodalOps.q103Oracle)
 }

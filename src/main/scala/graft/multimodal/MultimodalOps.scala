@@ -754,6 +754,128 @@ object MultimodalOps {
     fingerprintCensus(hashed, AuHamT)
   }
 
+  // ---- Q103: video fingerprint near-dup (frame-sampled, GRFT stub) ----
+
+  /** Hamming radius for "visually near" across the two sampled frames. */
+  private[multimodal] val VidHamT = 6
+
+  /** Envelope windows per frame hash (16 gradient bits need 17 windows —
+    * also the minimum per-frame byte count). */
+  private[multimodal] val VidWindows = 17
+
+  /** 32-bit frame-sampled video fingerprint over the GRFT multi-frame
+    * stub, as four 8-bit bands: sample frames 0 and 2 (every-2nd-frame
+    * sampling — the [[frameSample]] stride applied to the dedup path),
+    * hash each frame's bytes with the q99 envelope-gradient kernel (17
+    * equal windows → truncating mean → 16 bits), and concatenate the two
+    * frame hashes. This is the video-side shot-fingerprint idea (TMK/
+    * videntifier-style frame-level hashing reduced to its exact-integer
+    * core): near-dup videos share most frame envelopes, re-encodes and
+    * trims disturb few bits. The CODEC is the documented GRFT stub — a
+    * real deployment swaps ffmpeg frame decode into the same
+    * mapPartitions slot; everything else (frame addressing through the
+    * header, banding, census) is the shipped shape.
+    *
+    * Preconditions (mirrored in the oracle): kind "vide", ≥ 3 frames (so
+    * frame 2 exists), ≥ [[VidWindows]] bytes per frame. Malformed rows
+    * drop (tolerant-reader contract). */
+  def videoFingerprint(b: Array[Byte]): Option[Array[Int]] =
+    decodeFake(b).filter { m =>
+      m.kind == "vide" && m.n_frames >= 3 &&
+        (b.length - HeaderLen) / m.n_frames >= VidWindows
+    }.map { m =>
+      val per = (b.length - HeaderLen) / m.n_frames
+      def frameHash(f: Int): Int = {
+        val base = HeaderLen + f * per
+        val env = new Array[Int](VidWindows)
+        var w = 0
+        while (w < VidWindows) {
+          val from = w * per / VidWindows
+          val until = (w + 1) * per / VidWindows
+          var s = 0L
+          var i = from
+          while (i < until) { s += (b(base + i) & 0xff); i += 1 }
+          env(w) = (s / (until - from)).toInt
+          w += 1
+        }
+        var h = 0
+        var j = 0
+        while (j < 16) { if (env(j) < env(j + 1)) h |= 1 << j; j += 1 }
+        h
+      }
+      val h0 = frameHash(0)
+      val h2 = frameHash(2)
+      Array(h0 & 0xff, (h0 >> 8) & 0xff, h2 & 0xff, (h2 >> 8) & 0xff)
+    }
+
+  /** Q103 — video near-dup census: the multi-frame twin of q98/q99.
+    * Frame-sample each GRFT video (frames 0 and 2), fingerprint, and run
+    * the SAME [[fingerprintCensus]] tail (exact family + banded LSH +
+    * exact hamming verify, hot buckets capped). ASCII docs only — the
+    * oracle re-derives payload bytes as ascii(substr(...)), the declared
+    * q98/q99 precondition. */
+  def q103VideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = graft.operators.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull && col("doc_id") % 3 === 2 &&
+        octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => Media(id, encodeFake(id, t.getBytes("UTF-8"))) }
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          videoFingerprint(m.content).map { bs =>
+            val phash = (0 until 32)
+              .map(j => if ((bs(j / 8) >> (j % 8) & 1) == 1) '1' else '0')
+              .mkString
+            (m.media_id, phash, bs(0), bs(1), bs(2), bs(3))
+          }
+        }
+      }
+      .toDF("doc_id", "phash", "b0", "b1", "b2", "b3")
+    fingerprintCensus(hashed, VidHamT)
+  }
+
+  /** DuckDB twin of [[q103VideoFingerprint]]: GRFT payload byte i of doc
+    * d is text byte i (the stub header is [[HeaderLen]] bytes, payload is
+    * the raw text), frames = 1 + id%10 ([[encodeFake]]), per-frame byte
+    * count = blen // frames, and on the ASCII-restricted corpus text byte
+    * i == ascii(substr(i+1)). Same windows, truncating means, gradient
+    * bits, band packing, and census arithmetic. */
+  val q103Oracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    1 + ((doc_id % 10) + 10) % 10 AS frames,
+       |    octet_length(encode(text)) AS blen
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND ((doc_id % 3) + 3) % 3 = 2
+       |    AND octet_length(encode(text)) = length(text)),
+       |s AS (
+       |  SELECT doc_id, text, frames, blen, blen // frames AS per
+       |  FROM b WHERE frames >= 3 AND blen // frames >= $VidWindows),
+       |e AS (
+       |  SELECT doc_id,
+       |    list_transform(range($VidWindows), w ->
+       |      list_sum(list_transform(range(w*per//$VidWindows, (w+1)*per//$VidWindows), i ->
+       |        ascii(substr(text, i + 1, 1)))) // ((w+1)*per//$VidWindows - w*per//$VidWindows)) AS e0,
+       |    list_transform(range($VidWindows), w ->
+       |      list_sum(list_transform(range(w*per//$VidWindows, (w+1)*per//$VidWindows), i ->
+       |        ascii(substr(text, 2*per + i + 1, 1)))) // ((w+1)*per//$VidWindows - w*per//$VidWindows)) AS e1
+       |  FROM s),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_aggr(list_transform(range(32), j ->
+       |      CASE WHEN (CASE WHEN j < 16 THEN e0[(j%16)+1] ELSE e1[(j%16)+1] END)
+       |              < (CASE WHEN j < 16 THEN e0[(j%16)+2] ELSE e1[(j%16)+2] END)
+       |           THEN '1' ELSE '0' END), 'string_agg', '') AS phash,
+       |    list_transform(range(4), k ->
+       |      list_sum(list_transform(range(8), t ->
+       |        CASE WHEN (CASE WHEN (k*8+t) < 16 THEN e0[((k*8+t)%16)+1] ELSE e1[((k*8+t)%16)+1] END)
+       |                < (CASE WHEN (k*8+t) < 16 THEN e0[((k*8+t)%16)+2] ELSE e1[((k*8+t)%16)+2] END)
+       |             THEN CAST(pow(2, t) AS BIGINT) ELSE 0 END))) AS bands
+       |  FROM e),
+       |${censusOracleTail(VidHamT)}""".stripMargin
+
   /** DuckDB twin of [[q99AudioFingerprint]]: sample i of doc d is the
     * int16-LE pair (text byte 2i, 2i+1) — the WAV data chunk is the text
     * truncated to whole frames ([[mediaFromDocsReal]]), so n_samples =

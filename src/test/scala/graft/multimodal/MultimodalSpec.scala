@@ -331,6 +331,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("videoFingerprint reads the stub header: gradient bits match hand math") {
+    // id=2 -> kind vide, frames=3; payload 51 bytes -> per=17, so every
+    // envelope window is ONE byte and the gradient is hand-readable:
+    // frame0 ascending -> all 16 bits set; frame2 descending -> none.
+    val payload = new Array[Byte](51)
+    for (i <- 0 until 17) payload(i) = i.toByte               // frame 0
+    for (i <- 0 until 17) payload(34 + i) = (16 - i).toByte   // frame 2
+    val bs = MultimodalOps.videoFingerprint(MultimodalOps.encodeFake(2L, payload))
+    assert(bs.isDefined)
+    assert(bs.get.toSeq === Seq(255, 255, 0, 0))
+    // frame 1 is NOT sampled: editing it must not move the fingerprint
+    val edited = payload.clone(); edited(20) = 99
+    assert(MultimodalOps.videoFingerprint(MultimodalOps.encodeFake(2L, edited))
+      .get.toSeq === Seq(255, 255, 0, 0))
+  }
+
+  test("videoFingerprint preconditions drop, never throw") {
+    val p = new Array[Byte](51)
+    // kind audi (id%3==1)
+    assert(MultimodalOps.videoFingerprint(MultimodalOps.encodeFake(1L, p)).isEmpty)
+    // frames = 1 + 11%10 = 2 < 3 (and 11%3 == 2 so kind IS vide)
+    assert(MultimodalOps.videoFingerprint(MultimodalOps.encodeFake(11L, p)).isEmpty)
+    // per = 50/3 = 16 < 17 windows
+    assert(MultimodalOps.videoFingerprint(
+      MultimodalOps.encodeFake(2L, new Array[Byte](50))).isEmpty)
+    // malformed container
+    assert(MultimodalOps.videoFingerprint("nope".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("q103 family and near censuses are internally consistent on sf0.001") {
+    val out = MultimodalOps.q103VideoFingerprint(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(1)).foreach { case (ph, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length), s"n_exact wrong for $ph")
+      assert(rows.count(_.getBoolean(3)) === 1, s"one canonical per family $ph")
+    }
+    val n = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    out.filter(_.getLong(4) > 0).foreach(r =>
+      assert(!r.isNullAt(5) && n(r.getLong(5)) > 0))
+  }
+
   test("fingerprintCensus skips hot band buckets but keeps cold-band pairs") {
     import spark.implicits._
     // degenerate family: 50 identical fingerprints — every band bucket
