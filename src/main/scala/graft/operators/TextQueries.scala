@@ -653,9 +653,6 @@ object TextQueries {
     * here; tools/PerplexitySmoke races it against the retired r8
     * formulation on a vocab-heavy synthetic corpus. */
   private[graft] def perplexitySplit(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    import spark.implicits._
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
@@ -676,24 +673,16 @@ object TextQueries {
             expr("aggregate(terms, 0.0D, (a, t) -> a + t.ln_cnt)") / col("n_tokens"),
           6).as("h_nats"))
 
-    // exact rank via range partition + local row_number + offset join
-    val parted = Materialize.materialize(
-      scored.repartitionByRange(col("h_nats"), col("doc_id"))
-        .sortWithinPartitions(col("h_nats").asc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id())
-        .withColumn("local_rn", row_number().over(
-          Window.partitionBy(col("pid")).orderBy(col("h_nats").asc, col("doc_id").asc))))
-    val partCounts = parted.groupBy(col("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = partCounts.map(_._2).sum
-    val offsets = partCounts.map(_._1).zip(
-      partCounts.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    // exact rank via the shared range-partition + offset-join helper
+    // (extracted to GlobalRank, VERDICT r9 #9 — property-spec'd against
+    // the global-window formulation it replaces)
+    val (ranked, n) = GlobalRank.withGlobalRank(scored, "rank",
+      Seq(col("h_nats").asc, col("doc_id").asc))
     val (q3, rem) = (n / 3, n % 3)
     val b1 = q3 + (if (rem >= 1) 1L else 0L)
     val b2 = b1 + q3 + (if (rem >= 2) 1L else 0L)
 
-    parted.join(broadcast(offsets.toDF("pid", "off")), "pid")
-      .withColumn("rank", col("off") + col("local_rn"))
+    ranked
       .select(col("doc_id"), col("n_tokens"), col("h_nats"),
         when(col("rank") <= b1, 1).when(col("rank") <= b2, 2).otherwise(3)
           .cast("int").as("bucket"))
