@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev knob: extra -D flags for the FORKED JVM (sbt's own -D stops at the
+  // sbt JVM), e.g. SPARK_GRAFT_JAVA_OPTS="-Dspark.graft.spans.skewSafe=false"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

@@ -507,6 +507,15 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset(DedupQueries.SpanTokensKey)
   }
 
+  test("q77 census and window formulations are row-identical on the real corpus") {
+    val docs = graft.operators.Tables.documents(spark, "/root/testdata/sf0.001")
+    val census = DedupQueries.spanDedup(docs, skewSafe = true)
+      .collect().map(_.toString).sorted
+    val window = DedupQueries.spanDedup(docs, skewSafe = false)
+      .collect().map(_.toString).sorted
+    assert(census.nonEmpty && census.sameElements(window))
+  }
+
   /** Independent reference Levenshtein: textbook two-row DP. */
   private def levRef(a: String, b: String): Int = {
     var prev = (0 to b.length).toArray
