@@ -89,7 +89,10 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
       "src/main/scala/graft/tools/CanonicalSmoke.scala",
       "src/main/scala/graft/tools/HotSpanSmoke.scala",
       "src/main/scala/graft/tools/DomainCapSmoke.scala",
-      "src/main/scala/graft/tools/PerplexitySmoke.scala")
+      "src/main/scala/graft/tools/PerplexitySmoke.scala",
+      // r10: BPE smoke pins its generated corpus outside the timed
+      // region — same measurement-isolation use as the other smokes
+      "src/main/scala/graft/tools/BpeSmoke.scala")
     val root = java.nio.file.Paths.get("src/main/scala")
     val offenders = java.nio.file.Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".scala"))
