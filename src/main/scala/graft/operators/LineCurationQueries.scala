@@ -207,11 +207,60 @@ object LineCurationQueries {
           .as("clean_text"))
   }
 
+  // ---- Q105: intra-document repeated-paragraph removal ----
+
+  /** Words per synthetic paragraph for q105's enrichment. */
+  private[operators] val ParaWords = 6
+
+  /** Q105 — INTRA-document repeated-paragraph removal with order-preserving
+    * reassembly (the RefinedWeb/Dolma in-page dedup step — crawled pages
+    * repeat nav blocks and footers WITHIN a page; q91 removes lines that
+    * repeat ACROSS pages, this removes paragraphs that repeat INSIDE one).
+    * Keep-first semantics: a paragraph survives iff its first occurrence
+    * index equals its own index.
+    *
+    * The word-salad corpus has no paragraph structure, so — the q38/q84
+    * enrichment pattern — each doc is reshaped into [[ParaWords]]-word
+    * paragraphs and deterministic duplicates are injected from its own
+    * doc_id strata (doc_id%2: para 1 re-appended; doc_id%3: para 2 — both
+    * 1-based, mirrored exactly in the oracle), covering none/one/both and
+    * keep-first across the corpus.
+    *
+    * Scale shape: ONE narrow codegen'd projection — split, chunk, inject,
+    * index-aware `filter` (first-position == index), md5 of the rejoined
+    * survivors — zero shuffles until the output sort. The in-array
+    * first-position probe is O(paras²) per doc with paras bounded by
+    * page size: at 100 TB this rides the scan for free, the cheapest
+    * possible shape (contrast q91, which must census across docs). */
+  def q105ParaDedup(spark: SparkSession, dir: String): DataFrame =
+    paraDedup(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+
+  private[graft] def paraDedup(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("paras", expr(
+        s"transform(sequence(0, cast((size(w) + $ParaWords - 1) div $ParaWords as int) - 1), " +
+          s"i -> concat_ws(' ', slice(w, i * $ParaWords + 1, $ParaWords)))"))
+      .withColumn("paras", concat(col("paras"),
+        when(col("doc_id") % 2 === 0 && size(col("paras")) >= 1,
+          array(element_at(col("paras"), 1)))
+          .otherwise(expr("cast(array() as array<string>)")),
+        when(col("doc_id") % 3 === 0 && size(col("paras")) >= 2,
+          array(element_at(col("paras"), 2)))
+          .otherwise(expr("cast(array() as array<string>)"))))
+      .withColumn("keep",
+        expr("filter(paras, (p, i) -> array_position(paras, p) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(col("keep")).cast("long").as("n_kept"),
+        md5(concat_ws(" | ", col("keep"))).as("doc_md5"))
+
   // ---- catalog wiring ----
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q90_line_quality" -> (q90LineQuality _),
     "q91_boilerplate_lines" -> (q91BoilerplateLines _),
+    "q105_para_dedup" -> (q105ParaDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -242,5 +291,18 @@ object LineCurationQueries {
          |  CAST(len(list_filter(lines, l -> list_contains(b.bl, md5(l)))) AS BIGINT) AS n_boiler,
          |  array_to_string(list_filter(lines, l -> NOT list_contains(b.bl, md5(l))), chr(10)) AS clean_text
          |FROM x, b ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q105_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |     WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, list_transform(range((len(w) + $ParaWords - 1) // $ParaWords),
+         |    i -> array_to_string(list_slice(w, i * $ParaWords + 1, i * $ParaWords + $ParaWords), ' ')) AS paras FROM t),
+         |p2 AS (SELECT doc_id, paras
+         |  || CASE WHEN doc_id % 2 = 0 AND len(paras) >= 1 THEN [paras[1]] ELSE [] END
+         |  || CASE WHEN doc_id % 3 = 0 AND len(paras) >= 2 THEN [paras[2]] ELSE [] END AS paras FROM p),
+         |k AS (SELECT doc_id, paras, list_filter(paras, (x, i) -> list_position(paras, x) = i) AS keep FROM p2)
+         |SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras,
+         |  CAST(len(keep) AS BIGINT) AS n_kept,
+         |  md5(array_to_string(keep, ' | ')) AS doc_md5
+         |FROM k ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

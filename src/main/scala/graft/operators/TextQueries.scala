@@ -522,6 +522,94 @@ object TextQueries {
       s"SELECT * FROM ($unions) ORDER BY step NULLS FIRST"
   }
 
+  // ---- Q104: BPE tokenizer APPLY (train -> encode the corpus) ----
+
+  /** Q104 — apply the q101-trained tokenizer to the corpus: per-document
+    * BPE token counts, the number every budget/packing/mixture decision
+    * downstream actually consumes (q63 packs and q70 mixes by WHITESPACE
+    * tokens today; a real pipeline budgets by tokenizer output — this is
+    * the train→apply half q101 was missing).
+    *
+    * Shape: train once (the q101 loop; the merge table is ≤ [[BpeRounds]]
+    * rows — a bounded collect, the codebook discipline), then encoding is
+    * a CHAIN OF LITERAL `replace`s compiled into one codegen'd projection
+    * — the tokenizer travels inside the plan like the IVF codebook, not
+    * as a joined table. Applied over the per-(doc_id, word) census, so
+    * the chain runs once per distinct word PER DOC (within-doc collapse;
+    * map-side partials collapse hot words before the shuffle), not per
+    * occurrence. Two stream-sized shuffles total: the (doc_id, word)
+    * census and the per-doc re-aggregation. A corpus-level vocab map
+    * (cross-doc collapse) would trade the 8-replace chain — trivial,
+    * codegen'd — for a third shuffle plus a join; measured unnecessary.
+    *
+    * Greedy-merge parity with a symbol-walking tokenizer is inherited
+    * from q101's bracket encoding (left-to-right non-overlapping replace
+    * IS BPE's application order; validated against an independent Python
+    * symbol-tuple implementation at sf0.01, exact match). Like q101/q94
+    * the entry is EAGER at construction (training must run to know the
+    * merge literals). Early exhaustion just means a shorter chain; the
+    * oracle's sentinel-guarded replaces (coalesce to '|', absent from the
+    * enc alphabet `&lt;&gt;a-z0-9`) degrade to identity in the same
+    * rounds, so both engines encode with the same effective merge list. */
+  def q104BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(spark, dir).filter(col("text").isNotNull), BpeRounds)
+
+  /** The q104 body over ANY (doc_id, text) frame — spec'd on constructed
+    * corpora next to [[bpeTrain]]. */
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    // ≤ `rounds` rows by construction — the bounded-collect discipline.
+    val merges = bpeTrain(docs, rounds).collect()
+    val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
+      (c, m) =>
+        val pair = m.getString(1)
+        replace(c, lit(pair), lit(pair.replace("><", "")))
+    }
+    docs
+      .select(col("doc_id"),
+        explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[q104BpeEncode]]: the q101 CTE training prefix
+    * (with `word` carried through the re-encode rounds so the final
+    * e-stage doubles as the word→token-count map), sentinel-guarded
+    * against early exhaustion, then the same per-(doc, word) census
+    * joined to the map. Generated by the same Scala loop. */
+  private[operators] def bpeApplyOracleSql(rounds: Int): String = {
+    val norm = s"trim(regexp_replace(regexp_replace(translate(text, " +
+      s"'${WebCurationQueries.Upper}', '${WebCurationQueries.Lower}'), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val head = Seq(
+      s"w AS (SELECT doc_id, $norm AS t FROM documents WHERE text IS NOT NULL)",
+      "pd AS MATERIALIZED (SELECT doc_id, word, COUNT(*) AS cnt FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM w) WHERE word <> '' GROUP BY doc_id, word)",
+      "v0 AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS freq FROM pd GROUP BY word)",
+      "e0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS enc, freq FROM v0)")
+    val perRound = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"p$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (" +
+          "SELECT freq, unnest(list_transform(range(len(s)-1), i -> '<' || s[i+1] || '><' || s[i+2] || '>')) AS pair " +
+          s"FROM (SELECT string_split(substr(enc, 2, length(enc)-2), '><') AS s, freq FROM e$p)) GROUP BY pair)",
+        s"t$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1)",
+        s"e$r AS MATERIALIZED (SELECT word, replace(enc, " +
+          s"coalesce((SELECT pair FROM t$r), '|'), " +
+          s"coalesce((SELECT replace(pair, '><', '') FROM t$r), '|')) AS enc, freq FROM e$p)")
+    }
+    val tail =
+      s"map AS (SELECT word, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_tok FROM e$rounds)\n" +
+        "SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) AS n_words, " +
+        "CAST(SUM(pd.cnt * map.n_tok) AS BIGINT) AS n_tokens " +
+        "FROM pd JOIN map USING (word) GROUP BY pd.doc_id ORDER BY pd.doc_id NULLS FIRST"
+    (head ++ perRound :+ tail).mkString("WITH ", ",\n", "")
+  }
+
   /** Q69 — document chunking: fixed token windows with stride overlap
     * (64-token windows every 48 tokens) — the segmentation step before the
     * embedding stage of a RAG/training pipeline (long docs exceed the
@@ -741,6 +829,7 @@ object TextQueries {
     "q67_repetition" -> (q67Repetition _),
     "q68_bpe_pairs" -> (q68BpePairs _),
     "q101_bpe_train" -> (q101BpeTrain _),
+    "q104_bpe_encode" -> (q104BpeEncode _),
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
@@ -749,6 +838,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
+    "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
     "q97_pmi_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents WHERE text IS NOT NULL),

@@ -50,6 +50,59 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Seq((1, "<l><o>", "lo", 3L)))
   }
 
+  private def encode(docs: Seq[(Long, String)], rounds: Int) =
+    TextQueries.bpeEncode(docs.toDF("doc_id", "text"), rounds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("encode applies the trained merges: hand-computed per-doc token counts") {
+    // vocab low:3 lower:1 newest:1 -> r1 (l,o) [tie with (o,w), asc],
+    // r2 (lo,w):4. Final: low=<low> 1 tok, lower=<low><e><r> 3,
+    // newest 6 (untouched).
+    val got = encode(Seq(1L -> "low lower", 2L -> "low newest low"), 2)
+    assert(got === Seq((1L, 2L, 4L), (2L, 3L, 8L)))
+  }
+
+  test("encode with zero merges counts characters; exhausted corpora count words") {
+    // rounds=0: every word is its character count
+    assert(encode(Seq(1L -> "ab cd"), 0) === Seq((1L, 2L, 4L)))
+    // single-char words exhaust training immediately: tokens == words
+    assert(encode(Seq(1L -> "a b", 2L -> "c a"), 8) ===
+      Seq((1L, 2L, 2L), (2L, 2L, 2L)))
+  }
+
+  test("encode normalizes before tokenizing (case fold, punctuation strip)") {
+    // 'LOW!' ≡ 'low'; one round merges (l,o) -> low = <lo><w> = 2 toks
+    assert(encode(Seq(1L -> "LOW! low"), 1) === Seq((1L, 2L, 4L)))
+  }
+
+  test("census-form token totals equal a per-occurrence brute-force encode (real corpus)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val merges = TextQueries.bpeTrain(docs, TextQueries.BpeRounds).collect()
+    val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
+      (c, m) =>
+        val pair = m.getString(1)
+        replace(c, lit(pair), lit(pair.replace("><", "")))
+    }
+    // brute force: encode EVERY occurrence, no (doc_id, word) collapse
+    val brute = docs
+      .select(col("doc_id"), explode(split(
+        WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("n_tok",
+        (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val census = TextQueries.bpeEncode(docs, TextQueries.BpeRounds)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(census === brute)
+    assert(census.nonEmpty)
+    // every doc: n_words <= n_tokens (a token never spans a word)
+    assert(census.values.forall { case (w, t) => t >= w })
+  }
+
   test("q101 catalog entry returns BpeRounds merges on the real corpus") {
     val out = TextQueries.q101BpeTrain(spark, "/root/testdata/sf0.001")
       .collect()

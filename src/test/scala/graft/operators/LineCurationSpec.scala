@@ -121,4 +121,47 @@ class LineCurationSpec extends AnyFunSuite with SparkTestSession {
     // distinct inner-'?' queries must stay distinct canonical forms
     assert(canon("https://h.com/x?a=1?b=2") !== canon("https://h.com/x?a=1?c=3"))
   }
+
+  // ---- q105 ----
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def para(rows: (Long, String)*) =
+    LineCurationQueries.paraDedup(docs(rows: _*)).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+  test("q105 injects both strata for doc_id % 6 == 0 and removes them keep-first") {
+    // 7 words -> paras [p0='a b c d e f', p1='g']; %2 appends p0, %3
+    // appends p1 -> [p0,p1,p0,p1]; keep-first -> [p0,p1]
+    assert(para(6L -> "a b c d e f g") ===
+      Seq((6L, 4L, 2L, md5hex("a b c d e f | g"))))
+  }
+
+  test("q105 single-stratum and no-stratum docs") {
+    // doc 1: no injection at all
+    assert(para(1L -> "x y") === Seq((1L, 1L, 1L, md5hex("x y"))))
+    // doc 2: %2 only -> p0 appended; 12 words -> 2 paras
+    val p0 = "a b c d e f"; val p1 = "g h i j k l"
+    assert(para(2L -> s"$p0 $p1") ===
+      Seq((2L, 3L, 2L, md5hex(s"$p0 | $p1"))))
+    // doc 3: %3 wants para 2 — but a 1-para doc has none to inject
+    assert(para(3L -> "only five words right here x").head match {
+      case (3L, 1L, 1L, _) => true; case _ => false
+    })
+  }
+
+  test("q105 removes naturally repeated paragraphs, preserving first-occurrence order") {
+    // words 1-6 == words 13-18; doc 1 -> no injection. paras [A, B, A]
+    val a = "w1 w2 w3 w4 w5 w6"; val b = "x1 x2 x3 x4 x5 x6"
+    assert(para(1L -> s"$a $b $a") ===
+      Seq((1L, 3L, 2L, md5hex(s"$a | $b"))))
+  }
+
+  test("q105 is a single narrow projection: no shuffle in the plan") {
+    val plan = LineCurationQueries.paraDedup(docs(1L -> "a b c"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
