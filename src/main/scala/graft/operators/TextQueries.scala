@@ -610,6 +610,87 @@ object TextQueries {
     (head ++ perRound :+ tail).mkString("WITH ", ",\n", "")
   }
 
+  // ---- Q106: per-language tokenizer fertility audit ----
+
+  /** Q106 — per-language tokenizer FERTILITY (chars/token, milli fixed-
+    * point): the standard tokenizer-eval table a vocab team reads before
+    * shipping a tokenizer — a language whose chars-per-token is low pays
+    * more tokens per character of text, i.e. the tokenizer under-serves
+    * it (Rust et al. 2021's fertility metric, applied corpus-side).
+    * Composes the q101 trained merges with the q104 apply chain, grouped
+    * by the corpus `lang` column instead of doc.
+    *
+    * Shape: training is the q101 loop (bounded merge collect); the
+    * fertility table is ONE (lang, word) census — map-side partials
+    * collapse each language's Zipf head before the shuffle — under the
+    * same codegen'd literal-replace chain, re-aggregated to |langs| rows.
+    * cpt_milli is integer fixed-point (chars×1000 div tokens), so both
+    * engines derive every cell bit-for-bit. EAGER at construction like
+    * q101/q104 (training must run first). */
+  def q106TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    tokenizerFertility(
+      Tables.documents(spark, dir).filter(col("text").isNotNull), BpeRounds)
+
+  /** The q106 body over ANY (lang, text) frame. Trains on the WHOLE
+    * corpus (the q101/q104 tokenizer — one tokenizer, per-lang audit),
+    * then groups the encoded census by `lang`; a null lang is its own
+    * group on both engines. */
+  private[graft] def tokenizerFertility(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = bpeTrain(docs, rounds).collect()
+    val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
+      (c, m) =>
+        val pair = m.getString(1)
+        replace(c, lit(pair), lit(pair.replace("><", "")))
+    }
+    docs
+      .select(col("lang"),
+        explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("n_tok",
+        (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        sum(col("cnt") * length(col("word"))).as("n_chars"))
+      .withColumn("cpt_milli", expr("n_chars * 1000 div n_tokens"))
+      .orderBy(col("lang").asc_nulls_first)
+  }
+
+  /** DuckDB twin of [[q106TokenizerFertility]]: the q104 CTE training
+    * prefix with the census keyed by (lang, word); the training vocab
+    * aggregates the SAME census over word, so both tokenizers are
+    * identical by construction. Generated by the same Scala loop. */
+  private[operators] def bpeFertilityOracleSql(rounds: Int): String = {
+    val norm = s"trim(regexp_replace(regexp_replace(translate(text, " +
+      s"'${WebCurationQueries.Upper}', '${WebCurationQueries.Lower}'), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val head = Seq(
+      s"w AS (SELECT lang, $norm AS t FROM documents WHERE text IS NOT NULL)",
+      "pl AS MATERIALIZED (SELECT lang, word, COUNT(*) AS cnt FROM (SELECT lang, unnest(string_split(t, ' ')) AS word FROM w) WHERE word <> '' GROUP BY lang, word)",
+      "v0 AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS freq FROM pl GROUP BY word)",
+      "e0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS enc, freq FROM v0)")
+    val perRound = (1 to rounds).flatMap { r =>
+      val p = r - 1
+      Seq(
+        s"p$r AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (" +
+          "SELECT freq, unnest(list_transform(range(len(s)-1), i -> '<' || s[i+1] || '><' || s[i+2] || '>')) AS pair " +
+          s"FROM (SELECT string_split(substr(enc, 2, length(enc)-2), '><') AS s, freq FROM e$p)) GROUP BY pair)",
+        s"t$r AS MATERIALIZED (SELECT pair, n FROM p$r ORDER BY n DESC, pair ASC LIMIT 1)",
+        s"e$r AS MATERIALIZED (SELECT word, replace(enc, " +
+          s"coalesce((SELECT pair FROM t$r), '|'), " +
+          s"coalesce((SELECT replace(pair, '><', '') FROM t$r), '|')) AS enc, freq FROM e$p)")
+    }
+    val tail =
+      s"map AS (SELECT word, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_tok FROM e$rounds)\n" +
+        "SELECT pl.lang, CAST(SUM(pl.cnt) AS BIGINT) AS n_words, " +
+        "CAST(SUM(pl.cnt * map.n_tok) AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(pl.cnt * length(pl.word)) AS BIGINT) AS n_chars, " +
+        "CAST(SUM(pl.cnt * length(pl.word)) * 1000 // SUM(pl.cnt * map.n_tok) AS BIGINT) AS cpt_milli " +
+        "FROM pl JOIN map USING (word) GROUP BY pl.lang ORDER BY pl.lang NULLS FIRST"
+    (head ++ perRound :+ tail).mkString("WITH ", ",\n", "")
+  }
+
   /** Q69 — document chunking: fixed token windows with stride overlap
     * (64-token windows every 48 tokens) — the segmentation step before the
     * embedding stage of a RAG/training pipeline (long docs exceed the
@@ -830,6 +911,7 @@ object TextQueries {
     "q68_bpe_pairs" -> (q68BpePairs _),
     "q101_bpe_train" -> (q101BpeTrain _),
     "q104_bpe_encode" -> (q104BpeEncode _),
+    "q106_tokenizer_fertility" -> (q106TokenizerFertility _),
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
@@ -839,6 +921,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
     "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
+    "q106_tokenizer_fertility" -> bpeFertilityOracleSql(BpeRounds),
     "q97_pmi_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents WHERE text IS NOT NULL),

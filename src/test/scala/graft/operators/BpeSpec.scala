@@ -103,6 +103,28 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(census.values.forall { case (w, t) => t >= w })
   }
 
+  test("fertility groups the encoded census by lang with fixed-point chars/token") {
+    val docs = Seq(
+      ("en", "low lower"),      // 2 words, 8 chars
+      ("de", "low newest low")  // 3 words, 12 chars
+    ).toDF("lang", "text")
+    // 2 rounds as in the encode pin: low=1 tok, lower=3, newest=6
+    val got = TextQueries.tokenizerFertility(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("de", 3L, 8L, 12L, 1500L),   // 1+6+1 toks, 12*1000/8
+      ("en", 2L, 4L, 8L, 2000L)))   // 1+3 toks, 8*1000/4
+  }
+
+  test("fertility trains ONE tokenizer on the whole corpus, not per language") {
+    // 'zz' dominates only via the de rows; if training were per-lang the
+    // en row's 'zz' would not merge. One tokenizer -> en's zz is 1 token.
+    val docs = (Seq.fill(5)(("de", "zz")) :+ (("en", "zz"))).toDF("lang", "text")
+    val got = TextQueries.tokenizerFertility(docs, 1).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got === Map("de" -> 5L, "en" -> 1L)) // every zz = 1 merged token
+  }
+
   test("q101 catalog entry returns BpeRounds merges on the real corpus") {
     val out = TextQueries.q101BpeTrain(spark, "/root/testdata/sf0.001")
       .collect()
