@@ -460,6 +460,36 @@ object SimilarityQueries {
       cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame =
     topKScored(ivfAnnScored(spark, dir, cells, probes, lloydRounds))
 
+  /** Q107 — ANN recall audit: per-query recall@k of the production IVF
+    * path ([[q42IvfAnn]]) against the exact brute-force top-k
+    * ([[q26KnnExact]]) on the same bounded query sample — the measurement
+    * a serving team reads before trading exactness for probe budget
+    * (tools/RecallSweep explores the (cells, probes) space; this entry
+    * pins ONE configuration as an oracle-checked catalog row, so a
+    * codebook/probe regression fails the gate, not production).
+    *
+    * Shape: both legs are existing bounded pipelines (the exact leg
+    * broadcasts the [[QueryCount]] query rows, the IVF leg probes
+    * [[IvfProbes]] of [[IvfCells]] cells); the audit itself is a
+    * (QueryCount×TopK)-row left join + one tiny aggregate. At 100 TB
+    * recall is audited exactly this way — on a bounded query sample, with
+    * the exact denominator costing one corpus stream past a broadcast.
+    * Every stage is exact integer math with lexicographic tie-breaks, so
+    * DuckDB re-derives both top-k sets and every recall cell bit-for-bit.
+    * recall_milli is fixed-point (hits×1000 div |exact|); n_exact < TopK
+    * only when the corpus itself has fewer than TopK+1 vectors. */
+  def q107AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q26KnnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = q42IvfAnn(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_milli", expr("n_hit * 1000 div n_exact"))
+      .orderBy(col("query_id").asc)
+  }
+
   /** Per-subspace PQ codebooks: seed subspace m with the lowest [[PqK]]
     * vec_ids' m-th sub-vectors (code id = vec_id rank, like the coarse
     * seeding), then ONE exact-integer Lloyd step — assign every vector's
@@ -1105,6 +1135,7 @@ object SimilarityQueries {
     "q28_cosine_label_stats" -> (q28CosineLabelStats _),
     "q42_ann_ivf" -> (q42IvfAnn _),
     "q82_ann_ivfpq" -> (q82IvfPqAnn _),
+    "q107_ann_recall" -> (q107AnnRecall _),
     "q83_hybrid_search" -> (q83HybridSearch _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
@@ -1257,6 +1288,23 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
     "q82_ann_ivfpq" -> q82OracleSql,
+    "q107_ann_recall" ->
+      s"""WITH $coarseIvfSql,
+         |ivf_s AS (SELECT p.query_id, c.neighbor_id,
+         |    CAST(list_sum(list_transform(range($Dims), i -> p.qa[i+1] * c.qb[i+1])) AS BIGINT) AS dot
+         |  FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
+         |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ivf_s),
+         |ivf AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rn <= $TopK),
+         |ex_s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range($Dims), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
+         |  FROM q a JOIN q b ON a.vec_id < $QueryCount AND a.vec_id <> b.vec_id),
+         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ex_s),
+         |ex AS (SELECT query_id, neighbor_id FROM ex_r WHERE rn <= $TopK)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM ex e LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id NULLS FIRST""".stripMargin,
     "q83_hybrid_search" ->
       s"""WITH ${TextQueries.lexicalSqlCtes},
          |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank

@@ -38,7 +38,11 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q102: the BNLJ is the 1-row broadcast of the class-total scalars
     // (the weight table itself travels by broadcast HASH join — bounded
     // at 4096 rows by construction)
-    "q102_quality_classifier")
+    "q102_quality_classifier",
+    // q107: the BNLJ is q26's — the recall audit's exact DENOMINATOR is
+    // the declared brute-force baseline (QueryCount query rows broadcast
+    // once past the corpus); the audit join itself is QueryCount×TopK rows
+    "q107_ann_recall")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

@@ -108,6 +108,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q107 recall audit re-derives from its two legs (independent set math)") {
+    val exact = SimilarityQueries.q26KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = SimilarityQueries.q42IvfAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = exact.toSeq.sortBy(_._1).map { case (q, ex) =>
+      val hits = (ex & ivf.getOrElse(q, Set.empty)).size.toLong
+      (q, ex.size.toLong, hits, hits * 1000L / ex.size)
+    }
+    val got = SimilarityQueries.q107AnnRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    assert(got.size == SimilarityQueries.QueryCount)
+    assert(got.forall { case (_, n, h, m) => h <= n && m >= 0 && m <= 1000 })
+  }
+
+  test("recall@k reaches 1000 exactly when the probe budget covers every cell") {
+    // probes == cells searches the whole corpus: the IVF leg degenerates to
+    // exact brute force INCLUDING tie-breaks, so the audit's numerator and
+    // denominator coincide row-for-row — the identity that makes recall a
+    // pure function of the probe budget, not of scoring differences.
+    val exact = SimilarityQueries.q26KnnExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = SimilarityQueries.ivfAnnTopK(spark, dir,
+      SimilarityQueries.IvfCells, SimilarityQueries.IvfCells).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full === exact)
+  }
+
   test("q82 IVF-PQ ANN: re-rank scores are true quantized dots, shortlist " +
       "preserves most of q42's full-vector results, deterministic") {
     val ivf = SimilarityQueries.q42IvfAnn(spark, dir).collect()
