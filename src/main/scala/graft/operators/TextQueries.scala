@@ -556,7 +556,14 @@ object TextQueries {
 
   /** The q104 body over ANY (doc_id, text) frame — spec'd on constructed
     * corpora next to [[bpeTrain]]. */
-  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTokenCounts(docs, rounds).orderBy(col("doc_id"))
+
+  /** q104's per-document (n_words, n_tokens) frame WITHOUT the final
+    * presentation sort — the composable form q108's packing consumes (a
+    * sort under a join would either be dropped by the optimizer or, worse,
+    * paid for nothing). */
+  private[graft] def bpeTokenCounts(docs: DataFrame, rounds: Int): DataFrame = {
     // ≤ `rounds` rows by construction — the bounded-collect discipline.
     val merges = bpeTrain(docs, rounds).collect()
     val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
@@ -574,15 +581,14 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_tok")).as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
-  /** DuckDB twin of [[q104BpeEncode]]: the q101 CTE training prefix
-    * (with `word` carried through the re-encode rounds so the final
-    * e-stage doubles as the word→token-count map), sentinel-guarded
-    * against early exhaustion, then the same per-(doc, word) census
-    * joined to the map. Generated by the same Scala loop. */
-  private[operators] def bpeApplyOracleSql(rounds: Int): String = {
+  /** The q104 oracle's CTE prefix (shared verbatim with q108's): the q101
+    * training rounds with `word` carried through the re-encodes so the
+    * final e-stage doubles as the word→token-count map (`map`), next to
+    * the per-(doc, word) census (`pd`). Sentinel-guarded against early
+    * exhaustion; generated by the same Scala loop as the engine's chain. */
+  private def bpeApplyCtes(rounds: Int): Seq[String] = {
     val norm = s"trim(regexp_replace(regexp_replace(translate(text, " +
       s"'${WebCurationQueries.Upper}', '${WebCurationQueries.Lower}'), " +
       "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
@@ -602,12 +608,85 @@ object TextQueries {
           s"coalesce((SELECT pair FROM t$r), '|'), " +
           s"coalesce((SELECT replace(pair, '><', '') FROM t$r), '|')) AS enc, freq FROM e$p)")
     }
+    val map =
+      s"map AS (SELECT word, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_tok FROM e$rounds)"
+    head ++ perRound :+ map
+  }
+
+  /** DuckDB twin of [[q104BpeEncode]]: the shared [[bpeApplyCtes]] prefix,
+    * then the per-(doc, word) census joined to the map. */
+  private[operators] def bpeApplyOracleSql(rounds: Int): String = {
     val tail =
-      s"map AS (SELECT word, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_tok FROM e$rounds)\n" +
-        "SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) AS n_words, " +
+      "SELECT pd.doc_id, CAST(SUM(pd.cnt) AS BIGINT) AS n_words, " +
         "CAST(SUM(pd.cnt * map.n_tok) AS BIGINT) AS n_tokens " +
         "FROM pd JOIN map USING (word) GROUP BY pd.doc_id ORDER BY pd.doc_id NULLS FIRST"
-    (head ++ perRound :+ tail).mkString("WITH ", ",\n", "")
+    bpeApplyCtes(rounds).mkString("WITH ", ",\n", "\n") + tail
+  }
+
+  /** DuckDB twin of [[q108TokenPacking]]: the shared [[bpeApplyCtes]]
+    * prefix reduced to per-doc token counts, then exactly q63's packing
+    * SQL with the tokenizer counts in place of whitespace counts. */
+  private[operators] def bpePackingOracleSql(rounds: Int, budget: Long): String = {
+    val tail =
+      "tok AS (SELECT pd.doc_id, CAST(SUM(pd.cnt * map.n_tok) AS BIGINT) AS n_tokens " +
+        "FROM pd JOIN map USING (word) GROUP BY pd.doc_id),\n" +
+        "tl AS (SELECT t.doc_id, d.lang, t.doc_id % 32 AS shard, t.n_tokens " +
+        "FROM tok t JOIN documents d ON d.doc_id = t.doc_id),\n" +
+        "c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM tl)\n" +
+        s"SELECT lang, shard, CAST((cum - n_tokens) // $budget AS BIGINT) AS bin, " +
+        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens " +
+        "FROM c GROUP BY lang, shard, bin " +
+        "ORDER BY lang NULLS FIRST, shard NULLS FIRST, bin NULLS FIRST"
+    (bpeApplyCtes(rounds) :+ tail).mkString("WITH ", ",\n", "")
+  }
+
+  // ---- Q108: context-window packing by TRAINED-tokenizer counts ----
+
+  /** Context-window token budget for q108's bins. 4096 is a real context
+    * length; at the measured sf0.01 per-doc mean of ~203 BPE tokens it
+    * packs ~20 docs per bin, so the bins are genuinely multi-document at
+    * every gate SF. */
+  val TokenPackBudget = 4096L
+
+  /** Q108 — sequence packing by TRAINED-tokenizer counts: q63's
+    * greedy sequential fill (shard by doc_id, cumulative token sum within
+    * (lang, shard), bin = offset div budget), but budgeted by the q104
+    * BPE token counts instead of whitespace counts — the number a training
+    * job actually packs context windows by. Composes q101 (train) → q104
+    * (apply) → q63 (pack): the merge table is a bounded collect, the
+    * apply chain is one codegen'd projection over the per-(doc, word)
+    * census, and the only additions over q104 are a doc-grain equi-join
+    * (for `lang`) and the q63 window whose parallelism knob is the shard
+    * count — no new scale surface. EAGER at construction like q101/q104
+    * (training must run to know the merge literals).
+    *
+    * Like q63 this is sequential FILL, not bin packing: a doc larger than
+    * the budget spans bins by its start offset, and bins are per
+    * (lang, shard) so packing never crosses a language (a training batch
+    * shouldn't either). Output is the per-bin census (n_docs, sum_tokens)
+    * — the shard manifest a packing job writes. */
+  def q108TokenPacking(spark: SparkSession, dir: String): DataFrame =
+    tokenPacking(Tables.documents(spark, dir).filter(col("text").isNotNull),
+      BpeRounds, TokenPackBudget)
+
+  /** The q108 body over ANY (doc_id, lang, text) frame — spec'd on
+    * constructed corpora next to [[bpeTrain]]. */
+  private[graft] def tokenPacking(docs: DataFrame, rounds: Int,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = bpeTokenCounts(docs, rounds).select(col("doc_id"), col("n_tokens"))
+    val sharded = toks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        // sign-preserving %, matching the oracle's `doc_id % 32` (q63 pin)
+        (col("doc_id") % 32L).as("shard"), col("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("bin", floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang").asc, col("shard").asc, col("bin").asc)
   }
 
   // ---- Q106: per-language tokenizer fertility audit ----
@@ -912,6 +991,7 @@ object TextQueries {
     "q101_bpe_train" -> (q101BpeTrain _),
     "q104_bpe_encode" -> (q104BpeEncode _),
     "q106_tokenizer_fertility" -> (q106TokenizerFertility _),
+    "q108_token_packing" -> (q108TokenPacking _),
     "q69_chunking" -> (q69Chunking _),
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
@@ -922,6 +1002,7 @@ object TextQueries {
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
     "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
     "q106_tokenizer_fertility" -> bpeFertilityOracleSql(BpeRounds),
+    "q108_token_packing" -> bpePackingOracleSql(BpeRounds, TokenPackBudget),
     "q97_pmi_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents WHERE text IS NOT NULL),

@@ -125,6 +125,64 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Map("de" -> 5L, "en" -> 1L)) // every zz = 1 merged token
   }
 
+  test("token packing bins by cumulative trained-token offset within (lang, shard)") {
+    // rounds=0: n_tokens = post-normalization character count per doc.
+    // budget=5. Shard = doc_id % 32: ids 0/32/64 share shard 0.
+    //   en shard 0: doc 0 "aa bb" = 4 toks (offset 0 -> bin 0),
+    //               doc 32 "ccc" = 3 (offset 4 -> bin 0),
+    //               doc 64 "d"   = 1 (offset 7 -> bin 1)
+    //   de shard 1: doc 1 "eee ff" = 5 (offset 0 -> bin 0)
+    val docs = Seq(
+      (0L, "en", "aa bb"), (32L, "en", "ccc"), (64L, "en", "d"),
+      (1L, "de", "eee ff")).toDF("doc_id", "lang", "text")
+    val got = TextQueries.tokenPacking(docs, 0, 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      ("de", 1L, 0L, 1L, 5L),
+      ("en", 0L, 0L, 2L, 7L),
+      ("en", 0L, 1L, 1L, 1L)))
+  }
+
+  test("token packing is sequential fill: an oversized doc keeps its start-offset bin") {
+    // budget=2, rounds=0: doc 0 is 4 tokens — larger than the budget. It
+    // lands ONCE at its start offset (bin 0); the next doc starts at
+    // offset 4 -> bin 2. Fill semantics, not splitting (q63's contract).
+    val docs = Seq((0L, "en", "aaaa"), (32L, "en", "b"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextQueries.tokenPacking(docs, 0, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(("en", 0L, 0L, 1L, 4L), ("en", 0L, 2L, 1L, 1L)))
+  }
+
+  test("q108 packing re-derives from the q104 counts (real corpus differential)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val langs = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = TextQueries.bpeEncode(docs, TextQueries.BpeRounds).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val budget = TextQueries.TokenPackBudget
+    val expect = counts
+      .groupBy { case (id, _) => (langs(id), id % 32L) }
+      .toSeq.flatMap { case ((lang, shard), rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (_, toks) =>
+          val bin = cum / budget
+          cum += toks
+          ((lang, shard, bin), toks)
+        }
+      }
+      .groupBy(_._1).view
+      .mapValues(v => (v.size.toLong, v.map(_._2).sum)).toSeq
+      .map { case ((l, s, b), (n, t)) => (l, s, b, n, t) }
+      .sortBy { case (l, s, b, _, _) => (l, s, b) }
+    val got = TextQueries.q108TokenPacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("q101 catalog entry returns BpeRounds merges on the real corpus") {
     val out = TextQueries.q101BpeTrain(spark, "/root/testdata/sf0.001")
       .collect()
