@@ -937,6 +937,77 @@ object TextQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  // ---- Q109: bigram Stupid Backoff LM scoring (learned quality gate) ----
+
+  /** Q109 — bigram language-model scoring with Stupid Backoff (Brants et
+    * al. 2007): train a bigram LM on the CURATED slice of the corpus
+    * (q102's deterministic src0–src9 split — the CCNet/LLaMA "train on
+    * wiki, score the crawl" discipline), then score EVERY document by its
+    * per-bigram cross-entropy under
+    *   S(b|a) = c(a,b) / r(a)                      seen bigram
+    *   S(b|a) = 0.4 · (c(b)+1) / (N+V)             backoff (add-one unigram)
+    *   h_nats = −(Σ_i ln S(t_i | t_{i−1})) / (n−1)
+    * The learned upgrade of q94's self-trained unigram split: the model is
+    * trained on a reference slice, so out-of-domain documents genuinely
+    * exercise the backoff path (`oov_bigrams` reports how often).
+    *
+    * EXACTNESS: every ln argument is an exact integer — α = 0.4 is encoded
+    * as ln(2·(c(b)+1)) − ln(5·(N+V)), both integer-valued, so neither
+    * engine ever evaluates ln on a value the other rounded differently —
+    * terms fold in document position order with a 0.0 seed (exact in
+    * IEEE; the q94 discipline), one divide + round(6) at the end.
+    *
+    * Scale shape: censuses are vocab-/bigram-sized with map-side partials;
+    * scoring joins the per-occurrence pair stream to the censuses by
+    * co-partitioned LEFT equi-joins (the Zipf-hot head splits under AQE
+    * skew join); the only broadcast is the 1-row (N, V) total; per-doc
+    * fold state is bounded by DOC LENGTH (the q94 collect-struct shape). */
+  def q109BigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScores(Tables.documents(spark, dir))
+
+  /** The q109 body over ANY (doc_id, source, text) frame. */
+  private[graft] def bigramLmScores(docs: DataFrame): DataFrame = {
+    val pairExpr = expr(
+      "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")
+    val toksAll = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    // q102's deterministic curated-vs-crawl split (src0–src9 = curated)
+    val train = toksAll
+      .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
+      .filter(size(col("toks")) > 0)
+    val uni = train.select(explode(col("toks")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val cp = train.filter(size(col("toks")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val ra = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("r_a"))
+    val tot = uni.agg(sum(col("c_b")).as("nn"), count(lit(1)).as("vv"))
+    toksAll.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(pairExpr).as(Seq("pos", "p")))
+      .select(col("doc_id"), col("pos"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(cp, Seq("a", "b"), "left")
+      .join(ra, Seq("a"), "left")
+      .join(uni, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"),
+        when(col("c_ab").isNotNull,
+          log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))
+          .otherwise(
+            log(((coalesce(col("c_b"), lit(0L)) + lit(1L)) * lit(2L)).cast("double")) -
+              log(((col("nn") + col("vv")) * lit(5L)).cast("double"))).as("term"),
+        when(col("c_ab").isNotNull, lit(0L)).otherwise(lit(1L)).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("oov")).as("oov_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("term")))).as("terms"))
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        round(-expr("aggregate(terms, 0.0D, (a, t) -> a + t.term)") / col("n_bigrams"), 6)
+          .as("h_nats"))
+      .orderBy(col("doc_id").asc)
+  }
+
   // ---- Q97: adjacent-pair PMI (collocation mining) ----
 
   private[operators] val PmiMinCount = 5
@@ -996,6 +1067,7 @@ object TextQueries {
     "q72_rarity" -> (q72Rarity _),
     "q94_perplexity" -> (q94Perplexity _),
     "q97_pmi_pairs" -> (q97PmiPairs _),
+    "q109_bigram_lm" -> (q109BigramLm _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1003,6 +1075,34 @@ object TextQueries {
     "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
     "q106_tokenizer_fertility" -> bpeFertilityOracleSql(BpeRounds),
     "q108_token_packing" -> bpePackingOracleSql(BpeRounds, TokenPackBudget),
+    "q109_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT toks FROM t WHERE CAST(replace(source, 'src', '') AS INT) < 10 AND len(toks) > 0),
+        |u AS (SELECT unnest(toks) AS token FROM tr),
+        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_b FROM u GROUP BY token),
+        |pr AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+        |       FROM tr WHERE len(toks) >= 2),
+        |cp AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr GROUP BY p.a, p.b),
+        |ra AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS r_a FROM cp GROUP BY a),
+        |m AS (SELECT (SELECT MAP(list(a || chr(1) || b ORDER BY a, b), list(c_ab ORDER BY a, b)) FROM cp) AS mab,
+        |             (SELECT MAP(list(a ORDER BY a), list(r_a ORDER BY a)) FROM ra) AS ma,
+        |             (SELECT MAP(list(token ORDER BY token), list(c_b ORDER BY token)) FROM c) AS mb,
+        |             (SELECT SUM(c_b) FROM c) AS nn,
+        |             (SELECT COUNT(*) FROM c) AS vv),
+        |s AS (SELECT doc_id,
+        |  CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+        |  CAST(list_sum(list_transform(range(1, len(toks)),
+        |    i -> CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL THEN 0 ELSE 1 END)) AS BIGINT) AS oov_bigrams,
+        |  round(-list_reduce(list_transform(range(1, len(toks)),
+        |    i -> CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL
+        |         THEN ln(CAST(map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] AS DOUBLE))
+        |            - ln(CAST(map_extract(m.ma, toks[i])[1] AS DOUBLE))
+        |         ELSE ln(CAST(2 * (coalesce(map_extract(m.mb, toks[i+1])[1], 0) + 1) AS DOUBLE))
+        |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END),
+        |    (x, y) -> x + y) / (len(toks) - 1), 6) AS h_nats
+        |  FROM t, m WHERE len(toks) >= 2)
+        |SELECT doc_id, n_bigrams, oov_bigrams, h_nats FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q97_pmi_pairs" ->
       s"""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
          |  FROM documents WHERE text IS NOT NULL),

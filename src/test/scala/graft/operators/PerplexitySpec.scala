@@ -43,4 +43,64 @@ class PerplexitySpec extends AnyFunSuite with SparkTestSession {
       assert(math.abs(h - expected(id)) < 1e-9, s"doc $id: $h vs ${expected(id)}")
     }
   }
+
+  test("q109 Stupid Backoff: hand-computed seen and backoff terms") {
+    import spark.implicits._
+    // train (src0): "a b a c" -> uni a:2 b:1 c:1 (N=4, V=3);
+    //   bigrams (a,b)(b,a)(a,c) each 1; left margins a:2 b:1.
+    // doc 1 (in-domain): terms ln1-ln2, ln1-ln1, ln1-ln2 -> h = 2ln2/3.
+    // doc 2 (crawl "a b z"): (a,b) = -ln2; (b,z) backoff, z unseen ->
+    //   ln(2*(0+1)) - ln(5*(4+3)) = ln2 - ln35; h = ln35/2, oov 1.
+    val docs = Seq(
+      (1L, "src0", "a b a c"),
+      (2L, "src42", "a b z")).toDF("doc_id", "source", "text")
+    val got = TextQueries.bigramLmScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 3L, 0L, r6(2 * math.log(2) / 3)),
+      (2L, 2L, 1L, r6(math.log(35) / 2))))
+  }
+
+  test("q109 matches a direct recomputation on sf0.001; curated docs never back off") {
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("text IS NOT NULL").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    val train = rows.filter(_._2.replace("src", "").toInt < 10).map(t => toks(t._3))
+    val uni = train.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (nTot, vTot) = (train.flatten.length.toLong, uni.size.toLong)
+    val cp = train.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val ra = cp.toSeq.groupBy(_._1._1).map { case (a, xs) => a -> xs.map(_._2).sum }
+    val expected = rows.flatMap { case (id, _, text) =>
+      val tk = toks(text)
+      if (tk.length < 2) None else {
+        val terms = tk.zip(tk.drop(1)).map { case (a, b) =>
+          cp.get((a, b)) match {
+            case Some(c) => (math.log(c.toDouble) - math.log(ra(a).toDouble), 0L)
+            case None => (math.log(2.0 * (uni.getOrElse(b, 0L) + 1)) -
+              math.log(5.0 * (nTot + vTot)), 1L)
+          }
+        }
+        val h = BigDecimal(-terms.foldLeft(0.0)(_ + _._1) / (tk.length - 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> ((tk.length - 1).toLong, terms.map(_._2).sum, h))
+      }
+    }.toMap
+    val got = TextQueries.q109BigramLm(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, oov, h)) =>
+      val (en, eoov, eh) = expected(id)
+      assert(n == en && oov == eoov, s"doc $id counts: ($n,$oov) vs ($en,$eoov)")
+      assert(math.abs(h - eh) < 1e-9, s"doc $id: $h vs $eh")
+    }
+    // a curated doc's own bigrams are in the census by construction
+    val curated = rows.filter(_._2.replace("src", "").toInt < 10).map(_._1).toSet
+    assert(got.collect { case (id, (_, oov, _)) if curated(id) => oov }.forall(_ == 0L))
+    // the crawl side genuinely exercises backoff on this corpus
+    assert(got.exists { case (id, (_, oov, _)) => !curated(id) && oov > 0 })
+  }
 }

@@ -42,7 +42,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q107: the BNLJ is q26's — the recall audit's exact DENOMINATOR is
     // the declared brute-force baseline (QueryCount query rows broadcast
     // once past the corpus); the audit join itself is QueryCount×TopK rows
-    "q107_ann_recall")
+    "q107_ann_recall",
+    // q109: the BNLJ is the 1-row broadcast of the train-corpus (N, V)
+    // totals (the censuses themselves travel by equi-join)
+    "q109_bigram_lm")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
