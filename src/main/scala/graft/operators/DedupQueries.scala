@@ -226,6 +226,51 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Q110 — MinHash sketch-quality audit: for every LSH candidate pair
+    * (over UNIQUE texts — identical texts would flood the top decile with
+    * degenerate jaccard-1000 pairs), compare the sketch's similarity
+    * ESTIMATE (matching signature components / [[MinhashCount]] — the
+    * unbiased MinHash estimator) against the EXACT 3-shingle Jaccard, and
+    * aggregate the error by exact-Jaccard decile. The dedup-family analog
+    * of q107's ANN recall audit: q23/q24 trust the sketch to find and the
+    * exact verify to decide; this row measures how far the 8-component
+    * sketch strays per similarity band (n_pairs per decile also exposes
+    * the LSH false-positive mass at low jaccard), so shrinking the
+    * signature or re-banding shows up as a failed gate hash, not silent
+    * recall drift in production.
+    *
+    * Everything is integer fixed-point — component-match count, shingle
+    * intersect/union sizes, milli ratios by `div`, mean-abs-error by
+    * integer division — so DuckDB re-derives every cell bit-for-bit.
+    * Scale: candidate generation is the q23 banded equi-join (never
+    * all-pairs); the audit join fans each candidate pair to its two
+    * signature rows (the q24 shape) and the output is ≤ 11 decile rows
+    * from one map-side-partial aggregate. */
+  def q110MinhashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val signed = withShinglesAndSignature(uniq)
+    val sgA = signed.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"), col("mh").as("mh_a"))
+    val sgB = signed.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"), col("mh").as("mh_b"))
+    candidatePairs(bands(signed))
+      .join(sgA, "doc_a").join(sgB, "doc_b")
+      .select(
+        expr(s"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) * 1000 div $MinhashCount")
+          .as("est_milli"),
+        expr("size(array_intersect(sh_a, sh_b)) * 1000 div size(array_union(sh_a, sh_b))")
+          .as("jac_milli"))
+      .select(expr("jac_milli div 100").as("decile"),
+        col("est_milli"), col("jac_milli"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_milli")).as("sum_est_milli"),
+        sum(col("jac_milli")).as("sum_jac_milli"),
+        expr("sum(abs(est_milli - jac_milli)) div count(1)").as("mae_milli"))
+      .orderBy(col("decile").asc)
+  }
+
   /** Q24 — exact 3-shingle Jaccard for every LSH candidate pair (the verify
     * step of the near-dup pipeline), restructured r5 so the array-bearing
     * work runs once per UNIQUE TEXT PAIR, not once per candidate id pair:
@@ -1117,6 +1162,7 @@ object DedupQueries {
     "q79_edit_verify" -> (q79EditVerify _),
     "q80_bloom_dedup" -> (q80BloomDedup _),
     "q81_canonical_priority" -> (q81CanonicalPriority _),
+    "q110_minhash_audit" -> (q110MinhashAudit _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -1125,6 +1171,24 @@ object DedupQueries {
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique, " +
         "CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup FROM documents"),
     "q23_dedup_minhash_lsh" -> minhashOracle("SELECT doc_a, doc_b FROM pairs ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST"),
+    "q110_minhash_audit" -> minhashOracle(
+      s"""e AS (SELECT
+         |   CAST(len(list_filter(range($MinhashCount), j -> a.mh[j+1] = b.mh[j+1])) * 1000 // $MinhashCount AS BIGINT) AS est_milli,
+         |   CAST(len(list_intersect(sa.shingles, sb.shingles)) * 1000 //
+         |        len(list_distinct(sa.shingles || sb.shingles)) AS BIGINT) AS jac_milli
+         | FROM pairs p
+         | JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b
+         | JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b)
+         |SELECT CAST(jac_milli // 100 AS BIGINT) AS decile,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(est_milli) AS BIGINT) AS sum_est_milli,
+         |  CAST(SUM(jac_milli) AS BIGINT) AS sum_jac_milli,
+         |  CAST(SUM(abs(est_milli - jac_milli)) // COUNT(*) AS BIGINT) AS mae_milli
+         |FROM e GROUP BY decile ORDER BY decile NULLS FIRST""".stripMargin,
+      extraCtes = true,
+      prelude =
+        "uniq AS (SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS cnt FROM documents GROUP BY text),\n",
+      source = "uniq"),
     "q79_edit_verify" -> minhashOracle(
       s"""t AS (SELECT doc_id, substr(text, 1, $EditPrefix) AS t
          |  FROM documents WHERE text IS NOT NULL)

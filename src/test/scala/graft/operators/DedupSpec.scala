@@ -25,6 +25,53 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("q110 sketch audit matches a full independent recomputation (sf0.001)") {
+    val docs = Tables.documents(spark, dir).filter("text IS NOT NULL")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val uniq = docs.groupBy(_._2).map { case (t, xs) => (xs.map(_._1).min, t) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val MH = DedupQueries.MinhashCount
+    val BR = DedupQueries.BandRows
+    val sigs = uniq.flatMap { case (id, t) =>
+      val w = t.split(" ", -1)
+      if (w.length < 3) None else {
+        val s = Array.tabulate(w.length - 2)(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).distinct
+        val mh = (0 until MH).map(j => s.map(x => DedupQueries.md5hex(md, j + ":" + x)).min)
+        Some(id -> ((s.toSet, mh)))
+      }
+    }.toMap
+    val pairs = sigs.toSeq
+      .flatMap { case (id, (_, mh)) =>
+        (0 until MH / BR).map(b => (b, mh(BR * b), mh(BR * b + 1)) -> id)
+      }
+      .groupBy(_._1).values
+      .flatMap { xs =>
+        val ids = xs.map(_._2).toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val expect = pairs.toSeq.map { case (a, b) =>
+      val (shA, mhA) = sigs(a); val (shB, mhB) = sigs(b)
+      val est = (0 until MH).count(j => mhA(j) == mhB(j)).toLong * 1000L / MH
+      val jac = (shA & shB).size.toLong * 1000L / (shA | shB).size
+      (jac / 100, est, jac)
+    }.groupBy(_._1).toSeq.map { case (d, xs) =>
+      (d, xs.size.toLong, xs.map(_._2).sum, xs.map(_._3).sum,
+        xs.map(x => math.abs(x._2 - x._3)).sum / xs.size)
+    }.sortBy(_._1)
+    val got = DedupQueries.q110MinhashAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the audit separates sketch quality by band: the top decile's mean
+    // absolute error must undercut the bottom decile's (the LSH
+    // false-positive region is exactly where the 8-component estimate
+    // is noisiest relative to truth)
+    val byDecile = got.map(r => r._1 -> r._5).toMap
+    if (byDecile.contains(0L) && byDecile.contains(9L))
+      assert(byDecile(9L) < byDecile(0L))
+  }
+
   test("LSH plan contains no cartesian product or nested-loop join") {
     val plan = DedupQueries.q23MinhashLsh(spark, dir)
       .queryExecution.executedPlan.toString
