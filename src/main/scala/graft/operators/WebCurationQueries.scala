@@ -506,6 +506,37 @@ object WebCurationQueries {
     classifierScores(Tables.documents(spark, dir))
       .orderBy(col("doc_id").asc)
 
+  /** Width of q111's score buckets. Sized from the measured sf0.01 score
+    * distribution (−1852..1633): ~14 populated buckets, enough resolution
+    * to see the keep-threshold neighborhood without single-doc bins. */
+  private[operators] val QcCalBin = 250L
+
+  /** Q111 — classifier CALIBRATION audit: q102's scores bucketed into
+    * fixed [[QcCalBin]]-wide bins with the curated share per bin — the
+    * reliability table a gating team reads before picking a threshold
+    * (does curated share actually rise with score, and where does the
+    * 50% crossover sit relative to keep = score ≥ 0?). Completes the
+    * eval-audit trio: q107 measures ANN recall, q110 measures sketch
+    * error, q111 measures the learned gate's calibration. On this corpus
+    * curated_permille rises monotonically 0 → 1000 across buckets with
+    * the crossover inside bucket 0 — the keep threshold is where it
+    * should be; a feature or label regression now bends this table and
+    * fails the gate hash.
+    *
+    * Integer-exact throughout (`score div bin` truncates toward zero on
+    * BOTH engines — DuckDB `//` truncates on integers like Spark `div` —
+    * so signed buckets agree; permille by integer division). Costs one
+    * |buckets|-row aggregate over q102's scoring stream; same eager-at-
+    * build Materialize note as q102. */
+  def q111ClassifierCalibration(spark: SparkSession, dir: String): DataFrame =
+    classifierScores(Tables.documents(spark, dir))
+      .select(expr(s"score div $QcCalBin").as("bucket"), col("curated"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("curated"), 1L).otherwise(0L)).as("n_curated"))
+      .withColumn("curated_permille", expr("n_curated * 1000 div n_docs"))
+      .orderBy(col("bucket").asc)
+
   /** The q102 body over ANY (doc_id, source, text) frame. */
   private[graft] def classifierScores(docs: DataFrame): DataFrame = {
     val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
@@ -635,6 +666,7 @@ object WebCurationQueries {
     "q89_normalized_dedup" -> (q89NormalizedDedup _),
     "q92_url_canonical" -> (q92UrlCanonical _),
     "q102_quality_classifier" -> (q102QualityClassifier _),
+    "q111_classifier_calibration" -> (q111ClassifierCalibration _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -750,22 +782,37 @@ object WebCurationQueries {
          |SELECT c.doc_id, c.url_raw, c.url_canon, g.n_variants, g.n_docs, (c.doc_id = g.keeper) AS is_keeper
          |FROM c JOIN g USING (url_canon) ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q102_quality_classifier" ->
-      s"""WITH d AS (SELECT doc_id, CAST(replace(source, 'src', '') AS INT) < 10 AS curated,
-         |  trim(regexp_replace(regexp_replace(translate(text, '$Upper', '$Lower'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |s AS (SELECT doc_id, curated, string_split(t, ' ') AS w FROM d),
-         |g AS (SELECT doc_id, curated, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
-         |  FROM s WHERE len(w) >= 2),
-         |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g),
-         |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS tp,
-         |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS tn FROM gb),
-         |wt AS (SELECT b,
-         |    (SUM(CASE WHEN curated THEN 1 ELSE 0 END) * $QcScale) // (SELECT tp FROM tot)
-         |  - (SUM(CASE WHEN curated THEN 0 ELSE 1 END) * $QcScale) // (SELECT tn FROM tot) AS w
-         |  FROM gb GROUP BY b),
-         |sc AS (SELECT doc_id, curated, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_grams
-         |  FROM gb JOIN wt USING (b) GROUP BY doc_id, curated)
+      s"""$qcOracleCtes
          |SELECT doc_id, curated, n_grams, score, score >= 0 AS keep
          |FROM sc ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q111_classifier_calibration" ->
+      s"""$qcOracleCtes
+         |SELECT CAST(score // $QcCalBin AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
+         |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS curated_permille
+         |FROM sc GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
   )
+
+  /** The q102 oracle's CTE prefix (shared verbatim with q111's): features,
+    * labels, fixed-point weights, per-doc scores — ends at `sc`
+    * (doc_id, curated, score, n_grams). Both engines' `score // bin` is
+    * truncation toward zero (DuckDB `//` truncates on integers like
+    * Spark's `div`), so signed bucket ids agree. */
+  private def qcOracleCtes: String =
+    s"""WITH d AS (SELECT doc_id, CAST(replace(source, 'src', '') AS INT) < 10 AS curated,
+       |  trim(regexp_replace(regexp_replace(translate(text, '$Upper', '$Lower'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT doc_id, curated, string_split(t, ' ') AS w FROM d),
+       |g AS (SELECT doc_id, curated, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM s WHERE len(w) >= 2),
+       |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g),
+       |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS tp,
+       |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS tn FROM gb),
+       |wt AS (SELECT b,
+       |    (SUM(CASE WHEN curated THEN 1 ELSE 0 END) * $QcScale) // (SELECT tp FROM tot)
+       |  - (SUM(CASE WHEN curated THEN 0 ELSE 1 END) * $QcScale) // (SELECT tn FROM tot) AS w
+       |  FROM gb GROUP BY b),
+       |sc AS (SELECT doc_id, curated, CAST(SUM(w) AS BIGINT) AS score, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM gb JOIN wt USING (b) GROUP BY doc_id, curated)""".stripMargin
 }

@@ -84,4 +84,24 @@ class ClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got === reference(docs))
     assert(got.nonEmpty)
   }
+
+  test("q111 calibration table re-derives from the q102 scores and separates") {
+    val scores = WebCurationQueries.q102QualityClassifier(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getBoolean(1), r.getLong(3)))
+    def tdiv(a: Long, b: Long): Long = a / b // JVM long division truncates like div
+    val expect = scores.groupBy { case (_, s) => tdiv(s, 250L) }
+      .toSeq.map { case (b, xs) =>
+        val n = xs.length.toLong
+        val c = xs.count(_._1).toLong
+        (b, n, c, c * 1000L / n)
+      }.sortBy(_._1)
+    val got = WebCurationQueries
+      .q111ClassifierCalibration(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    // the table must actually calibrate: multiple buckets, and the top
+    // bucket's curated share beats the bottom bucket's
+    assert(got.size >= 3)
+    assert(got.last._4 > got.head._4)
+  }
 }

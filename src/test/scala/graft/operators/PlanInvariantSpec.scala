@@ -45,7 +45,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     "q107_ann_recall",
     // q109: the BNLJ is the 1-row broadcast of the train-corpus (N, V)
     // totals (the censuses themselves travel by equi-join)
-    "q109_bigram_lm")
+    "q109_bigram_lm",
+    // q111: inherits q102's 1-row class-total broadcast
+    "q111_classifier_calibration")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
