@@ -108,6 +108,21 @@ object Bench {
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      finally {
+        // Per-query isolation: the Materialize-heavy entries localCheckpoint
+        // intermediate frames, whose blocks stay pinned until the JVM
+        // happens to GC the RDD handles. In ONE shared bench JVM × 4 passes
+        // × 100+ entries that leak fills the 8 GB heap's storage region and
+        // uniformly degrades every LATER query (r10 final-tree run measured
+        // the r9-identical subset +18% while the DuckDB twin reproduced r9
+        // to 0.2% — pure cross-entry JVM pollution, not host drift). A
+        // query's own checkpoints are garbage the moment its sink returns,
+        // so dropping them here is cleanup, not caching policy; the
+        // non-blocking unpersist costs ~ms inside the measured window.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
+      }
 
     // Warmup: run everything once (codegen, parquet footer cache, JIT).
     queries.foreach { case (name, fn) => runOne(name, fn) }
