@@ -43,12 +43,16 @@ object MultimodalOps {
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
   /** Deterministic fake encoder: wraps a payload in the stub header. The
-    * stand-in for "bytes came from object storage". */
+    * stand-in for "bytes came from object storage". floorMod (not Scala's
+    * sign-preserving %) keeps every derived header field in range for ANY
+    * id — the [[mediaFromDocumentsReal]] convention; a negative id once
+    * indexed Kinds(-1) and threw (ADVICE r10). [[q103Oracle]] mirrors
+    * with ((id % k) + k) % k. */
   def encodeFake(mediaId: Long, payload: Array[Byte]): Array[Byte] = {
-    val kind = Kinds((mediaId % 3).toInt)
-    val width = 16 + (mediaId % 64).toInt
-    val height = 9 + (mediaId % 32).toInt
-    val frames = 1 + (mediaId % 10).toInt
+    val kind = Kinds(math.floorMod(mediaId, 3).toInt)
+    val width = 16 + math.floorMod(mediaId, 64).toInt
+    val height = 9 + math.floorMod(mediaId, 32).toInt
+    val frames = 1 + math.floorMod(mediaId, 10).toInt
     val out = new Array[Byte](HeaderLen + payload.length)
     System.arraycopy(Magic, 0, out, 0, 4)
     System.arraycopy(kind.getBytes("US-ASCII"), 0, out, 4, 4)
@@ -817,7 +821,12 @@ object MultimodalOps {
   def q103VideoFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashed = graft.operators.Tables.documents(spark, dir)
-      .filter(col("text").isNotNull && col("doc_id") % 3 === 2 &&
+      // pmod, not %: the oracle's ((doc_id%3)+3)%3 = 2 filter and
+      // encodeFake's floorMod header fields use floor-mod semantics, so
+      // the engine-side stratum filter must too (ADVICE r10 — with
+      // sign-preserving % a negative doc_id would pass the oracle filter
+      // but not this one)
+      .filter(col("text").isNotNull && pmod(col("doc_id"), lit(3)) === 2 &&
         octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]

@@ -30,12 +30,23 @@ import org.apache.spark.sql.functions._
   *
   * Returns the input frame with `rankCol` added, plus the total row
   * count (free from the offsets collect; q94 sizes its terciles with it).
+  *
+  * The column names `__pid`/`__rn`/`__off` are RESERVED working columns:
+  * an input frame already carrying one of them would be silently
+  * overwritten by `withColumn` and then deleted by the final `drop`, so
+  * the operator rejects such inputs up front (ADVICE r10).
   */
 object GlobalRank {
+
+  private val Reserved = Seq("__pid", "__rn", "__off")
 
   def withGlobalRank(df: DataFrame, rankCol: String, keys: Seq[Column])
       : (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
+    val clash = df.columns.toSet.intersect(Reserved.toSet + rankCol)
+    require(clash.isEmpty,
+      s"withGlobalRank: input schema contains reserved/output column(s) ${clash.mkString(", ")} " +
+        s"(${Reserved.mkString("/")} are internal working names; rename before calling)")
     val spark = df.sparkSession
     import spark.implicits._
     val parted = Materialize.materialize(

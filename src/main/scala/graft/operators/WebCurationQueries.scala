@@ -334,7 +334,15 @@ object WebCurationQueries {
       regexp_extract(col("etext"), DomainRe, 1).as("first_domain"),
       qualityKeep(col("text")).as("q_keep"))
 
-    // optional stage 2b: the learned gate (q102) composed onto the rules
+    // optional stage 2b: the learned gate (q102) composed onto the rules.
+    // Unscorable-doc POLICY (ADVICE r10): classifierScores only emits a
+    // row for docs with >= 2 normalized words (a bigram model has no
+    // evidence otherwise), so the left join leaves model_keep null there
+    // and the coalesce(..., false) REJECTS them — deliberate: with the
+    // learned gate on, "no evidence of quality" means drop, mirroring
+    // q102's own keep-threshold contract. Rules-only behavior for short
+    // docs is the flag-OFF path; flip the coalesce to lit(true) only if
+    // that policy changes, and re-pin ClassifierSpec's monotonicity test.
     val flagged =
       if (!spark.conf.getOption(UseClassifierConf).contains("true")) ruleFlagged
       else {
