@@ -552,32 +552,133 @@ object TextQueries {
     * enc alphabet `&lt;&gt;a-z0-9`) degrade to identity in the same
     * rounds, so both engines encode with the same effective merge list. */
   def q104BpeEncode(spark: SparkSession, dir: String): DataFrame =
-    bpeEncode(Tables.documents(spark, dir).filter(col("text").isNotNull), BpeRounds)
+    bpeEncode(spark, dir)
 
-  /** The q104 body over ANY (doc_id, text) frame — spec'd on constructed
-    * corpora next to [[bpeTrain]]. */
+  // ---- The persisted tokenizer ARTIFACT (train-once / apply-many) ----
+
+  /** One trained BPE merge, in application order. The whole tokenizer is
+    * `rounds` of these — a bounded artifact like an IVF codebook. */
+  final case class BpeMerge(step: Int, pair: String, merged: String, n: Long)
+
+  /** Set to a directory to make q104/q106/q108 apply a FROZEN tokenizer
+    * loaded from `<dir>/merges` (written by [[buildBpeTokenizer]])
+    * instead of training on the scored corpus — the production shape:
+    * the tokenizer is versioned with the model, not re-derived per batch. */
+  private[graft] val BpeDirKey = "spark.graft.bpe.dir"
+
+  /** Train on the corpus at `dir` and persist the merge table as the
+    * tokenizer artifact — the [[SimilarityQueries.buildIvfIndex]]
+    * lifecycle discipline applied to the tokenizer (VERDICT r10 #1): the
+    * expensive pass (N census rounds over the vocabulary) runs ONCE at
+    * build time; every downstream consumer loads ≤ `rounds` rows and is
+    * pure apply. coalesce(1): the artifact is ≤ `rounds` rows. */
+  def buildBpeTokenizer(spark: SparkSession, dir: String,
+      tokenizerDir: String, rounds: Int = BpeRounds): Unit =
+    bpeTrain(Tables.documents(spark, dir).filter(col("text").isNotNull), rounds)
+      .coalesce(1).write.mode("overwrite").parquet(s"$tokenizerDir/merges")
+
+  /** Load a persisted tokenizer: ≤ `rounds` rows, ordered by step — the
+    * bounded-collect discipline (an IVF codebook read, not a data read). */
+  def loadBpeMerges(spark: SparkSession, tokenizerDir: String): Seq[BpeMerge] =
+    spark.read.parquet(s"$tokenizerDir/merges")
+      .orderBy(col("step").asc).collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** Session-scoped train-once cache for the catalog entries: q104, q106
+    * and q108 all tokenize the SAME corpus with the SAME tokenizer, so
+    * training runs once per (corpus dir, rounds) per JVM instead of once
+    * per entry (VERDICT r10 "What's wrong" #1 — the trio used to retrain
+    * inline, 3 × 8 Materialize rounds in their timed windows). Keyed by
+    * the corpus PATH: the testdata dirs are immutable inputs, and the
+    * merge sequence is a deterministic function of (corpus, rounds), so
+    * a cached tokenizer is bit-identical to a retrained one (BpeSpec pins
+    * the round trip). q101 — the entry whose JOB is to time training —
+    * calls [[bpeTrain]] directly and never reads this cache. */
+  private val trainedTokenizers =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Seq[BpeMerge]]
+
+  /** Resolve the tokenizer for a catalog entry: the frozen artifact when
+    * [[BpeDirKey]] is set, else the session cache (training on first
+    * touch). */
+  private[graft] def tokenizerFor(spark: SparkSession, dir: String,
+      rounds: Int): Seq[BpeMerge] =
+    spark.conf.getOption(BpeDirKey) match {
+      case Some(td) => loadBpeMerges(spark, td)
+      case None => trainedTokenizers.getOrElseUpdate((dir, rounds),
+        bpeTrain(Tables.documents(spark, dir).filter(col("text").isNotNull), rounds)
+          .collect()
+          .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq)
+    }
+
+  /** Test hook: drop cached tokenizers (specs that train on constructed
+    * corpora go through the explicit-merges forms and never need this;
+    * it exists so a spec can pin that the cache is a pure memoization). */
+  private[graft] def clearTokenizerCache(): Unit = trainedTokenizers.clear()
+
+  /** The q104 catalog body: resolve the tokenizer (artifact / cache),
+    * then pure apply. */
+  private[graft] def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenCountsWith(
+      Tables.documents(spark, dir).filter(col("text").isNotNull),
+      tokenizerFor(spark, dir, BpeRounds))
+      .orderBy(col("doc_id"))
+
+  /** Train-inline form kept for specs that exercise constructed corpora
+    * end-to-end (train + apply in one call). */
   private[graft] def bpeEncode(docs: DataFrame, rounds: Int): DataFrame =
     bpeTokenCounts(docs, rounds).orderBy(col("doc_id"))
+
+  /** Train-inline twin of [[bpeTokenCountsWith]] for constructed-corpus
+    * specs. */
+  private[graft] def bpeTokenCounts(docs: DataFrame, rounds: Int): DataFrame =
+    bpeTokenCountsWith(docs, collectMerges(docs, rounds))
+
+  private def collectMerges(docs: DataFrame, rounds: Int): Seq[BpeMerge] =
+    // ≤ `rounds` rows by construction — the bounded-collect discipline.
+    bpeTrain(docs, rounds).collect()
+      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** The merge chain as a codegen'd Column: bracket-encode, then one
+    * literal `replace` per trained merge, in training order. */
+  private def encChain(merges: Seq[BpeMerge]): org.apache.spark.sql.Column =
+    merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) { (c, m) =>
+      replace(c, lit(m.pair), lit(m.pair.replace("><", "")))
+    }
 
   /** q104's per-document (n_words, n_tokens) frame WITHOUT the final
     * presentation sort — the composable form q108's packing consumes (a
     * sort under a join would either be dropped by the optimizer or, worse,
-    * paid for nothing). */
-  private[graft] def bpeTokenCounts(docs: DataFrame, rounds: Int): DataFrame = {
-    // ≤ `rounds` rows by construction — the bounded-collect discipline.
-    val merges = bpeTrain(docs, rounds).collect()
-    val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
-      (c, m) =>
-        val pair = m.getString(1)
-        replace(c, lit(pair), lit(pair.replace("><", "")))
-    }
-    docs
+    * paid for nothing). PURE APPLY: the tokenizer arrives as data; no
+    * training job hides in the plan.
+    *
+    * Apply shape (r11): collapse-first at TWO levels, exactly like the
+    * oracle's `map JOIN pd USING (word)` — the merge chain (a `rounds`-
+    * deep nested-replace expression, too large for whole-stage codegen to
+    * inline cheaply) is evaluated once per unique WORD on a vocab-sized
+    * frame, then equi-joined back to the per-(doc, word) census. The
+    * census is [[Materialize]]d so its one expensive pass (normalize +
+    * explode + shuffle) feeds both the vocab derivation and the final
+    * doc-grain aggregate instead of re-running per branch (the q89
+    * three-branch lesson). AQE broadcasts the word→n_tok side when the
+    * vocabulary is small; at 100 TB vocab the equi-join is the fallback —
+    * the q72/q94 "vocab travels by equi-join, never a forced broadcast"
+    * ruling. Measured sf1.0: 3.9 s (per-census-row chain) → see
+    * ROUND11_NOTES (vocab-level chain + join). */
+  private[graft] def bpeTokenCountsWith(docs: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val enc = encChain(merges)
+    val pd = Materialize.materialize(docs
       .select(col("doc_id"),
         explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt")))
+    val wordTok = pd.select(col("word")).distinct()
       .withColumn("n_tok",
         (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long"))
+    pd.join(wordTok, Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_tok")).as("n_tokens"))
@@ -667,15 +768,20 @@ object TextQueries {
     * shouldn't either). Output is the per-bin census (n_docs, sum_tokens)
     * — the shard manifest a packing job writes. */
   def q108TokenPacking(spark: SparkSession, dir: String): DataFrame =
-    tokenPacking(Tables.documents(spark, dir).filter(col("text").isNotNull),
-      BpeRounds, TokenPackBudget)
+    tokenPackingWith(Tables.documents(spark, dir).filter(col("text").isNotNull),
+      tokenizerFor(spark, dir, BpeRounds), TokenPackBudget)
 
-  /** The q108 body over ANY (doc_id, lang, text) frame — spec'd on
-    * constructed corpora next to [[bpeTrain]]. */
+  /** Train-inline form for constructed-corpus specs. */
   private[graft] def tokenPacking(docs: DataFrame, rounds: Int,
+      budget: Long): DataFrame =
+    tokenPackingWith(docs, collectMerges(docs, rounds), budget)
+
+  /** The q108 body over ANY (doc_id, lang, text) frame with an explicit
+    * tokenizer — pure apply + q63's packing. */
+  private[graft] def tokenPackingWith(docs: DataFrame, merges: Seq[BpeMerge],
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = bpeTokenCounts(docs, rounds).select(col("doc_id"), col("n_tokens"))
+    val toks = bpeTokenCountsWith(docs, merges).select(col("doc_id"), col("n_tokens"))
     val sharded = toks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         // sign-preserving %, matching the oracle's `doc_id % 32` (q63 pin)
@@ -707,20 +813,20 @@ object TextQueries {
     * engines derive every cell bit-for-bit. EAGER at construction like
     * q101/q104 (training must run first). */
   def q106TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
-    tokenizerFertility(
-      Tables.documents(spark, dir).filter(col("text").isNotNull), BpeRounds)
+    tokenizerFertilityWith(
+      Tables.documents(spark, dir).filter(col("text").isNotNull),
+      tokenizerFor(spark, dir, BpeRounds))
 
-  /** The q106 body over ANY (lang, text) frame. Trains on the WHOLE
-    * corpus (the q101/q104 tokenizer — one tokenizer, per-lang audit),
-    * then groups the encoded census by `lang`; a null lang is its own
-    * group on both engines. */
-  private[graft] def tokenizerFertility(docs: DataFrame, rounds: Int): DataFrame = {
-    val merges = bpeTrain(docs, rounds).collect()
-    val enc = merges.foldLeft(regexp_replace(col("word"), "(.)", "<$1>")) {
-      (c, m) =>
-        val pair = m.getString(1)
-        replace(c, lit(pair), lit(pair.replace("><", "")))
-    }
+  /** Train-inline form for constructed-corpus specs. */
+  private[graft] def tokenizerFertility(docs: DataFrame, rounds: Int): DataFrame =
+    tokenizerFertilityWith(docs, collectMerges(docs, rounds))
+
+  /** The q106 body over ANY (lang, text) frame with an explicit
+    * tokenizer (trained on the WHOLE corpus — one tokenizer, per-lang
+    * audit); a null lang is its own group on both engines. */
+  private[graft] def tokenizerFertilityWith(docs: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val enc = encChain(merges)
     docs
       .select(col("lang"),
         explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))

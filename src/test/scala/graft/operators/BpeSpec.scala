@@ -193,4 +193,51 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(out.forall(_.getLong(3) > 0))
     assert(out.map(_.getString(1)).distinct.length === out.length)
   }
+
+  // ---- persisted tokenizer artifact (VERDICT r10 #1) ----
+
+  private def trainMerges(dir: String) =
+    TextQueries.q101BpeTrain(spark, dir).collect()
+      .map(r => TextQueries.BpeMerge(
+        r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("tokenizer artifact round-trips: build + load == train") {
+    val td = java.nio.file.Files.createTempDirectory("bpe_tok").toString
+    TextQueries.buildBpeTokenizer(spark, "/root/testdata/sf0.001", td)
+    assert(TextQueries.loadBpeMerges(spark, td) === trainMerges("/root/testdata/sf0.001"))
+  }
+
+  test("session tokenizer cache is a pure memoization of training") {
+    TextQueries.clearTokenizerCache()
+    val cached = TextQueries.tokenizerFor(spark, "/root/testdata/sf0.001",
+      TextQueries.BpeRounds)
+    assert(cached === trainMerges("/root/testdata/sf0.001"))
+    // second resolve returns the identical artifact without retraining
+    assert(TextQueries.tokenizerFor(spark, "/root/testdata/sf0.001",
+      TextQueries.BpeRounds) eq cached)
+  }
+
+  test("frozen tokenizer applies to a NEW corpus: apply depends on the artifact, not the scored text") {
+    val small = trainMerges("/root/testdata/sf0.001")
+    val big = trainMerges("/root/testdata/sf0.01")
+    // the two corpora genuinely train different tokenizers — without this
+    // the cross-corpus assertions below would be vacuous
+    assert(small !== big)
+
+    val td = java.nio.file.Files.createTempDirectory("bpe_frozen").toString
+    TextQueries.buildBpeTokenizer(spark, "/root/testdata/sf0.001", td)
+    val bigDocs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    spark.conf.set("spark.graft.bpe.dir", td)
+    try {
+      val frozen = counts(TextQueries.q104BpeEncode(spark, "/root/testdata/sf0.01"))
+      // identical to an explicit apply of the small-corpus merges...
+      assert(frozen === counts(TextQueries.bpeTokenCountsWith(bigDocs, small)))
+      // ...and NOT what self-training on the scored corpus would produce
+      assert(frozen !== counts(TextQueries.bpeTokenCountsWith(bigDocs, big)))
+    } finally spark.conf.unset("spark.graft.bpe.dir")
+  }
 }
