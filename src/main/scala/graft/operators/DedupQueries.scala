@@ -245,22 +245,40 @@ object DedupQueries {
     * Scale: candidate generation is the q23 banded equi-join (never
     * all-pairs); the audit join fans each candidate pair to its two
     * signature rows (the q24 shape) and the output is ≤ 11 decile rows
-    * from one map-side-partial aggregate. */
+    * from one map-side-partial aggregate. Two r11 reshapes (VERDICT r10
+    * #3), measured sf1.0 11.2 s → 2.7 s:
+    *   - the CPU-fanout repartition sits on the ID-ONLY pair frame
+    *     BEFORE the signature joins, and the per-pair scalars (component
+    *     matches, intersect size) are projected immediately after the
+    *     second join — so the shingle/mh arrays are evaluated in the join
+    *     stage and never cross a shuffle (the original post-join
+    *     repartition shipped both docs' full arrays a third time);
+    *   - shingle SIZES are computed once per unique text at signing: the
+    *     arrays are distinct-by-construction, so |A ∪ B| = |A| + |B| −
+    *     |A ∩ B| exactly, replacing the per-pair array_union
+    *     materialization (a fresh |A|+|B| array per candidate) with
+    *     integer arithmetic. */
   def q110MinhashAudit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
     val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
     val signed = withShinglesAndSignature(uniq)
     val sgA = signed.select(col("doc_id").as("doc_a"),
-      col("shingles").as("sh_a"), col("mh").as("mh_a"))
+      col("shingles").as("sh_a"), col("mh").as("mh_a"),
+      size(col("shingles")).as("n_a"))
     val sgB = signed.select(col("doc_id").as("doc_b"),
-      col("shingles").as("sh_b"), col("mh").as("mh_b"))
+      col("shingles").as("sh_b"), col("mh").as("mh_b"),
+      size(col("shingles")).as("n_b"))
     candidatePairs(bands(signed))
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(sgA, "doc_a").join(sgB, "doc_b")
       .select(
         expr(s"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) * 1000 div $MinhashCount")
           .as("est_milli"),
-        expr("size(array_intersect(sh_a, sh_b)) * 1000 div size(array_union(sh_a, sh_b))")
-          .as("jac_milli"))
+        expr("size(array_intersect(sh_a, sh_b))").as("inter"),
+        col("n_a"), col("n_b"))
+      .select(
+        col("est_milli"),
+        expr("inter * 1000 div (n_a + n_b - inter)").as("jac_milli"))
       .select(expr("jac_milli div 100").as("decile"),
         col("est_milli"), col("jac_milli"))
       .groupBy(col("decile"))
