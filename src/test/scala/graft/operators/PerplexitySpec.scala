@@ -103,4 +103,79 @@ class PerplexitySpec extends AnyFunSuite with SparkTestSession {
     // the crawl side genuinely exercises backoff on this corpus
     assert(got.exists { case (id, (_, oov, _)) => !curated(id) && oov > 0 })
   }
+
+  test("q112 trigram Stupid Backoff: hand-computed terms at all three levels") {
+    import spark.implicits._
+    // train (src0 "a b a c"): uni a:2 b:1 c:1 (N=4, V=3);
+    //   bigrams (a,b)(b,a)(a,c):1, rb a:2 b:1;
+    //   trigrams (a,b,a)(b,a,c):1, rab (a,b):1 (b,a):1.
+    // doc 1 (curated): both trigrams seen, terms ln1-ln1 = 0 -> h = 0.
+    // doc 2 ("a b z"): trigram (a,b,z) unseen, bigram (b,z) unseen ->
+    //   alpha^2 level: ln(4*(c(z)+1)) - ln(25*(N+V)) = ln4 - ln175; h = ln(175/4).
+    // doc 3 ("b a b"): trigram (b,a,b) unseen, bigram (a,b) SEEN ->
+    //   alpha level: ln(2*1) - ln(5*r_b(a)=10) = -ln5; h = ln5.
+    val docs = Seq(
+      (1L, "src0", "a b a c"),
+      (2L, "src42", "a b z"),
+      (3L, "src42", "b a b")).toDF("doc_id", "source", "text")
+    val got = TextQueries.trigramLmScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 2L, 0L, 0L, r6(0.0)),
+      (2L, 1L, 0L, 1L, r6(math.log(175.0 / 4))),
+      (3L, 1L, 1L, 0L, r6(math.log(5)))))
+  }
+
+  test("q112 matches a direct recomputation on sf0.001; curated docs never back off at any level") {
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("text IS NOT NULL").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    val train = rows.filter(_._2.replace("src", "").toInt < 10).map(t => toks(t._3))
+    val uni = train.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (nTot, vTot) = (train.flatten.length.toLong, uni.size.toLong)
+    val cbg = train.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val rb = cbg.toSeq.groupBy(_._1._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val ct = train.flatMap(tk => tk.lazyZip(tk.drop(1)).lazyZip(tk.drop(2)).toSeq)
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val rab = ct.toSeq.groupBy(g => (g._1._1, g._1._2))
+      .map { case (ab, xs) => ab -> xs.map(_._2).sum }
+    val expected = rows.flatMap { case (id, _, text) =>
+      val tk = toks(text)
+      if (tk.length < 3) None else {
+        val terms = tk.lazyZip(tk.drop(1)).lazyZip(tk.drop(2)).toSeq.map { case (a, b, c) =>
+          ct.get((a, b, c)) match {
+            case Some(n) => (math.log(n.toDouble) - math.log(rab((a, b)).toDouble), 0L, 0L)
+            case None => cbg.get((b, c)) match {
+              case Some(n) => (math.log(2.0 * n) - math.log(5.0 * rb(b)), 1L, 0L)
+              case None => (math.log(4.0 * (uni.getOrElse(c, 0L) + 1)) -
+                math.log(25.0 * (nTot + vTot)), 0L, 1L)
+            }
+          }
+        }
+        val h = BigDecimal(-terms.foldLeft(0.0)(_ + _._1) / (tk.length - 2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> ((tk.length - 2).toLong, terms.map(_._2).sum, terms.map(_._3).sum, h))
+      }
+    }.toMap
+    val got = TextQueries.q112TrigramLm(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, (n, bo1, bo2, h)) =>
+      val (en, e1, e2, eh) = expected(id)
+      assert(n == en && bo1 == e1 && bo2 == e2,
+        s"doc $id counts: ($n,$bo1,$bo2) vs ($en,$e1,$e2)")
+      assert(math.abs(h - eh) < 1e-9, s"doc $id: $h vs $eh")
+    }
+    // a curated doc's trigrams AND bigrams are in the censuses by construction
+    val curated = rows.filter(_._2.replace("src", "").toInt < 10).map(_._1).toSet
+    assert(got.collect { case (id, (_, b1, b2, _)) if curated(id) => b1 + b2 }
+      .forall(_ == 0L))
+    // the crawl side exercises BOTH backoff levels on this corpus
+    assert(got.exists { case (id, (_, b1, _, _)) => !curated(id) && b1 > 0 })
+    assert(got.exists { case (id, (_, _, b2, _)) => !curated(id) && b2 > 0 })
+  }
 }

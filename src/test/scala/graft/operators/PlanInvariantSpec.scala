@@ -46,6 +46,8 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q109: the BNLJ is the 1-row broadcast of the train-corpus (N, V)
     // totals (the censuses themselves travel by equi-join)
     "q109_bigram_lm",
+    // q112: same 1-row (N, V) broadcast as q109, one backoff level deeper
+    "q112_trigram_lm",
     // q111: inherits q102's 1-row class-total broadcast
     "q111_classifier_calibration")
 
