@@ -1071,32 +1071,61 @@ object TextQueries {
   def q109BigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmScores(Tables.documents(spark, dir))
 
-  /** The q109 body over ANY (doc_id, source, text) frame. */
-  private[graft] def bigramLmScores(docs: DataFrame): DataFrame = {
-    val pairExpr = expr(
-      "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")
-    val toksAll = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("source"),
+  /** The frozen bigram LM — the four census frames a streaming scorer
+    * re-plans per micro-batch (VERDICT r10 #2): bigram counts `cp`
+    * (a, b, c_ab), left context margins `ra` (a, r_a), add-one unigram
+    * census `uni` (b, c_b), and the 1-row totals `tot` (nn, vv). */
+  final case class BigramLmModel(cp: DataFrame, ra: DataFrame,
+      uni: DataFrame, tot: DataFrame)
+
+  private def lmPairExpr = expr(
+    "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")
+
+  private def lmToks(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+
+  /** Train q109's Stupid-Backoff censuses on the CURATED slice of a
+    * (source, text) corpus — the train half of the train/serve split. */
+  private[graft] def bigramLmModel(docs: DataFrame): BigramLmModel = {
     // q102's deterministic curated-vs-crawl split (src0–src9 = curated)
-    val train = toksAll
+    val train = docs.filter(col("text").isNotNull)
       .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
+      .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
     val uni = train.select(explode(col("toks")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
     val cp = train.filter(size(col("toks")) >= 2)
-      .select(explode(pairExpr).as("p"))
+      .select(explode(lmPairExpr).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ra = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("r_a"))
     val tot = uni.agg(sum(col("c_b")).as("nn"), count(lit(1)).as("vv"))
-    toksAll.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), posexplode(pairExpr).as(Seq("pos", "p")))
+    BigramLmModel(cp, ra, uni, tot)
+  }
+
+  /** The q109 body over ANY (doc_id, source, text) frame: self-train on
+    * the frame's curated slice, score every ≥2-token doc. */
+  private[graft] def bigramLmScores(docs: DataFrame): DataFrame =
+    scoreWithBigramLm(docs, bigramLmModel(docs))
+
+  /** Score ANY (doc_id, text) frame against a TRAINED bigram LM — the
+    * serve half (no label/source column read; works on unlabeled
+    * arrivals). Same joins, same integer-ln terms, same position-ordered
+    * fold as the fused form — [[bigramLmScores]] IS this over a
+    * self-trained model, so the oracle-pinned q109 and the streaming
+    * scorer cannot drift. Docs with < 2 tokens emit no row (nothing to
+    * score); callers left-join and decide pass-through policy. */
+  private[graft] def scoreWithBigramLm(docs: DataFrame,
+      m: BigramLmModel): DataFrame = {
+    lmToks(docs).filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), posexplode(lmPairExpr).as(Seq("pos", "p")))
       .select(col("doc_id"), col("pos"), col("p.a").as("a"), col("p.b").as("b"))
-      .join(cp, Seq("a", "b"), "left")
-      .join(ra, Seq("a"), "left")
-      .join(uni, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+      .join(m.cp, Seq("a", "b"), "left")
+      .join(m.ra, Seq("a"), "left")
+      .join(m.uni, Seq("b"), "left")
+      .crossJoin(broadcast(m.tot))
       .select(col("doc_id"), col("pos"),
         when(col("c_ab").isNotNull,
           log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))

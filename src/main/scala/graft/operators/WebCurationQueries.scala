@@ -573,6 +573,61 @@ object WebCurationQueries {
         (col("score") >= 0).as("keep"))
   }
 
+  /** Train q102's bucket-weight table ALONE — the frozen-model half of the
+    * train/serve split (VERDICT r10 #2): (b, w) with ≤ 2^(4·QcHexChars) =
+    * 4096 rows by construction, the artifact a streaming scorer broadcasts
+    * per micro-batch. Same derivation as [[classifierScores]] (which keeps
+    * its fused self-train-and-score shape for the oracle-pinned q102). */
+  private[graft] def classifierWeights(docs: DataFrame): DataFrame = {
+    val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
+      .select(
+        (replace(col("source"), lit("src"), lit("")).cast("int") < 10).as("curated"),
+        normalizeText(col("text")).as("t"))
+      .select(col("curated"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("curated"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b")))
+    val tot = gb.agg(
+      sum(when(col("curated"), 1L).otherwise(0L)).as("tp"),
+      sum(when(col("curated"), 0L).otherwise(1L)).as("tn"))
+    gb.groupBy(col("b"))
+      .agg(
+        sum(when(col("curated"), 1L).otherwise(0L)).as("cp"),
+        sum(when(col("curated"), 0L).otherwise(1L)).as("cn"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr(s"cp * $QcScale DIV tp") - expr(s"cn * $QcScale DIV tn")).as("w"))
+  }
+
+  /** Score ANY (doc_id, text) frame against a TRAINED weight table — the
+    * serving half: featurize (normalize → word bigrams → md5 bucket, the
+    * exact [[classifierScores]] feature map), broadcast-join the ≤
+    * 4096-row weights, one per-doc aggregate. No label column is read —
+    * the scorer works on unlabeled arrivals. Docs the model cannot score
+    * (null text, < 2 normalized words → no bigrams) emit NO row; callers
+    * compose with a left join and decide the unscorable policy (q88's
+    * flag comment). A gram hashing to a bucket the training corpus never
+    * populated carries weight 0 (LEFT join + coalesce — standard
+    * hashed-feature serving; on the training corpus itself every bucket
+    * has a row, so this reproduces classifierScores row-for-row —
+    * StreamingSpec pins it). */
+  private[graft] def scoreWithClassifier(docs: DataFrame,
+      weights: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), normalizeText(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b"))
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("w"), lit(0L))).cast("long").as("score"))
+      .select(col("doc_id"), col("n_grams"), col("score"),
+        (col("score") >= 0).as("keep"))
+
   // ---- Q92: URL canonicalization + canonical-family census ----
 
   // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then

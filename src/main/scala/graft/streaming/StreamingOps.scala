@@ -274,6 +274,59 @@ object StreamingOps {
       }
       .start()
 
+  // ---- scored ingest (frozen classifier + LM per micro-batch) ----
+
+  /** Per-batch SCORING stage of the ingest lifecycle (VERDICT r10 #2) — a
+    * batch transform shared verbatim by [[scoredArrivals]]'s foreachBatch
+    * and any nightly job, which is what makes the replay-equals-batch pin
+    * possible: left-join the FROZEN q102 classifier verdict and q109
+    * bigram-LM cross-entropy onto every arriving document.
+    *
+    * Model discipline: the weight table (≤ 4096 rows) and LM censuses are
+    * STATIC frames trained once on the standing corpus
+    * ([[graft.operators.WebCurationQueries.classifierWeights]] /
+    * [[graft.operators.TextQueries.bigramLmModel]]) — the stream side is
+    * featurized per micro-batch and joined (weights broadcast; censuses
+    * by equi-join, auto-broadcast only when genuinely small). No label
+    * column is read from arrivals. Docs the models cannot score (null
+    * text; < 2 words/tokens) pass through with NULL score columns — the
+    * gate policy belongs to the consumer (q88's flag comment), the
+    * scorer only annotates. No state, no watermark: scoring is per-doc,
+    * so exactly-once comes entirely from the idempotent sharded sink. */
+  def scoreIngestBatch(batch: DataFrame, classifierWeights: DataFrame,
+      lm: graft.operators.TextQueries.BigramLmModel): DataFrame =
+    batch
+      .join(
+        graft.operators.WebCurationQueries
+          .scoreWithClassifier(batch, classifierWeights)
+          .select(col("doc_id"), col("score").as("qc_score"),
+            col("keep").as("qc_keep")),
+        Seq("doc_id"), "left")
+      .join(
+        graft.operators.TextQueries.scoreWithBigramLm(batch, lm)
+          .select(col("doc_id"), col("n_bigrams").as("lm_bigrams"),
+            col("oov_bigrams").as("lm_oov"), col("h_nats").as("lm_h_nats")),
+        Seq("doc_id"), "left")
+
+  /** The scored STREAMING ingest: arriving documents annotated with the
+    * frozen classifier + LM scores ([[scoreIngestBatch]]) and landed as
+    * hash-sharded training shards with the same exactly-once-observable
+    * semantics as [[ingestLifecycle]] (a re-delivered batch replaces
+    * exactly its own (shard, batch_id) partitions — unchanged; scoring
+    * is a pure per-doc annotation, so replay reproduces identical rows
+    * by construction, pinned in StreamingSpec). */
+  def scoredArrivals(docs: DataFrame, classifierWeights: DataFrame,
+      lm: graft.operators.TextQueries.BigramLmModel, path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Sinks.writeShardedBatchIdempotent(
+          scoreIngestBatch(batch, classifierWeights, lm), batchId, path)
+      }
+      .start()
+
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

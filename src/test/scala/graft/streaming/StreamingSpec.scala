@@ -766,6 +766,94 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .filter($"batch_id" === 7L).select($"doc_id").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(90L))
   }
+
+  test("train/serve split: frozen-weight scoring reproduces the fused q102 scorer") {
+    import graft.operators.WebCurationQueries
+    val docs = graft.operators.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = WebCurationQueries.classifierScores(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val split = WebCurationQueries
+      .scoreWithClassifier(docs, WebCurationQueries.classifierWeights(docs))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(split === fused)
+    assert(split.nonEmpty)
+  }
+
+  test("scored ingest: streaming replay equals the batch scorer over frozen " +
+      "models, unscorable and null docs pass through with null scores") {
+    import spark.implicits._
+    import graft.operators.{TextQueries, WebCurationQueries, AnalyticsQueries}
+    // standing corpus: curated slice (src0/src1) trains both models;
+    // src42 is the crawl side (labels only matter at training time)
+    val corpus = Seq(
+      (1L, "src0", "good clean prose flows here nicely today"),
+      (2L, "src0", "good clean prose flows here again tomorrow"),
+      (3L, "src1", "another fine curated document with clean prose"),
+      (4L, "src42", "zz yy xx ww vv uu tt ss")).toDF("doc_id", "source", "text")
+    val weights = WebCurationQueries.classifierWeights(corpus)
+    val lm = TextQueries.bigramLmModel(corpus)
+
+    val arrivals = Seq(
+      // bigrams all inside the curated censuses -> LM never backs off
+      StreamingSpec.Doc(30L, "good clean prose flows here"),
+      // novel words -> classifier unseen buckets (weight 0), LM backs off
+      StreamingSpec.Doc(31L, "qq rr completely novel arrival words"),
+      // single word: < 2 tokens AND < 2 normalized words -> both null
+      StreamingSpec.Doc(32L, "solitary"),
+      StreamingSpec.Doc(33L, null))
+
+    val sink = java.nio.file.Files.createTempDirectory("scored_sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("scored_ckpt").toString
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val q = StreamingOps.scoredArrivals(stream.toDF(), weights, lm, sink, ckpt)
+    stream.addData(arrivals.take(2))
+    q.processAllAvailable()
+    stream.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    type RowT = (Long, Option[String], Option[Long], Option[Boolean], Option[Long], Option[Double], Long)
+    def key(r: org.apache.spark.sql.Row): RowT = (
+      r.getAs[Long]("doc_id"), Option(r.getAs[String]("text")),
+      Option(r.getAs[java.lang.Long]("qc_score")).map(_.longValue()),
+      Option(r.getAs[java.lang.Boolean]("qc_keep")).map(_.booleanValue()),
+      Option(r.getAs[java.lang.Long]("lm_oov")).map(_.longValue()),
+      Option(r.getAs[java.lang.Double]("lm_h_nats")).map(_.doubleValue()),
+      r.getAs[Number]("shard").longValue())
+    def landed() = spark.read.parquet(sink).collect().map(key).toSet
+    val got = landed()
+
+    // replay == batch: the SAME scorer over all arrivals as one frame
+    val twin = StreamingOps.scoreIngestBatch(
+      arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), weights, lm)
+      .withColumn("shard", AnalyticsQueries.shardCol)
+      .collect().map(key).toSet
+    assert(got == twin, s"landed $got != batch twin $twin")
+
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set(30L, 31L, 32L, 33L)) // nothing dropped
+    // in-census arrival: scored by both models, zero backoffs
+    assert(byId(30L)._3.nonEmpty && byId(30L)._5.contains(0L))
+    // novel arrival: unseen buckets score 0 -> qc_score 0, keep true at
+    // the >= 0 threshold; every bigram backs off (6 tokens -> 5 bigrams)
+    assert(byId(31L)._3.contains(0L) && byId(31L)._4.contains(true))
+    assert(byId(31L)._5.contains(5L) && byId(31L)._6.nonEmpty)
+    // unscorable and null docs: pass through, all score columns null
+    Seq(32L, 33L).foreach { id =>
+      assert(byId(id)._3.isEmpty && byId(id)._4.isEmpty &&
+        byId(id)._5.isEmpty && byId(id)._6.isEmpty, s"doc $id not null-scored")
+    }
+    // exactly-once unchanged: re-deliver the last batch -> same landed set
+    val lastBatch = spark.read.parquet(sink)
+      .select(org.apache.spark.sql.functions.max($"batch_id"))
+      .head().getAs[Number](0).longValue()
+    graft.sources.Sinks.writeShardedBatchIdempotent(
+      StreamingOps.scoreIngestBatch(
+        arrivals.drop(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+        weights, lm),
+      lastBatch, sink)
+    assert(landed() == got, "replayed scored batch must not change the landed set")
+  }
 }
 
 object StreamingSpec {
