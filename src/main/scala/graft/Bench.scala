@@ -76,22 +76,102 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  private def loadavg(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  /** Forked per-family mode (SPARK_GRAFT_FORK=1; VERDICT r10 #5): run each
+    * [[SparkEntry.families]] group in its OWN child JVM — the in-harness
+    * reproduction of the "subset alone in a fresh JVM" control that
+    * adjudicated r10's bench drift. A single shared JVM accumulates
+    * code-cache/JIT state across 110+ Materialize/codegen-heavy entries ×
+    * 4 passes (a measured ~10% residual on late entries even after the
+    * per-query unpersist); one JVM per family bounds that pollution to a
+    * module while keeping deliberate intra-family sharing (the tokenizer
+    * cache) intact. HARNESS change, not a perf claim: the artifact says
+    * "forked":true so rounds are never compared across modes unlabeled.
+    * The paired DuckDB twin runs once in the parent, after all children. */
+  private def runForked(sfDir: String): Unit = {
+    val loadBefore = loadavg()
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val jvmArgs = rt.getInputArguments
+    val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    SparkEntry.families.foreach { case (family, keys) =>
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", keys.mkString(","))
+      pb.environment().remove("SPARK_GRAFT_FORK")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val qBlock = """"queries":\s*\{(.*?)\}""".r.findFirstMatchIn(out)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(qBlock)
+        .foreach(m => perQuery(m.group(1)) = m.group(2).toDouble)
+      val fBlock = """"failed":\s*\[(.*?)\]""".r.findFirstMatchIn(out)
+        .map(_.group(1)).getOrElse("")
+      """"([^"]+)"""".r.findAllMatchIn(fBlock).foreach(m => failed += m.group(1))
+      if (rc != 0) {
+        // a dead child leaves its whole family unmeasured — make that loud
+        keys.filterNot(perQuery.contains).foreach(failed += _)
+        System.err.println(s"[bench] forked family $family exited rc=$rc")
+      }
+    }
+    val results = perQuery.toSeq.sortBy(_._1)
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.4f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sf = sfDir.split('/').last.stripPrefix("sf")
+    val paired = pairedDuckdb(sfDir).map { case (duckTotal, n, duckQueries) =>
+      val pairedKeys: String => Boolean =
+        if (duckQueries.nonEmpty) duckQueries.map(_._1).toSet
+        else SparkEntry.oracleSql.keySet
+      val sparkOracleTotal = results
+        .filter { case (k, _) => pairedKeys(k) }.map(_._2).sum
+      val sparkByName = results.toMap
+      val duckJson = duckQueries
+        .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+      val ratiosJson = duckQueries
+        .flatMap { case (k, d) =>
+          sparkByName.get(k).filter(_ => d > 0).map(s => "\"" + k + f"\":${s / d}%.3f")
+        }.mkString("{", ",", "}")
+      f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f,"duckdb_queries":$duckJson,"ratios":$ratiosJson"""
+    }
+    val json =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":${loadavg()}%.2f,"passes":3,"forked":true,"families":${SparkEntry.families.size}${paired.getOrElse("")}}"""
+    println(json)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     // the f-interpolator formats doubles with the DEFAULT locale — on a
     // comma-decimal JVM (de_DE etc.) every %.4f below would corrupt the
     // one-line JSON contract the driver parses
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_FORK").contains("1") &&
+        sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      runForked(sfDir)
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.build(s"local[$cpus]", cpus, "graft-bench")
 
     // host-load metadata (VERDICT r8 #5: a bench artifact from a
     // contended host must be recognizable AS one from the artifact
     // alone). 1-minute loadavg before and after the whole run.
-    def loadavg(): Double =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
 
     // Dev-only filter for single-query iteration (unset in driver runs).

@@ -45,6 +45,26 @@ object SparkEntry {
       // GRFT multi-frame stub — per-frame envelope hash, same census).
       ("q103_video_fingerprint" -> (graft.multimodal.MultimodalOps.q103VideoFingerprint _))
 
+  /** Query keys grouped by catalog module — the per-family isolation unit
+    * of Bench's forked mode (SPARK_GRAFT_FORK=1): one JVM per family kills
+    * cross-entry JVM pressure (code-cache/JIT growth at 110+ entries)
+    * while entries that deliberately share session state (the q101/q104/
+    * q106/q108 tokenizer cache) stay together in their module's JVM. */
+  def families: Seq[(String, Seq[String])] = Seq(
+    "relational" -> RelationalQueries.all.map(_._1),
+    "dedup" -> DedupQueries.all.map(_._1),
+    "similarity" -> SimilarityQueries.all.map(_._1),
+    "text" -> TextQueries.all.map(_._1),
+    "functions" -> FunctionQueries.all.map(_._1),
+    "asof" -> AsOfQueries.all.map(_._1),
+    "analytics" -> AnalyticsQueries.all.map(_._1),
+    "curation" -> (CurationPipeline.all.map(_._1) ++
+      WebCurationQueries.all.map(_._1) ++ LineCurationQueries.all.map(_._1)),
+    "graph" -> GraphQueries.all.map(_._1),
+    "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list"),
+    "multimodal" -> Seq("q38_media_meta", "q98_image_phash",
+      "q99_audio_fingerprint", "q103_video_fingerprint"))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
