@@ -289,6 +289,115 @@ object DedupQueries {
       .orderBy(col("decile").asc)
   }
 
+  /** Near-dup threshold for the q113 leakage verdict: exact 3-shingle
+    * jaccard ≥ 0.5 milli-encoded — Lee et al. 2022's NearDup cut. Integer
+    * exact: floor(inter·1000/union) ≥ 500 ⟺ inter·1000/union ≥ 500. */
+  private[operators] val LeakJaccardMilli = 500L
+
+  /** Q113 — CROSS-SPLIT contamination audit (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — their
+    * central eval-hygiene finding: near-duplicates of validation/test
+    * documents inside the training split silently inflate eval scores).
+    * For q57's deterministic train/val/test split, report per split pair:
+    *   - EXACT leakage: identical texts with members on both sides —
+    *     counted from the per-text split census by ARITHMETIC
+    *     (Σ n_a·n_b), never by enumerating doc pairs, so a million-doc
+    *     duplicate family costs one census row, not 10¹² join rows;
+    *   - NEAR leakage: LSH candidate pairs over unique texts (the q23
+    *     banded equi-join — never all-pairs) verified at jaccard ≥
+    *     [[LeakJaccardMilli]], expanded to split-pair doc counts through
+    *     each family's census (n_{A,s}·n_{B,t} + n_{A,t}·n_{B,s}).
+    * Output: exactly 6 rows (kind × split pair), zero counts included —
+    * the all-green shape a release gate wants to read. On THIS corpus the
+    * exact rows are structurally zero (no verbatim dups — the near-dup
+    * mass is all paraphrase-grade); DedupSpec proves the exact machinery
+    * on constructed corpora. All counts integer-exact on both engines. */
+  def q113SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(Tables.documents(spark, dir))
+
+  /** The q113 body over ANY (doc_id, text) frame — spec'd on constructed
+    * corpora with injected cross-split verbatim duplicates (the real
+    * corpus has none, so the exact rows are live only in DedupSpec). */
+  private[graft] def splitLeakage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    val fam = Materialize.materialize(
+      docs.filter(col("text").isNotNull)
+        .select(col("text"), col("doc_id"), split.as("split"))
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test")))
+
+    def rows3(src: DataFrame, kind: String, gp: Seq[(String, String,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column)]): DataFrame =
+      src.agg(gp.head._3.as("g0"), gp.head._4.as("p0"),
+          gp(1)._3.as("g1"), gp(1)._4.as("p1"),
+          gp(2)._3.as("g2"), gp(2)._4.as("p2"))
+        .select(explode(array(
+          struct(lit(kind).as("kind"), lit(gp.head._1).as("split_a"),
+            lit(gp.head._2).as("split_b"),
+            coalesce(col("g0"), lit(0L)).as("n_groups"),
+            coalesce(col("p0"), lit(0L)).as("n_pairs")),
+          struct(lit(kind).as("kind"), lit(gp(1)._1).as("split_a"),
+            lit(gp(1)._2).as("split_b"),
+            coalesce(col("g1"), lit(0L)).as("n_groups"),
+            coalesce(col("p1"), lit(0L)).as("n_pairs")),
+          struct(lit(kind).as("kind"), lit(gp(2)._1).as("split_a"),
+            lit(gp(2)._2).as("split_b"),
+            coalesce(col("g2"), lit(0L)).as("n_groups"),
+            coalesce(col("p2"), lit(0L)).as("n_pairs")))).as("r"))
+        .select(col("r.*"))
+
+    val exact = rows3(fam, "exact", Seq(
+      ("train", "val",
+        count(when(col("n_train") > 0 && col("n_val") > 0, 1)).cast("long"),
+        sum(col("n_train") * col("n_val"))),
+      ("train", "test",
+        count(when(col("n_train") > 0 && col("n_test") > 0, 1)).cast("long"),
+        sum(col("n_train") * col("n_test"))),
+      ("val", "test",
+        count(when(col("n_val") > 0 && col("n_test") > 0, 1)).cast("long"),
+        sum(col("n_val") * col("n_test")))))
+
+    val signed = withShinglesAndSignature(fam.select(col("doc_id"), col("text")))
+    val sgA = signed.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"), size(col("shingles")).as("na"))
+    val sgB = signed.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"), size(col("shingles")).as("nb"))
+    val famA = fam.select(col("doc_id").as("doc_a"), col("n_train").as("a_train"),
+      col("n_val").as("a_val"), col("n_test").as("a_test"))
+    val famB = fam.select(col("doc_id").as("doc_b"), col("n_train").as("b_train"),
+      col("n_val").as("b_val"), col("n_test").as("b_test"))
+    // the q110 shape: repartition the ID-ONLY pairs, evaluate the array
+    // scalars inside the join stage, never ship arrays through a shuffle
+    val np = candidatePairs(bands(signed))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .join(sgA, "doc_a").join(sgB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(array_intersect(sh_a, sh_b))").as("inter"),
+        col("na"), col("nb"))
+      .filter(expr(s"inter * 1000 div (na + nb - inter) >= $LeakJaccardMilli"))
+      .join(famA, "doc_a").join(famB, "doc_b")
+    def cross(a: String, b: String) =
+      col(s"a_$a") * col(s"b_$b") + col(s"a_$b") * col(s"b_$a")
+    val near = rows3(np, "near", Seq(
+      ("train", "val",
+        count(when(cross("train", "val") > 0, 1)).cast("long"),
+        sum(cross("train", "val"))),
+      ("train", "test",
+        count(when(cross("train", "test") > 0, 1)).cast("long"),
+        sum(cross("train", "test"))),
+      ("val", "test",
+        count(when(cross("val", "test") > 0, 1)).cast("long"),
+        sum(cross("val", "test")))))
+
+    exact.unionAll(near)
+      .orderBy(col("kind").asc, col("split_a").asc, col("split_b").asc)
+  }
+
   /** Q24 — exact 3-shingle Jaccard for every LSH candidate pair (the verify
     * step of the near-dup pipeline), restructured r5 so the array-bearing
     * work runs once per UNIQUE TEXT PAIR, not once per candidate id pair:
@@ -1181,6 +1290,7 @@ object DedupQueries {
     "q80_bloom_dedup" -> (q80BloomDedup _),
     "q81_canonical_priority" -> (q81CanonicalPriority _),
     "q110_minhash_audit" -> (q110MinhashAudit _),
+    "q113_split_leakage" -> (q113SplitLeakage _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -1189,6 +1299,53 @@ object DedupQueries {
       ("SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique, " +
         "CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup FROM documents"),
     "q23_dedup_minhash_lsh" -> minhashOracle("SELECT doc_a, doc_b FROM pairs ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST"),
+    "q113_split_leakage" -> minhashOracle(
+      s"""np AS (SELECT fa.n_train AS a_train, fa.n_val AS a_val, fa.n_test AS a_test,
+         |              fb.n_train AS b_train, fb.n_val AS b_val, fb.n_test AS b_test
+         |       FROM pairs p
+         |       JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
+         |       JOIN fam fa ON fa.doc_id = p.doc_a JOIN fam fb ON fb.doc_id = p.doc_b
+         |       WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1000 //
+         |             (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= $LeakJaccardMilli),
+         |ex AS (SELECT
+         |    CAST(COUNT(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 END) AS BIGINT) AS g_tv,
+         |    CAST(coalesce(SUM(n_train * n_val), 0) AS BIGINT) AS p_tv,
+         |    CAST(COUNT(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 END) AS BIGINT) AS g_tt,
+         |    CAST(coalesce(SUM(n_train * n_test), 0) AS BIGINT) AS p_tt,
+         |    CAST(COUNT(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 END) AS BIGINT) AS g_vt,
+         |    CAST(coalesce(SUM(n_val * n_test), 0) AS BIGINT) AS p_vt
+         |  FROM fam),
+         |nr AS (SELECT
+         |    CAST(COUNT(CASE WHEN a_train*b_val + a_val*b_train > 0 THEN 1 END) AS BIGINT) AS g_tv,
+         |    CAST(coalesce(SUM(a_train*b_val + a_val*b_train), 0) AS BIGINT) AS p_tv,
+         |    CAST(COUNT(CASE WHEN a_train*b_test + a_test*b_train > 0 THEN 1 END) AS BIGINT) AS g_tt,
+         |    CAST(coalesce(SUM(a_train*b_test + a_test*b_train), 0) AS BIGINT) AS p_tt,
+         |    CAST(COUNT(CASE WHEN a_val*b_test + a_test*b_val > 0 THEN 1 END) AS BIGINT) AS g_vt,
+         |    CAST(coalesce(SUM(a_val*b_test + a_test*b_val), 0) AS BIGINT) AS p_vt
+         |  FROM np)
+         |SELECT kind, split_a, split_b, n_groups, n_pairs FROM (
+         |  SELECT 'exact' AS kind, 'train' AS split_a, 'val' AS split_b, g_tv AS n_groups, p_tv AS n_pairs FROM ex
+         |  UNION ALL SELECT 'exact', 'train', 'test', g_tt, p_tt FROM ex
+         |  UNION ALL SELECT 'exact', 'val', 'test', g_vt, p_vt FROM ex
+         |  UNION ALL SELECT 'near', 'train', 'val', g_tv, p_tv FROM nr
+         |  UNION ALL SELECT 'near', 'train', 'test', g_tt, p_tt FROM nr
+         |  UNION ALL SELECT 'near', 'val', 'test', g_vt, p_vt FROM nr)
+         |ORDER BY kind NULLS FIRST, split_a NULLS FIRST, split_b NULLS FIRST""".stripMargin,
+      extraCtes = true,
+      prelude =
+        """d AS (SELECT doc_id, text,
+          |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+          |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM documents WHERE text IS NOT NULL),
+          |fam AS (SELECT text, MIN(doc_id) AS doc_id,
+          |    CAST(SUM(CASE WHEN split='train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+          |    CAST(SUM(CASE WHEN split='val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+          |    CAST(SUM(CASE WHEN split='test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+          |  FROM d GROUP BY text),
+          |uniq AS (SELECT doc_id, text FROM fam),
+          |""".stripMargin,
+      source = "uniq"),
     "q110_minhash_audit" -> minhashOracle(
       s"""e AS (SELECT
          |   CAST(len(list_filter(range($MinhashCount), j -> a.mh[j+1] = b.mh[j+1])) * 1000 // $MinhashCount AS BIGINT) AS est_milli,

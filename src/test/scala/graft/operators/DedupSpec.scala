@@ -72,6 +72,98 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       assert(byDecile(9L) < byDecile(0L))
   }
 
+  test("q113 split leakage: hand-built cross-split exact family and near pair") {
+    import spark.implicits._
+    // splits under q57's md5(doc_id) rule: 1,2,4,6=train; 5,10=val; 3,44=test
+    val X = "alpha beta gamma delta" // exact family: 2 train + 1 val + 1 test
+    val A = "one two three four five six seven eight nine ten"   // fid 4
+    val B = "one two three four five six seven eight nine zebra" // fid 6
+    // A vs B: inter 7, union 9 -> jac 777 >= 500; bands 0,1 collide
+    // (deterministic given md5), so the pair IS an LSH candidate
+    val docs = Seq(
+      (1L, X), (2L, X), (5L, X), (3L, X),
+      (4L, A), (10L, A),
+      (6L, B), (44L, B)).toDF("doc_id", "text")
+    val got = DedupQueries.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq(
+      // X: 2 train x 1 test = 2, plus B is itself a cross family (1x1)
+      ("exact", "train", "test", 2L, 3L),
+      // X: 2 train x 1 val = 2, plus A (1x1)
+      ("exact", "train", "val", 2L, 3L),
+      ("exact", "val", "test", 1L, 1L), // X only
+      // A{train,val} x B{train,test}: one doc pair crosses each split pair
+      ("near", "train", "test", 1L, 1L),
+      ("near", "train", "val", 1L, 1L),
+      ("near", "val", "test", 1L, 1L)))
+  }
+
+  test("q113 matches a full independent recomputation (sf0.001); zero-leak rows survive") {
+    val docs = Tables.documents(spark, dir).filter("text IS NOT NULL")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def splitOf(id: Long): String = {
+      val h = DedupQueries.md5hex(md, id.toString).substring(0, 2)
+      if (h < "cd") "train" else if (h < "e6") "val" else "test"
+    }
+    val fams = docs.groupBy(_._2).map { case (t, xs) =>
+      val ids = xs.map(_._1)
+      val c = ids.groupBy(splitOf).map { case (s, v) => s -> v.length.toLong }
+      (ids.min, t, c.withDefaultValue(0L))
+    }.toSeq
+    val pairsOf = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+    val exact = pairsOf.map { case (a, b) =>
+      val leak = fams.filter(f => f._3(a) > 0 && f._3(b) > 0)
+      (a, b, leak.size.toLong, fams.map(f => f._3(a) * f._3(b)).sum)
+    }
+    // near: the q110 recomputation machinery over the family reps
+    val MH = DedupQueries.MinhashCount
+    val BR = DedupQueries.BandRows
+    val sigs = fams.flatMap { case (id, t, c) =>
+      val w = t.split(" ", -1)
+      if (w.length < 3) None else {
+        val s = Array.tabulate(w.length - 2)(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).distinct
+        val mh = (0 until MH).map(j => s.map(x => DedupQueries.md5hex(md, j + ":" + x)).min)
+        Some(id -> ((s.toSet, mh)))
+      }
+    }.toMap
+    val famById = fams.map(f => f._1 -> f._3).toMap
+    val cands = sigs.toSeq
+      .flatMap { case (id, (_, mh)) =>
+        (0 until MH / BR).map(b => (b, mh(BR * b), mh(BR * b + 1)) -> id)
+      }
+      .groupBy(_._1).values
+      .flatMap { xs =>
+        val ids = xs.map(_._2).toSeq.sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    val verified = cands.toSeq.filter { case (a, b) =>
+      val (shA, _) = sigs(a); val (shB, _) = sigs(b)
+      val inter = (shA & shB).size.toLong
+      inter * 1000L / (shA.size + shB.size - inter) >= DedupQueries.LeakJaccardMilli
+    }
+    val near = pairsOf.map { case (s1, s2) =>
+      val per = verified.map { case (a, b) =>
+        famById(a)(s1) * famById(b)(s2) + famById(a)(s2) * famById(b)(s1)
+      }
+      (s1, s2, per.count(_ > 0).toLong, per.sum)
+    }
+    val expect = (exact.map(e => ("exact", e._1, e._2, e._3, e._4)) ++
+      near.map(n => ("near", n._1, n._2, n._3, n._4)))
+      .sortBy(r => (r._1, r._2, r._3))
+    val got = DedupQueries.q113SplitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    assert(got.length === 6) // zero-count rows are emitted, not dropped
+    // the real corpus has no verbatim dups -> exact rows all zero, and
+    // its near-dup mass crosses splits -> at least one live near row
+    assert(got.filter(_._1 == "exact").forall(r => r._4 == 0L && r._5 == 0L))
+    assert(got.filter(_._1 == "near").exists(_._5 > 0L))
+  }
+
   test("LSH plan contains no cartesian product or nested-loop join") {
     val plan = DedupQueries.q23MinhashLsh(spark, dir)
       .queryExecution.executedPlan.toString
