@@ -490,6 +490,37 @@ object SimilarityQueries {
       .orderBy(col("query_id").asc)
   }
 
+  /** Q114 — IVF cluster-BALANCE audit: the per-cell population census of
+    * the production codebook's assignment (the q42 configuration), with
+    * each cell's corpus share in integer permille. The index-layer member
+    * of the audit family (q107 recall, q110 sketch error, q111
+    * calibration, q113 split leakage): a hot cell IS the serve-time skew
+    * risk — every query probing it scans its whole population, so one
+    * overloaded cell sets the ANN latency floor at 100 TB — and a cell
+    * that lost all members (standard Lloyd on fixed seeds) simply
+    * disappears from the census, which a fixed-cell-count gate hash
+    * catches. Derivation is exactly the q42/q107 assignment (same
+    * quantize, seed, one Lloyd step, nearest-cell projection; the oracle
+    * composes the same coarse CTE prefix), reduced by one map-side-partial
+    * aggregate to ≤ [[IvfCells]] rows; the 1-row total travels by
+    * broadcast crossJoin (the q109 discipline). */
+  def q114IvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Materialize.materialize(quantized(spark, dir))
+    val centroids = trainCodebook(emb, IvfCells, 1)
+    if (centroids.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("cell", "n_vecs", "share_milli")
+    }
+    val census = emb.withColumn("cell", nearestCellExpr(centroids))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    census
+      .crossJoin(broadcast(census.agg(sum(col("n_vecs")).as("total"))))
+      // BIGINT cell: the oracle's row_number-derived cell is INT64
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        expr("n_vecs * 1000 div total").as("share_milli"))
+      .orderBy(col("cell").asc)
+  }
+
   /** Per-subspace PQ codebooks: seed subspace m with the lowest [[PqK]]
     * vec_ids' m-th sub-vectors (code id = vec_id rank, like the coarse
     * seeding), then ONE exact-integer Lloyd step — assign every vector's
@@ -1136,6 +1167,7 @@ object SimilarityQueries {
     "q42_ann_ivf" -> (q42IvfAnn _),
     "q82_ann_ivfpq" -> (q82IvfPqAnn _),
     "q107_ann_recall" -> (q107AnnRecall _),
+    "q114_ivf_balance" -> (q114IvfBalance _),
     "q83_hybrid_search" -> (q83HybridSearch _),
     "q45_dedup_embedding" -> (q45EmbeddingNearDup _),
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
@@ -1305,6 +1337,11 @@ object SimilarityQueries {
          |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
          |FROM ex e LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
          |GROUP BY e.query_id ORDER BY e.query_id NULLS FIRST""".stripMargin,
+    "q114_ivf_balance" ->
+      s"""WITH $coarseIvfSql
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(COUNT(*) * 1000 // (SELECT COUNT(*) FROM corpus) AS BIGINT) AS share_milli
+         |FROM corpus GROUP BY cell ORDER BY cell NULLS FIRST""".stripMargin,
     "q83_hybrid_search" ->
       s"""WITH ${TextQueries.lexicalSqlCtes},
          |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS BIGINT) AS lex_rank

@@ -49,7 +49,9 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q112: same 1-row (N, V) broadcast as q109, one backoff level deeper
     "q112_trigram_lm",
     // q111: inherits q102's 1-row class-total broadcast
-    "q111_classifier_calibration")
+    "q111_classifier_calibration",
+    // q114: the BNLJ is the 1-row broadcast of the census total
+    "q114_ivf_balance")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

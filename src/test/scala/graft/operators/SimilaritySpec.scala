@@ -393,6 +393,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .map(_.getAs[Number](0).longValue()).toSeq == Seq(-1L))
   }
 
+  test("q114 cluster balance matches a plain-Scala recomputation of the full IVF pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SimilarityQueries.quantized(spark, dir).localCheckpoint()
+      .select("vec_id", "qv").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val cells = SimilarityQueries.IvfCells
+    // independent re-derivation: lowest-id seeds, one Lloyd round with the
+    // truncating integer mean, nearest-cell assignment with ties -> lower
+    def near(v: Array[Long], cb: Seq[(Int, Array[Long])]): Int =
+      cb.map { case (c, s) =>
+        (s.zip(v).map { case (a, b) => val d = a - b; d * d }.sum, c)
+      }.min._2
+    val seeds = rows.sortBy(_._1).take(cells).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }.toSeq
+    val refined = rows.groupBy { case (_, v) => near(v, seeds) }
+      .map { case (c, vs) =>
+        (c, Array.tabulate(SimilarityQueries.Dims)(i => vs.map(_._2(i)).sum / vs.size))
+      }.toSeq.sortBy(_._1)
+    val census = rows.groupBy { case (_, v) => near(v, refined) }
+      .map { case (c, vs) => (c.toLong, vs.length.toLong) }
+    val total = rows.length.toLong
+    val expect = census.toSeq
+      .map { case (c, n) => (c, n, n * 1000L / total) }.sortBy(_._1)
+    val got = SimilarityQueries.q114IvfBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // the census is a partition of the corpus, not a sample of it
+    assert(got.map(_._2).sum === total)
+    assert(got.nonEmpty)
+  }
+
   test("Lloyd codebook refinement: round 1 IS the q42 codebook; the " +
       "quantization objective never increases with more rounds") {
     val dir = "/root/testdata/sf0.001"
