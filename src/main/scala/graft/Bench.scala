@@ -97,6 +97,16 @@ object Bench {
     val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val jvmArgs = rt.getInputArguments
+    // families must partition the query set: an entry registered in
+    // queries but missing from every family would be silently unmeasured
+    // (neither timed nor failed) — the truncation class the per-child
+    // rc guard below exists to prevent (review r11)
+    val familyKeys = SparkEntry.families.flatMap(_._2)
+    require(familyKeys.toSet == SparkEntry.queries.keySet &&
+        familyKeys.length == familyKeys.distinct.length,
+      "SparkEntry.families must cover every queries key exactly once; " +
+        s"missing=${SparkEntry.queries.keySet -- familyKeys.toSet} " +
+        s"extra=${familyKeys.toSet -- SparkEntry.queries.keySet}")
     val perQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     SparkEntry.families.foreach { case (family, keys) =>

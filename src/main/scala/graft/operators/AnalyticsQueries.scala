@@ -134,11 +134,18 @@ object AnalyticsQueries {
     * the train/test boundary as the corpus grows, which would leak test
     * data into training). The split predicate is a plain filter, so at
     * 100 TB each consumer pipeline pushes it into the parquet scan. */
-  def q57TrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
+  /** q57's deterministic split verdict for a doc_id — shared with q113's
+    * leakage audit so retuning the boundaries ('cd'/'e6' — ~80/10/10)
+    * cannot leave the audit checking a split the pipeline no longer uses
+    * (review r11). Both entries' oracles mirror the same constants. */
+  def splitCol: org.apache.spark.sql.Column = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  def q57TrainTestSplit(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("split", split)
+      .withColumn("split", splitCol)
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split").asc, col("lang").asc)

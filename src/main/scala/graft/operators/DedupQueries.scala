@@ -320,11 +320,10 @@ object DedupQueries {
     * corpus has none, so the exact rows are live only in DedupSpec). */
   private[graft] def splitLeakage(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val split = when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
     val fam = Materialize.materialize(
       docs.filter(col("text").isNotNull)
-        .select(col("text"), col("doc_id"), split.as("split"))
+        // q57's split, by shared definition — the audit checks THE split
+        .select(col("text"), col("doc_id"), AnalyticsQueries.splitCol.as("split"))
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"),
           sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),

@@ -511,8 +511,12 @@ object SimilarityQueries {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long)].toDF("cell", "n_vecs", "share_milli")
     }
-    val census = emb.withColumn("cell", nearestCellExpr(centroids))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    // Materialized: census feeds both the output and the 1-row total —
+    // lazy, the corpus-wide nearest-cell assignment would run twice
+    // (review r11); the checkpoint is <= IvfCells rows
+    val census = Materialize.materialize(
+      emb.withColumn("cell", nearestCellExpr(centroids))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")))
     census
       .crossJoin(broadcast(census.agg(sum(col("n_vecs")).as("total"))))
       // BIGINT cell: the oracle's row_number-derived cell is INT64

@@ -1086,9 +1086,13 @@ object TextQueries {
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
 
-  /** Train q109's Stupid-Backoff censuses on the CURATED slice of a
-    * (source, text) corpus — the train half of the train/serve split. */
-  private[graft] def bigramLmModel(docs: DataFrame): BigramLmModel = {
+  /** The training censuses as LAZY frames — the fused q109's shape. The
+    * double evaluation this allows (ra aggregates cp, tot aggregates uni,
+    * both also join) is CHEAPER than pinning for a one-shot batch query:
+    * materializing all four frames measured sf1.0 q109 5.7 → 7.2 s and
+    * q112's twin 7.7 → 9.4 s (checkpoint round-trip > census recompute),
+    * so the fused entries stay lazy and only the SERVING artifact pins. */
+  private def bigramLmCensuses(docs: DataFrame): BigramLmModel = {
     // q102's deterministic curated-vs-crawl split (src0–src9 = curated)
     val train = docs.filter(col("text").isNotNull)
       .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
@@ -1105,10 +1109,27 @@ object TextQueries {
     BigramLmModel(cp, ra, uni, tot)
   }
 
+  /** Train q109's Stupid-Backoff model on the CURATED slice — the train
+    * half of the train/serve split, [[Materialize]]d frame by frame:
+    * "trained once" is the SERVING contract (a lazy census would re-run
+    * the full training aggregation on EVERY scoredArrivals micro-batch —
+    * review r11). The fused batch entries use the lazy
+    * [[bigramLmCensuses]] instead (measured ruling there). EAGER at
+    * construction like q94/q101/q102 (catalog contract note). */
+  private[graft] def bigramLmModel(docs: DataFrame): BigramLmModel = {
+    val c = bigramLmCensuses(docs)
+    BigramLmModel(Materialize.materialize(c.cp), Materialize.materialize(c.ra),
+      Materialize.materialize(c.uni), Materialize.materialize(c.tot))
+  }
+
   /** The q109 body over ANY (doc_id, source, text) frame: self-train on
     * the frame's curated slice, score every ≥2-token doc. */
   private[graft] def bigramLmScores(docs: DataFrame): DataFrame =
-    scoreWithBigramLm(docs, bigramLmModel(docs))
+    // presentation sort lives HERE, not in the serve path: joined inside
+    // scoreIngestBatch a pre-join global sort is paid for nothing (the
+    // bpeTokenCounts composability rule; review r11). Lazy censuses:
+    // one-shot batch scoring, the bigramLmCensuses measured ruling.
+    scoreWithBigramLm(docs, bigramLmCensuses(docs)).orderBy(col("doc_id").asc)
 
   /** Score ANY (doc_id, text) frame against a TRAINED bigram LM — the
     * serve half (no label/source column read; works on unlabeled
@@ -1140,7 +1161,6 @@ object TextQueries {
       .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
         round(-expr("aggregate(terms, 0.0D, (a, t) -> a + t.term)") / col("n_bigrams"), 6)
           .as("h_nats"))
-      .orderBy(col("doc_id").asc)
   }
 
   // ---- Q112: trigram Stupid-Backoff LM scoring ----
@@ -1185,6 +1205,10 @@ object TextQueries {
     val train = toksAll
       .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
       .filter(size(col("toks")) > 0)
+    // censuses stay LAZY although each has two consumers (margin
+    // aggregate + scoring join): materializing all of them measured
+    // sf1.0 7.7 -> 9.4 s (the bigramLmCensuses ruling — checkpoint
+    // round-trip costs more than the census recompute)
     val uni = train.select(explode(col("toks")).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("c_c"))
     val cbg = train.filter(size(col("toks")) >= 2)

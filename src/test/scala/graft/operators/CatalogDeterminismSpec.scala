@@ -16,6 +16,17 @@ class CatalogDeterminismSpec extends AnyFunSuite with SparkTestSession {
     * wall-clock-dependent by nature, so compare its stable columns only. */
   private val unstableColumns = Map("q34_saved_runs_list" -> Set("modified_time", "size_bytes"))
 
+  test("Bench families partition the query catalog exactly") {
+    // the forked bench mode times SparkEntry.families; an entry present
+    // in queries but absent from every family would be silently
+    // unmeasured (neither timed nor failed) — pin coverage here so the
+    // gap fails CI before it fails a bench artifact (review r11)
+    val familyKeys = SparkEntry.families.flatMap(_._2)
+    assert(familyKeys.length === familyKeys.distinct.length,
+      "duplicate keys across families")
+    assert(familyKeys.toSet === SparkEntry.queries.keySet)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name is run-to-run deterministic") {
       def run(): Seq[String] = {
