@@ -22,6 +22,19 @@ object Bench {
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Entries whose Spark side is cache-warm PURE APPLY (the session
+    * tokenizer cache trains once at warmup) while their DuckDB oracle twin
+    * re-trains the full 8 BPE rounds inline every run: the per-query ratio
+    * for these is structurally train-vs-apply asymmetric, NOT a plan win —
+    * flagged in the artifact so cross-round adjudication reads it right
+    * (ADVICE r11). q101 — whose JOB is to time training — is symmetric and
+    * not listed. */
+  private val trainVsApplyKeys = Seq(
+    "q104_bpe_encode", "q106_tokenizer_fertility", "q108_token_packing")
+
+  private def trainVsApplyJson: String =
+    trainVsApplyKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder
     s.foreach {
@@ -129,10 +142,19 @@ object Bench {
       val fBlock = """"failed":\s*\[(.*?)\]""".r.findFirstMatchIn(out)
         .map(_.group(1)).getOrElse("")
       """"([^"]+)"""".r.findAllMatchIn(fBlock).foreach(m => failed += m.group(1))
-      if (rc != 0) {
-        // a dead child leaves its whole family unmeasured — make that loud
-        keys.filterNot(perQuery.contains).foreach(failed += _)
+      if (rc != 0)
         System.err.println(s"[bench] forked family $family exited rc=$rc")
+      // EVERY key must be accounted (timed or failed) regardless of rc: a
+      // child that exits 0 but whose stdout fails the regex parse (format
+      // drift, truncated pipe) would otherwise leave its family silently
+      // unmeasured — the truncation class the families-partition require
+      // exists to prevent (ADVICE r11)
+      val unaccounted = keys.filterNot(k => perQuery.contains(k) || failed(k))
+      if (unaccounted.nonEmpty) {
+        unaccounted.foreach(failed += _)
+        System.err.println(
+          s"[bench] forked family $family rc=$rc left unparsed keys: " +
+            unaccounted.mkString(","))
       }
     }
     val results = perQuery.toSeq.sortBy(_._1)
@@ -157,7 +179,7 @@ object Bench {
       f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f,"duckdb_queries":$duckJson,"ratios":$ratiosJson"""
     }
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":${loadavg()}%.2f,"passes":3,"forked":true,"families":${SparkEntry.families.size}${paired.getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":${loadavg()}%.2f,"passes":3,"forked":true,"families":${SparkEntry.families.size},"train_vs_apply":$trainVsApplyJson${paired.getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))
@@ -273,7 +295,7 @@ object Bench {
       }
     val loadAfter = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3${paired.getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"train_vs_apply":$trainVsApplyJson${paired.getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -582,8 +582,15 @@ object TextQueries {
   def loadBpeMerges(spark: SparkSession, tokenizerDir: String): Seq[BpeMerge] =
     spark.read.parquet(s"$tokenizerDir/merges")
       .orderBy(col("step").asc).collect()
-      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq
+      .map(rowToMerge).toSeq
+
+  /** Row → BpeMerge BY NAME, not ordinal: a parquet read is only
+    * incidentally in write order, so a future column reorder in the
+    * artifact would mis-bind ordinal reads silently (ADVICE r11). Shared
+    * by every merge-collecting path so none can drift. */
+  private def rowToMerge(r: org.apache.spark.sql.Row): BpeMerge =
+    BpeMerge(r.getAs[Int]("step"), r.getAs[String]("pair"),
+      r.getAs[String]("merged"), r.getAs[Long]("n"))
 
   /** Session-scoped train-once cache for the catalog entries: q104, q106
     * and q108 all tokenize the SAME corpus with the SAME tokenizer, so
@@ -607,9 +614,7 @@ object TextQueries {
       case Some(td) => loadBpeMerges(spark, td)
       case None => trainedTokenizers.getOrElseUpdate((dir, rounds),
         bpeTrain(Tables.documents(spark, dir).filter(col("text").isNotNull), rounds)
-          .collect()
-          .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-          .toSeq)
+          .collect().map(rowToMerge).toSeq)
     }
 
   /** Test hook: drop cached tokenizers (specs that train on constructed
@@ -637,9 +642,7 @@ object TextQueries {
 
   private def collectMerges(docs: DataFrame, rounds: Int): Seq[BpeMerge] =
     // ≤ `rounds` rows by construction — the bounded-collect discipline.
-    bpeTrain(docs, rounds).collect()
-      .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq
+    bpeTrain(docs, rounds).collect().map(rowToMerge).toSeq
 
   /** The merge chain as a codegen'd Column: bracket-encode, then one
     * literal `replace` per trained merge, in training order. */

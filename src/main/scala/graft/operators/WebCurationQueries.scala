@@ -577,7 +577,17 @@ object WebCurationQueries {
     * train/serve split (VERDICT r10 #2): (b, w) with ≤ 2^(4·QcHexChars) =
     * 4096 rows by construction, the artifact a streaming scorer broadcasts
     * per micro-batch. Same derivation as [[classifierScores]] (which keeps
-    * its fused self-train-and-score shape for the oracle-pinned q102). */
+    * its fused self-train-and-score shape for the oracle-pinned q102).
+    *
+    * The FINAL weight frame is [[Materialize]]d — lazy, every
+    * scoredArrivals micro-batch re-scanned and re-aggregated the full gram
+    * census before broadcasting, contradicting the frozen-model contract
+    * (ADVICE r11; the bigramLmModel ruling applied here). The class totals
+    * are a 1-row bounded collect that both inlines (tp, tn) as literals
+    * (no per-batch crossJoin) and GUARDS the build: a single-class corpus
+    * (zero curated or zero crawl grams) has no discriminative signal and
+    * the integer weight derivation would divide by zero — fail loudly at
+    * train time, not inside a serving micro-batch (VERDICT r11 #5). */
   private[graft] def classifierWeights(docs: DataFrame): DataFrame = {
     val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
       .select(
@@ -588,16 +598,21 @@ object WebCurationQueries {
       .select(col("curated"),
         conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
           .cast("int").as("b")))
-    val tot = gb.agg(
+    val t = gb.agg(
       sum(when(col("curated"), 1L).otherwise(0L)).as("tp"),
-      sum(when(col("curated"), 0L).otherwise(1L)).as("tn"))
-    gb.groupBy(col("b"))
+      sum(when(col("curated"), 0L).otherwise(1L)).as("tn")).collect()(0)
+    val tp = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val tn = if (t.isNullAt(1)) 0L else t.getLong(1)
+    require(tp > 0 && tn > 0,
+      s"classifierWeights needs BOTH classes in the training corpus " +
+        s"(curated grams=$tp, crawl grams=$tn): a single-class corpus has " +
+        "no discriminative signal to learn")
+    Materialize.materialize(gb.groupBy(col("b"))
       .agg(
         sum(when(col("curated"), 1L).otherwise(0L)).as("cp"),
         sum(when(col("curated"), 0L).otherwise(1L)).as("cn"))
-      .crossJoin(broadcast(tot))
       .select(col("b"),
-        (expr(s"cp * $QcScale DIV tp") - expr(s"cn * $QcScale DIV tn")).as("w"))
+        (expr(s"cp * $QcScale DIV ${tp}L") - expr(s"cn * $QcScale DIV ${tn}L")).as("w")))
   }
 
   /** Score ANY (doc_id, text) frame against a TRAINED weight table — the

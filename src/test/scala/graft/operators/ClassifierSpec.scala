@@ -85,6 +85,36 @@ class ClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("classifierWeights refuses a single-class corpus loudly") {
+    // all-crawl (src10+) and all-curated (src0-9) standing corpora: the
+    // integer rate-difference weights would divide by zero on the absent
+    // class — the guard must fail at TRAIN time with a readable message,
+    // not inside a serving micro-batch (VERDICT r11 #5)
+    val allCrawl = (0L until 6L)
+      .map(i => (i, s"src${10 + i}", s"buy now cheap thing $i"))
+      .toDF("doc_id", "source", "text")
+    val eCrawl = intercept[IllegalArgumentException] {
+      WebCurationQueries.classifierWeights(allCrawl)
+    }
+    assert(eCrawl.getMessage.contains("BOTH classes"))
+    val allCurated = (0L until 6L)
+      .map(i => (i, s"src${i % 10}", s"well written prose sentence $i"))
+      .toDF("doc_id", "source", "text")
+    val eCur = intercept[IllegalArgumentException] {
+      WebCurationQueries.classifierWeights(allCurated)
+    }
+    assert(eCur.getMessage.contains("BOTH classes"))
+    // and the two-class path still trains: bounded table, both signs present
+    val both = (0L until 12L).map { i =>
+      val src = if (i < 6) s"src${i % 10}" else s"src${10 + i % 10}"
+      val text = if (i < 6) s"well written prose sentence $i reads well"
+        else s"click buy now cheap $i cheap click"
+      (i, src, text)
+    }.toDF("doc_id", "source", "text")
+    val w = WebCurationQueries.classifierWeights(both).collect()
+    assert(w.nonEmpty && w.length <= 4096)
+  }
+
   test("q111 calibration table re-derives from the q102 scores and separates") {
     val scores = WebCurationQueries.q102QualityClassifier(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getBoolean(1), r.getLong(3)))
