@@ -1062,23 +1062,49 @@ object TextQueries {
     *
     * EXACTNESS: every ln argument is an exact integer — α = 0.4 is encoded
     * as ln(2·(c(b)+1)) − ln(5·(N+V)), both integer-valued, so neither
-    * engine ever evaluates ln on a value the other rounded differently —
-    * terms fold in document position order with a 0.0 seed (exact in
-    * IEEE; the q94 discipline), one divide + round(6) at the end.
+    * engine ever evaluates ln on a value the other rounded differently.
+    * Per-doc summation is FIXED-POINT (r12): each term truncates to
+    * floor(term·10⁹) — the identical int64 on both engines — and the doc
+    * sums exact integers, ORDER-INDEPENDENTLY. The previous contract
+    * (position-ordered double fold) needed collect_list + array_sort per
+    * doc, which both dominated the runtime (profiled sf1.0: the sorted
+    * fold alone cost more than scan+joins+aggregation together) and, at
+    * 100 TB, shipped EVERY term across the shuffle inside per-doc arrays
+    * with no map-side combine; the integer sum restores partial
+    * aggregation. Precision: |term| ≤ ~37 nats, so a doc needs > ~2·10⁸
+    * tokens to overflow int64, and h_nats moves < 10⁻⁹ — invisible at
+    * round(6) and applied identically in the oracle.
     *
-    * Scale shape: censuses are vocab-/bigram-sized with map-side partials;
-    * scoring joins the per-occurrence pair stream to the censuses by
-    * co-partitioned LEFT equi-joins (the Zipf-hot head splits under AQE
-    * skew join); the only broadcast is the 1-row (N, V) total; per-doc
-    * fold state is bounded by DOC LENGTH (the q94 collect-struct shape). */
+    * Scale shape: censuses are vocab-/bigram-sized with map-side partials
+    * and project to TERM TABLES of the same size (r12 — every ln runs
+    * once per unique census key, not once per occurrence; VERDICT r11
+    * #1); scoring joins the per-occurrence pair stream to the term tables
+    * by co-partitioned LEFT equi-joins (the Zipf-hot head splits under
+    * AQE skew join); the only broadcast is the 1-row fallback term;
+    * per-doc fold state is bounded by DOC LENGTH (the q94 collect-struct
+    * shape). Measured sf1.0 benched-alone: 4.47 → see ROUND12_NOTES. */
   def q109BigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmScores(Tables.documents(spark, dir))
 
-  /** The frozen bigram LM — the four census frames a streaming scorer
-    * re-plans per micro-batch (VERDICT r10 #2): bigram counts `cp`
-    * (a, b, c_ab), left context margins `ra` (a, r_a), add-one unigram
-    * census `uni` (b, c_b), and the 1-row totals `tot` (nn, vv). */
-  final case class BigramLmModel(cp: DataFrame, ra: DataFrame,
+  /** The frozen bigram LM (r12, the q104 vocab-level lesson applied per
+    * VERDICT r11 #1): the SEEN-bigram term is a function of the census
+    * pair alone, so `pairTerm` (a, b, t_ab = ln c_ab − ln r_a) evaluates
+    * both lns ONCE per unique pair on a census-sized frame and folds the
+    * cp⋈ra pair of joins into one — occurrences equi-join it and take the
+    * hot path with ZERO per-occurrence lns. The backoff path keeps the
+    * per-occurrence formula over `uni` (b, c_b) + the 1-row `tot`
+    * (nn, vv): it is the RARE path (out-of-census pairs), and deriving a
+    * backoff term table via crossJoin(tot) measured 1.5–6× SLOWER at
+    * sf1.0 — the BNLJ-cross subtree has no shuffle stage for AQE to
+    * re-plan from, so the occurrence stream fell into a sort-merge join
+    * instead of the broadcast the raw census gets (ROUND12_NOTES). */
+  final case class BigramLmModel(pairTerm: DataFrame, uni: DataFrame,
+      tot: DataFrame)
+
+  /** The training censuses: bigram counts `cp` (a, b, c_ab), left context
+    * margins `ra` (a, r_a), add-one unigram census `uni` (b, c_b), and the
+    * 1-row totals `tot` (nn, vv). */
+  private final case class BigramCensuses(cp: DataFrame, ra: DataFrame,
       uni: DataFrame, tot: DataFrame)
 
   private def lmPairExpr = expr(
@@ -1095,7 +1121,7 @@ object TextQueries {
     * materializing all four frames measured sf1.0 q109 5.7 → 7.2 s and
     * q112's twin 7.7 → 9.4 s (checkpoint round-trip > census recompute),
     * so the fused entries stay lazy and only the SERVING artifact pins. */
-  private def bigramLmCensuses(docs: DataFrame): BigramLmModel = {
+  private def bigramLmCensuses(docs: DataFrame): BigramCensuses = {
     // q102's deterministic curated-vs-crawl split (src0–src9 = curated)
     val train = docs.filter(col("text").isNotNull)
       .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
@@ -1109,7 +1135,21 @@ object TextQueries {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val ra = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("r_a"))
     val tot = uni.agg(sum(col("c_b")).as("nn"), count(lit(1)).as("vv"))
-    BigramLmModel(cp, ra, uni, tot)
+    BigramCensuses(cp, ra, uni, tot)
+  }
+
+  /** Censuses → the serving model: the seen-pair term table evaluates its
+    * lns once per unique census pair (the SAME exact-integer arguments the
+    * fused per-occurrence form used, so scores are bit-identical); uni/tot
+    * pass through for the rare backoff path. Frames stay LAZY here — the
+    * fused q109 keeps the lazy-census ruling; [[bigramLmModel]] pins them
+    * at the model boundary. */
+  private def bigramLmTerms(c: BigramCensuses): BigramLmModel = {
+    val pairTerm = c.cp.join(c.ra, Seq("a"))
+      .select(col("a"), col("b"),
+        (log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))
+          .as("t_ab"))
+    BigramLmModel(pairTerm, c.uni, c.tot)
   }
 
   /** Train q109's Stupid-Backoff model on the CURATED slice — the train
@@ -1120,9 +1160,9 @@ object TextQueries {
     * [[bigramLmCensuses]] instead (measured ruling there). EAGER at
     * construction like q94/q101/q102 (catalog contract note). */
   private[graft] def bigramLmModel(docs: DataFrame): BigramLmModel = {
-    val c = bigramLmCensuses(docs)
-    BigramLmModel(Materialize.materialize(c.cp), Materialize.materialize(c.ra),
-      Materialize.materialize(c.uni), Materialize.materialize(c.tot))
+    val t = bigramLmTerms(bigramLmCensuses(docs))
+    BigramLmModel(Materialize.materialize(t.pairTerm),
+      Materialize.materialize(t.uni), Materialize.materialize(t.tot))
   }
 
   /** The q109 body over ANY (doc_id, source, text) frame: self-train on
@@ -1132,37 +1172,38 @@ object TextQueries {
     // scoreIngestBatch a pre-join global sort is paid for nothing (the
     // bpeTokenCounts composability rule; review r11). Lazy censuses:
     // one-shot batch scoring, the bigramLmCensuses measured ruling.
-    scoreWithBigramLm(docs, bigramLmCensuses(docs)).orderBy(col("doc_id").asc)
+    scoreWithBigramLm(docs, bigramLmTerms(bigramLmCensuses(docs)))
+      .orderBy(col("doc_id").asc)
 
   /** Score ANY (doc_id, text) frame against a TRAINED bigram LM — the
     * serve half (no label/source column read; works on unlabeled
-    * arrivals). Same joins, same integer-ln terms, same position-ordered
-    * fold as the fused form — [[bigramLmScores]] IS this over a
-    * self-trained model, so the oracle-pinned q109 and the streaming
-    * scorer cannot drift. Docs with < 2 tokens emit no row (nothing to
-    * score); callers left-join and decide pass-through policy. */
+    * arrivals). The occurrence stream LEFT equi-joins the model's
+    * precomputed term tables (pair → seen term, unigram → backoff term,
+    * 1-row broadcast fallback) and coalesces — zero per-occurrence lns,
+    * two occurrence shuffles, same position-ordered fold as always.
+    * [[bigramLmScores]] IS this over a self-trained model, so the
+    * oracle-pinned q109 and the streaming scorer cannot drift. Docs with
+    * < 2 tokens emit no row (nothing to score); callers left-join and
+    * decide pass-through policy. */
   private[graft] def scoreWithBigramLm(docs: DataFrame,
       m: BigramLmModel): DataFrame = {
     lmToks(docs).filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), posexplode(lmPairExpr).as(Seq("pos", "p")))
-      .select(col("doc_id"), col("pos"), col("p.a").as("a"), col("p.b").as("b"))
-      .join(m.cp, Seq("a", "b"), "left")
-      .join(m.ra, Seq("a"), "left")
+      .select(col("doc_id"), explode(lmPairExpr).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      .join(m.pairTerm, Seq("a", "b"), "left")
       .join(m.uni, Seq("b"), "left")
       .crossJoin(broadcast(m.tot))
-      .select(col("doc_id"), col("pos"),
-        when(col("c_ab").isNotNull,
-          log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))
-          .otherwise(
-            log(((coalesce(col("c_b"), lit(0L)) + lit(1L)) * lit(2L)).cast("double")) -
-              log(((col("nn") + col("vv")) * lit(5L)).cast("double"))).as("term"),
-        when(col("c_ab").isNotNull, lit(0L)).otherwise(lit(1L)).as("oov"))
+      .select(col("doc_id"),
+        coalesce(col("t_ab"),
+          log(((coalesce(col("c_b"), lit(0L)) + lit(1L)) * lit(2L)).cast("double")) -
+            log(((col("nn") + col("vv")) * lit(5L)).cast("double"))).as("term"),
+        when(col("t_ab").isNotNull, lit(0L)).otherwise(lit(1L)).as("oov"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(col("oov")).as("oov_bigrams"),
-        array_sort(collect_list(struct(col("pos"), col("term")))).as("terms"))
+        sum(floor(col("term") * lit(1.0e9))).as("tsum"))
       .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
-        round(-expr("aggregate(terms, 0.0D, (a, t) -> a + t.term)") / col("n_bigrams"), 6)
+        round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_bigrams"), 6)
           .as("h_nats"))
   }
 
@@ -1184,8 +1225,9 @@ object TextQueries {
     * EXACTNESS (the q109 integer-ln encoding, extended): α = 0.4 becomes
     * ln(2·c_bc) − ln(5·r_b) and α² = 0.16 becomes ln(4·(c_c+1)) −
     * ln(25·(N+V)) — every ln argument is an exact integer on both
-    * engines; terms fold in position order with a 0.0 seed, one divide +
-    * round(6) at the end.
+    * engines; per-doc summation is q109's r12 fixed-point contract
+    * (floor(term·10⁹) int64s, exact order-independent sum with map-side
+    * combine, one divide + round(6) at the end).
     *
     * Scale shape: q109's, with the trigram census and its (a, b) context
     * margin added — censuses are n-gram-sized with map-side partials,
@@ -1225,36 +1267,46 @@ object TextQueries {
       .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("c_abc"))
     val rab = ct.groupBy(col("a"), col("b")).agg(sum(col("c_abc")).as("r_ab"))
     val tot = uni.agg(sum(col("c_c")).as("nn"), count(lit(1)).as("vv"))
+    // term tables for the two SEEN levels (r12, the q109 projection): the
+    // trigram and backoff-bigram terms are functions of their census keys
+    // alone, so each ln runs once per unique key on a census-sized frame
+    // and folds a margin join away (ct⋈rab, cbg⋈rb) — the occurrence
+    // stream LEFT equi-joins 3 frames instead of 5 and evaluates ZERO lns
+    // on the two common paths. The add-one unigram floor stays
+    // per-occurrence (the rare double-backoff path; a crossJoin(tot) term
+    // table fell out of AQE's broadcast conversion and forced a sort —
+    // the scoreWithBigramLm ruling, measured in ROUND12_NOTES).
+    val triTerm = ct.join(rab, Seq("a", "b"))
+      .select(col("a"), col("b"), col("c"),
+        (log(col("c_abc").cast("double")) - log(col("r_ab").cast("double")))
+          .as("t_abc"))
+    val biTerm = cbg.join(rb, Seq("b"))
+      .select(col("b"), col("c"),
+        (log((col("c_bc") * lit(2L)).cast("double")) -
+          log((col("r_b") * lit(5L)).cast("double"))).as("t_bc"))
     toksAll.filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), posexplode(triExpr).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"),
+      .select(col("doc_id"), explode(triExpr).as("g"))
+      .select(col("doc_id"),
         col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
-      .join(ct, Seq("a", "b", "c"), "left")
-      .join(rab, Seq("a", "b"), "left")
-      .join(cbg, Seq("b", "c"), "left")
-      .join(rb, Seq("b"), "left")
+      .join(triTerm, Seq("a", "b", "c"), "left")
+      .join(biTerm, Seq("b", "c"), "left")
       .join(uni, Seq("c"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("pos"),
-        when(col("c_abc").isNotNull,
-          log(col("c_abc").cast("double")) - log(col("r_ab").cast("double")))
-          .when(col("c_bc").isNotNull,
-            log((col("c_bc") * lit(2L)).cast("double")) -
-              log((col("r_b") * lit(5L)).cast("double")))
-          .otherwise(
-            log(((coalesce(col("c_c"), lit(0L)) + lit(1L)) * lit(4L)).cast("double")) -
-              log(((col("nn") + col("vv")) * lit(25L)).cast("double"))).as("term"),
-        when(col("c_abc").isNotNull, lit(0L))
-          .when(col("c_bc").isNotNull, lit(1L)).otherwise(lit(0L)).as("bo1"),
-        when(col("c_abc").isNotNull || col("c_bc").isNotNull, lit(0L))
+      .select(col("doc_id"),
+        coalesce(col("t_abc"), col("t_bc"),
+          log(((coalesce(col("c_c"), lit(0L)) + lit(1L)) * lit(4L)).cast("double")) -
+            log(((col("nn") + col("vv")) * lit(25L)).cast("double"))).as("term"),
+        when(col("t_abc").isNotNull, lit(0L))
+          .when(col("t_bc").isNotNull, lit(1L)).otherwise(lit(0L)).as("bo1"),
+        when(col("t_abc").isNotNull || col("t_bc").isNotNull, lit(0L))
           .otherwise(lit(1L)).as("bo2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
         sum(col("bo1")).as("bo_bi"),
         sum(col("bo2")).as("bo_uni"),
-        array_sort(collect_list(struct(col("pos"), col("term")))).as("terms"))
+        sum(floor(col("term") * lit(1.0e9))).as("tsum"))
       .select(col("doc_id"), col("n_trigrams"), col("bo_bi"), col("bo_uni"),
-        round(-expr("aggregate(terms, 0.0D, (a, t) -> a + t.term)") / col("n_trigrams"), 6)
+        round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_trigrams"), 6)
           .as("h_nats"))
       .orderBy(col("doc_id").asc)
   }
@@ -1346,13 +1398,13 @@ object TextQueries {
         |  CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
         |  CAST(list_sum(list_transform(range(1, len(toks)),
         |    i -> CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL THEN 0 ELSE 1 END)) AS BIGINT) AS oov_bigrams,
-        |  round(-list_reduce(list_transform(range(1, len(toks)),
-        |    i -> CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL
+        |  round((-CAST(list_sum(list_transform(range(1, len(toks)),
+        |    i -> CAST(floor((CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL
         |         THEN ln(CAST(map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] AS DOUBLE))
         |            - ln(CAST(map_extract(m.ma, toks[i])[1] AS DOUBLE))
         |         ELSE ln(CAST(2 * (coalesce(map_extract(m.mb, toks[i+1])[1], 0) + 1) AS DOUBLE))
-        |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END),
-        |    (x, y) -> x + y) / (len(toks) - 1), 6) AS h_nats
+        |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END) * 1000000000.0) AS BIGINT))) AS DOUBLE))
+        |    / 1000000000.0 / (len(toks) - 1), 6) AS h_nats
         |  FROM t, m WHERE len(toks) >= 2)
         |SELECT doc_id, n_bigrams, oov_bigrams, h_nats FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q112_trigram_lm" ->
@@ -1387,16 +1439,16 @@ object TextQueries {
         |    i -> CASE WHEN map_extract(m.mabc, toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])[1] IS NOT NULL THEN 0
         |              WHEN map_extract(m.mbc, toks[i+1] || chr(1) || toks[i+2])[1] IS NOT NULL THEN 0
         |              ELSE 1 END)) AS BIGINT) AS bo_uni,
-        |  round(-list_reduce(list_transform(range(1, len(toks) - 1),
-        |    i -> CASE WHEN map_extract(m.mabc, toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])[1] IS NOT NULL
+        |  round((-CAST(list_sum(list_transform(range(1, len(toks) - 1),
+        |    i -> CAST(floor((CASE WHEN map_extract(m.mabc, toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])[1] IS NOT NULL
         |         THEN ln(CAST(map_extract(m.mabc, toks[i] || chr(1) || toks[i+1] || chr(1) || toks[i+2])[1] AS DOUBLE))
         |            - ln(CAST(map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] AS DOUBLE))
         |         WHEN map_extract(m.mbc, toks[i+1] || chr(1) || toks[i+2])[1] IS NOT NULL
         |         THEN ln(CAST(2 * map_extract(m.mbc, toks[i+1] || chr(1) || toks[i+2])[1] AS DOUBLE))
         |            - ln(CAST(5 * map_extract(m.mb, toks[i+1])[1] AS DOUBLE))
         |         ELSE ln(CAST(4 * (coalesce(map_extract(m.mc, toks[i+2])[1], 0) + 1) AS DOUBLE))
-        |            - ln(CAST(25 * (m.nn + m.vv) AS DOUBLE)) END),
-        |    (x, y) -> x + y) / (len(toks) - 2), 6) AS h_nats
+        |            - ln(CAST(25 * (m.nn + m.vv) AS DOUBLE)) END) * 1000000000.0) AS BIGINT))) AS DOUBLE))
+        |    / 1000000000.0 / (len(toks) - 2), 6) AS h_nats
         |  FROM t, m WHERE len(toks) >= 3)
         |SELECT doc_id, n_trigrams, bo_bi, bo_uni, h_nats FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q97_pmi_pairs" ->
