@@ -556,8 +556,17 @@ object MultimodalOps {
     * [[HotBandCap]]), verification is exact hamming over the four bands
     * (bit_count of xor), near partners aggregate to a count + smallest
     * partner per doc. Input: (doc_id, phash, b0..b3). */
-  private[multimodal] def fingerprintCensus(hashed: DataFrame, hamT: Int,
+  private[multimodal] def fingerprintCensus(hashed0: DataFrame, hamT: Int,
       hotBandCap: Int = HotBandCap): DataFrame = {
+    // Pin the decoded fingerprint frame ONCE (r12, the q98/q99/q103
+    // adjudication): this tail consumes it six times (exact family, band
+    // census, cold rows, both verify sides, final join), and lazy input
+    // re-ran the WHOLE decode mapPartitions per consumer — benched-alone
+    // sf1.0 confirmed the r11 drift was real cost, not session pressure
+    // (q98 ~10.6 s, q99 ~9.5 s, q103 ~5.2 s steady-state before this
+    // pin). The checkpoint is (doc_id, phash, 4 ints) per asset — tiny
+    // next to the binary it replaces.
+    val hashed = graft.operators.Materialize.materialize(hashed0)
     val fam = hashed.groupBy(col("b0"), col("b1"), col("b2"), col("b3"))
       .agg(count(lit(1)).as("n_exact"), min(col("doc_id")).as("keeper"))
 
@@ -576,16 +585,25 @@ object MultimodalOps {
         col("x.k") === col("y.k") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
 
     val sig = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
     def side(s: String) =
       sig.select(Seq(col("doc_id").as(s"doc_$s")) ++
         (0 to 3).map(k => col(s"b$k").as(s"b${k}$s")): _*)
+    // VERIFY before DEDUP (r12 adjudication of the q98/q99/q103 cluster):
+    // the candidate stream is dominated by legitimate-but-large band
+    // buckets (sf1.0 q98: one 4.5k-image flat band alone emits ~10M
+    // pairs), and deduping FIRST shuffled that whole stream; the side
+    // joins broadcast the asset-sized signature table, so verifying
+    // inline keeps candidates in one codegen stage and only the few
+    // surviving near pairs pay the distinct shuffle. A pair sharing
+    // several bands is verified once per shared band — bit_count work,
+    // strictly cheaper than shuffling the stream (same result set).
     val near = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
       .filter((0 to 3).map(k =>
         expr(s"bit_count(b${k}a ^ b${k}b)")).reduce(_ + _) <= hamT)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
     val partners = near.select(col("doc_a").as("doc_id"), col("doc_b").as("p"))
       .union(near.select(col("doc_b").as("doc_id"), col("doc_a").as("p")))
       .groupBy(col("doc_id"))
