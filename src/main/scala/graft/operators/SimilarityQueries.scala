@@ -460,34 +460,46 @@ object SimilarityQueries {
       cells: Int, probes: Int, lloydRounds: Int = 1): DataFrame =
     topKScored(ivfAnnScored(spark, dir, cells, probes, lloydRounds))
 
-  /** Q107 — ANN recall audit: per-query recall@k of the production IVF
-    * path ([[q42IvfAnn]]) against the exact brute-force top-k
-    * ([[q26KnnExact]]) on the same bounded query sample — the measurement
-    * a serving team reads before trading exactness for probe budget
-    * (tools/RecallSweep explores the (cells, probes) space; this entry
-    * pins ONE configuration as an oracle-checked catalog row, so a
-    * codebook/probe regression fails the gate, not production).
+  /** Hash-table count for q107's LSH leg: 4 tables of [[LshBits]] planes
+    * each — the OR-amplification configuration the r5 sweep motivated. */
+  val RecallLshTables = 4
+
+  /** Q107 — ANN recall audit over ALL THREE serving families (r12,
+    * VERDICT r10 #7 / r11 #2): per-query recall@k of the production IVF
+    * path ([[q42IvfAnn]]), the IVF-PQ + exact-re-rank path
+    * ([[q82IvfPqAnn]]), and the multi-table sign-LSH path
+    * ([[annLshMultiTable]] at ([[LshBits]], [[RecallLshTables]])) against
+    * the exact brute-force top-k ([[q26KnnExact]]) on the same bounded
+    * query sample — the measurement a serving team reads before trading
+    * exactness for probe budget (tools/RecallSweep explores the config
+    * space; this entry pins one configuration PER FAMILY as an
+    * oracle-checked row, so a codebook, PQ-codebook, or plane-table
+    * regression in ANY family fails the gate, not production).
     *
-    * Shape: both legs are existing bounded pipelines (the exact leg
-    * broadcasts the [[QueryCount]] query rows, the IVF leg probes
-    * [[IvfProbes]] of [[IvfCells]] cells); the audit itself is a
-    * (QueryCount×TopK)-row left join + one tiny aggregate. At 100 TB
-    * recall is audited exactly this way — on a bounded query sample, with
-    * the exact denominator costing one corpus stream past a broadcast.
-    * Every stage is exact integer math with lexicographic tie-breaks, so
-    * DuckDB re-derives both top-k sets and every recall cell bit-for-bit.
-    * recall_milli is fixed-point (hits×1000 div |exact|); n_exact < TopK
-    * only when the corpus itself has fewer than TopK+1 vectors. */
+    * Shape: all legs are existing bounded pipelines; the exact
+    * denominator is [[Materialize]]d once (QueryCount×TopK rows) and fans
+    * out to three (QueryCount×TopK)-row left joins + tiny aggregates. At
+    * 100 TB recall is audited exactly this way — on a bounded query
+    * sample, each family costing its own serving pass. Every stage is
+    * exact integer math with lexicographic tie-breaks, so DuckDB
+    * re-derives all four top-k sets and every recall cell bit-for-bit.
+    * recall_milli is fixed-point (hits×1000 div |exact|). */
   def q107AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    val exact = q26KnnExact(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = q42IvfAnn(spark, dir)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall_milli", expr("n_hit * 1000 div n_exact"))
-      .orderBy(col("query_id").asc)
+    val exact = Materialize.materialize(
+      q26KnnExact(spark, dir).select(col("query_id"), col("neighbor_id")))
+    def leg(family: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(family).as("family"), col("query_id"), col("n_exact"),
+          col("n_hit"), expr("n_hit * 1000 div n_exact").as("recall_milli"))
+    leg("ivf", q42IvfAnn(spark, dir))
+      .unionAll(leg("ivfpq", q82IvfPqAnn(spark, dir)))
+      .unionAll(leg("lsh", annLshMultiTable(spark, dir, LshBits, RecallLshTables)))
+      .orderBy(col("family").asc, col("query_id").asc)
   }
 
   /** Q114 — IVF cluster-BALANCE audit: the per-cell population census of
@@ -1182,7 +1194,66 @@ object SimilarityQueries {
   /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
     * oracle buckets identically to the engine (integer math throughout). */
   private def planeSqlLiterals: Seq[String] =
-    planeSigns.map(p => p.map(_.toLong).mkString("[", ", ", "]"))
+    planeSignsRange(0, LshBits).map(p => p.map(_.toLong).mkString("[", ", ", "]"))
+
+  /** Plane literals for an absolute range — the multi-table oracle's twin
+    * of [[intBucketColRange]] (table t = planes [t·bits, (t+1)·bits)). */
+  private def planeSqlLiteralsRange(from: Int, n: Int): Seq[String] =
+    planeSignsRange(from, n).map(p => p.map(_.toLong).mkString("[", ", ", "]"))
+
+  /** The q107 oracle (r12: all three serving families): the q82 CTE chain
+    * verbatim (coarse IVF + PQ + re-rank, exposing `corpus`/`probes`/`r`),
+    * the multi-table LSH chain (per-table bucket folds over the SAME
+    * absolute plane ranges as [[intBucketColRange]], OR-join on any shared
+    * table bucket, exact dot, top-k), the exact denominator, and one
+    * recall aggregate per family UNION ALL'd. */
+  private def q107OracleSql: String = {
+    val tableBuckets = (0 until RecallLshTables).map { t =>
+      planeSqlLiteralsRange(t * LshBits, LshBits).map { lits =>
+        s"(CASE WHEN list_sum(list_transform(range($Dims), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)"
+      }.reduce((a, b) => s"($a * 2 + $b)")
+    }
+    val tbCols = tableBuckets.zipWithIndex
+      .map { case (e, t) => s"$e AS tb$t" }.mkString(",\n    ")
+    val orCond = (0 until RecallLshTables)
+      .map(t => s"p.tb$t = c.tb$t").mkString(" OR ")
+    def leg(family: String, t: String) =
+      s"""SELECT '$family' AS family, e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM ex e LEFT JOIN $t i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id""".stripMargin
+    s"""WITH $q82Ctes,
+       |ivf_s AS (SELECT p.query_id, c.neighbor_id,
+       |    CAST(list_sum(list_transform(range($Dims), i -> p.qa[i+1] * c.qb[i+1])) AS BIGINT) AS dot
+       |  FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
+       |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ivf_s),
+       |ivf AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rn <= $TopK),
+       |pq AS (SELECT query_id, neighbor_id FROM r WHERE rn <= $TopK),
+       |lshb AS (SELECT vec_id, v,
+       |    $tbCols
+       |  FROM q),
+       |lshcand AS (SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM lshb p JOIN lshb c ON p.vec_id < $QueryCount AND p.vec_id <> c.vec_id
+       |    AND ($orCond)),
+       |lshs AS (SELECT l.query_id, l.neighbor_id,
+       |    CAST(list_sum(list_transform(range($Dims), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
+       |  FROM lshcand l JOIN q a ON a.vec_id = l.query_id JOIN q b ON b.vec_id = l.neighbor_id),
+       |lshr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM lshs),
+       |lsh AS (SELECT query_id, neighbor_id FROM lshr WHERE rn <= $TopK),
+       |ex_s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range($Dims), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
+       |  FROM q a JOIN q b ON a.vec_id < $QueryCount AND a.vec_id <> b.vec_id),
+       |ex_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ex_s),
+       |ex AS (SELECT query_id, neighbor_id FROM ex_r WHERE rn <= $TopK)
+       |SELECT family, query_id, n_exact, n_hit, recall_milli FROM (
+       |${leg("ivf", "ivf")}
+       |UNION ALL
+       |${leg("ivfpq", "pq")}
+       |UNION ALL
+       |${leg("lsh", "lsh")}
+       |) ORDER BY family NULLS FIRST, query_id NULLS FIRST""".stripMargin
+  }
 
   /** Shared coarse-IVF oracle CTE chain (quantize -> seed -> one Lloyd
     * step -> final assignment ranked per vector) — the common prefix of
@@ -1221,7 +1292,15 @@ object SimilarityQueries {
     * through per-m joins on the candidate's code, the ADC shortlist, and
     * the exact re-rank. Stage-for-stage the same math as [[q82IvfPqAnn]],
     * in exact integers. */
-  private def q82OracleSql: String = {
+  private def q82OracleSql: String =
+    s"""WITH $q82Ctes
+       |SELECT query_id, neighbor_id, dot, adc_dot FROM r WHERE rn <= $TopK
+       |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin
+
+  /** The q82 CTE chain WITHOUT the final select (exposes `r`, ranked
+    * re-ranked candidates) — shared verbatim by the q82 oracle and the
+    * q107 recall audit's ivfpq leg, so the two cannot drift. */
+  private def q82Ctes: String = {
     val subBlocks = (0 until PqM).map { m =>
       val off = m * PqSubDim
       s"""pseeds$m AS (SELECT code, list_transform(range($PqSubDim), i -> v[i+1+$off]) AS sv FROM pseeds),
@@ -1251,7 +1330,7 @@ object SimilarityQueries {
       val off = m * PqSubDim
       s"list_sum(list_transform(range($PqSubDim), i -> cand.qa[i+1+$off] * t$m.cv[i+1]))"
     }
-    s"""WITH $coarseIvfSql,
+    s"""$coarseIvfSql,
        |pseeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
        |           FROM (SELECT * FROM q ORDER BY vec_id LIMIT $PqK)),
        |${subBlocks.mkString(",\n")},
@@ -1270,9 +1349,7 @@ object SimilarityQueries {
        |  JOIN q qq ON qq.vec_id = s.query_id
        |  JOIN corpus c ON c.neighbor_id = s.neighbor_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn
-       |      FROM rr)
-       |SELECT query_id, neighbor_id, dot, adc_dot FROM r WHERE rn <= $TopK
-       |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin
+       |      FROM rr)""".stripMargin
   }
 
   /** Oracles: q26/q28/q45 are fully hash-checkable (exact integer dots;
@@ -1324,23 +1401,7 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, dot FROM r WHERE rn <= $TopK
          |ORDER BY query_id NULLS FIRST, dot DESC, neighbor_id NULLS FIRST""".stripMargin,
     "q82_ann_ivfpq" -> q82OracleSql,
-    "q107_ann_recall" ->
-      s"""WITH $coarseIvfSql,
-         |ivf_s AS (SELECT p.query_id, c.neighbor_id,
-         |    CAST(list_sum(list_transform(range($Dims), i -> p.qa[i+1] * c.qb[i+1])) AS BIGINT) AS dot
-         |  FROM probes p JOIN corpus c ON p.probe_cell = c.cell AND p.query_id <> c.neighbor_id),
-         |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ivf_s),
-         |ivf AS (SELECT query_id, neighbor_id FROM ivf_r WHERE rn <= $TopK),
-         |ex_s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         |    CAST(list_sum(list_transform(range($Dims), i -> a.v[i+1] * b.v[i+1])) AS BIGINT) AS dot
-         |  FROM q a JOIN q b ON a.vec_id < $QueryCount AND a.vec_id <> b.vec_id),
-         |ex_r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rn FROM ex_s),
-         |ex AS (SELECT query_id, neighbor_id FROM ex_r WHERE rn <= $TopK)
-         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
-         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
-         |  CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
-         |FROM ex e LEFT JOIN ivf i ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-         |GROUP BY e.query_id ORDER BY e.query_id NULLS FIRST""".stripMargin,
+    "q107_ann_recall" -> q107OracleSql,
     "q114_ivf_balance" ->
       s"""WITH $coarseIvfSql
          |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,

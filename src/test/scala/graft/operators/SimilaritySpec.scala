@@ -108,22 +108,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q107 recall audit re-derives from its two legs (independent set math)") {
+  test("q107 recall audit re-derives from its per-family legs (independent set math)") {
     val exact = SimilarityQueries.q26KnnExact(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = SimilarityQueries.q42IvfAnn(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val expect = exact.toSeq.sortBy(_._1).map { case (q, ex) =>
-      val hits = (ex & ivf.getOrElse(q, Set.empty)).size.toLong
-      (q, ex.size.toLong, hits, hits * 1000L / ex.size)
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val legs = Seq(
+      "ivf" -> topSet(SimilarityQueries.q42IvfAnn(spark, dir)),
+      "ivfpq" -> topSet(SimilarityQueries.q82IvfPqAnn(spark, dir)),
+      "lsh" -> topSet(SimilarityQueries.annLshMultiTable(spark, dir,
+        SimilarityQueries.LshBits, SimilarityQueries.RecallLshTables)))
+    val expect = legs.flatMap { case (family, approx) =>
+      exact.toSeq.sortBy(_._1).map { case (q, ex) =>
+        val hits = (ex & approx.getOrElse(q, Set.empty)).size.toLong
+        (family, q, ex.size.toLong, hits, hits * 1000L / ex.size)
+      }
     }
     val got = SimilarityQueries.q107AnnRecall(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
     assert(got === expect)
-    assert(got.size == SimilarityQueries.QueryCount)
-    assert(got.forall { case (_, n, h, m) => h <= n && m >= 0 && m <= 1000 })
+    assert(got.size == 3 * SimilarityQueries.QueryCount)
+    assert(got.forall { case (_, _, n, h, m) => h <= n && m >= 0 && m <= 1000 })
+    // the gate must actually gate: every family finds SOMETHING on the
+    // real corpus (an all-zero recall row means a broken serving path,
+    // not a tuning choice)
+    legs.map(_._1).foreach { f =>
+      assert(got.filter(_._1 == f).map(_._4).sum > 0, s"family $f found nothing")
+    }
   }
 
   test("recall@k reaches 1000 exactly when the probe budget covers every cell") {
