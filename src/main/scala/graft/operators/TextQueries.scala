@@ -783,9 +783,22 @@ object TextQueries {
     * tokenizer — pure apply + q63's packing. */
   private[graft] def tokenPackingWith(docs: DataFrame, merges: Seq[BpeMerge],
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = bpeTokenCountsWith(docs, merges).select(col("doc_id"), col("n_tokens"))
-    val sharded = toks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    packingFromCounts(
+      toks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")), budget)
+  }
+
+  /** q108's packing MANIFEST from already-computed token counts — a
+    * (doc_id, lang, n_tokens) frame in, the (lang, shard, bin) manifest
+    * out. Factored (r12) so the fused q108 and the ingest composition
+    * (shards landed with counts by the frozen tokenizer; see
+    * StreamingOps.tokenizedArrivals) derive bins from ONE definition:
+    * a training job packs context windows from the STORED counts, never
+    * by re-tokenizing the corpus. */
+  private[graft] def packingFromCounts(counts: DataFrame,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sharded = counts
       .select(col("doc_id"), col("lang"),
         // sign-preserving %, matching the oracle's `doc_id % 32` (q63 pin)
         (col("doc_id") % 32L).as("shard"), col("n_tokens"))

@@ -327,6 +327,48 @@ object StreamingOps {
       }
       .start()
 
+  // ---- BPE-budgeted ingest (frozen tokenizer at the landing edge) ----
+
+  /** Per-batch TOKEN-COUNT annotation with a FROZEN tokenizer (r12,
+    * VERDICT r11 #8 — the last composition of the tokenizer lifecycle
+    * into streaming): the merge artifact (built once by
+    * buildBpeTokenizer / loaded by loadBpeMerges, ≤ rounds rows) is a
+    * plan-time literal chain, so the batch side is PURE APPLY — the q104
+    * collapse-first shape (chain per unique word, equi-join back), no
+    * training job hides in any micro-batch. Docs the tokenizer cannot
+    * count (null text, no normalized words) pass through with NULL
+    * n_words/n_tokens — the scoreIngestBatch annotation discipline. */
+  def tokenizeIngestBatch(batch: DataFrame,
+      merges: Seq[graft.operators.TextQueries.BpeMerge]): DataFrame =
+    batch.join(
+      graft.operators.TextQueries
+        .bpeTokenCountsWith(batch.filter(col("text").isNotNull), merges)
+        .select(col("doc_id"), col("n_words"), col("n_tokens")),
+      Seq("doc_id"), "left")
+
+  /** The BPE-budgeted STREAMING ingest: arriving documents annotated with
+    * frozen-tokenizer token counts ([[tokenizeIngestBatch]]) and landed as
+    * hash-sharded training shards with the same exactly-once-observable
+    * semantics as [[scoredArrivals]]. The packing MANIFEST is the
+    * downstream half: a training job derives q108's (lang, shard, bin)
+    * bins from the LANDED n_tokens via
+    * graft.operators.TextQueries.packingFromCounts — bins depend on the
+    * whole standing corpus, so they are a batch job over the landed
+    * table, never per-micro-batch state; the stream's job is to make the
+    * counts land exactly once (replay == batch, pinned in
+    * StreamingSpec). */
+  def tokenizedArrivals(docs: DataFrame,
+      merges: Seq[graft.operators.TextQueries.BpeMerge], path: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Sinks.writeShardedBatchIdempotent(
+          tokenizeIngestBatch(batch, merges), batchId, path)
+      }
+      .start()
+
   // ---- stateful pattern matching (flatMapGroupsWithState) ----
 
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

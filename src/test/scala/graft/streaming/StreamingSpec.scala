@@ -854,8 +854,84 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       lastBatch, sink)
     assert(landed() == got, "replayed scored batch must not change the landed set")
   }
+
+  test("BPE-budgeted ingest: frozen-tokenizer counts land exactly once and " +
+      "the packing manifest over landed shards equals the fused q108 twin") {
+    import spark.implicits._
+    import graft.operators.{AnalyticsQueries, TextQueries}
+    // the tokenizer artifact is versioned with the model: built ONCE from
+    // the standing corpus, loaded as a bounded merge table
+    val tokDir = java.nio.file.Files.createTempDirectory("bpe_ingest_art").toString
+    TextQueries.buildBpeTokenizer(spark, "/root/testdata/sf0.001", tokDir)
+    val merges = TextQueries.loadBpeMerges(spark, tokDir)
+    assert(merges.nonEmpty)
+
+    val arrivals = Seq(
+      StreamingSpec.LDoc(40L, "en", "the quick brown fox jumps over the lazy dog"),
+      StreamingSpec.LDoc(41L, "en", "pack my box with five dozen liquor jugs"),
+      StreamingSpec.LDoc(42L, "de", "zz completely novel arrival words here"),
+      StreamingSpec.LDoc(43L, "de", null)) // uncountable: lands with null counts
+
+    val sink = java.nio.file.Files.createTempDirectory("tok_sink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("tok_ckpt").toString
+    val stream = MemoryStream[StreamingSpec.LDoc](spark)
+    val q = StreamingOps.tokenizedArrivals(stream.toDF(), merges, sink, ckpt)
+    stream.addData(arrivals.take(2))
+    q.processAllAvailable()
+    stream.addData(arrivals.drop(2))
+    q.processAllAvailable()
+    q.stop()
+
+    type RowT = (Long, String, Option[String], Option[Long], Option[Long], Long)
+    def key(r: org.apache.spark.sql.Row): RowT = (
+      r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+      Option(r.getAs[String]("text")),
+      Option(r.getAs[java.lang.Long]("n_words")).map(_.longValue()),
+      Option(r.getAs[java.lang.Long]("n_tokens")).map(_.longValue()),
+      r.getAs[Number]("shard").longValue())
+    def landed() = spark.read.parquet(sink).collect().map(key).toSet
+    val got = landed()
+
+    // replay == batch: the SAME pure-apply annotation over all arrivals
+    val arrivalsDf = arrivals.toDF()
+    val twin = StreamingOps.tokenizeIngestBatch(arrivalsDf, merges)
+      .withColumn("shard", AnalyticsQueries.shardCol)
+      .collect().map(key).toSet
+    assert(got == twin, s"landed $got != batch twin $twin")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId.keySet == Set(40L, 41L, 42L, 43L)) // nothing dropped
+    assert(byId(40L)._5.exists(_ > 0))
+    assert(byId(43L)._4.isEmpty && byId(43L)._5.isEmpty) // null text -> null counts
+
+    // the packing MANIFEST from the LANDED counts is the fused q108 over
+    // the same corpus + tokenizer — a training job packs from stored
+    // counts, never by re-tokenizing
+    val budget = 8L
+    def manifestKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lang"), r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"))
+    val fromLanded = TextQueries.packingFromCounts(
+        spark.read.parquet(sink).filter(col("n_tokens").isNotNull)
+          .select(col("doc_id"), col("lang"), col("n_tokens")), budget)
+      .collect().map(manifestKey).toSeq
+    val fused = TextQueries.tokenPackingWith(
+        arrivalsDf.filter(col("text").isNotNull), merges, budget)
+      .collect().map(manifestKey).toSeq
+    assert(fromLanded == fused, s"$fromLanded != $fused")
+    assert(fromLanded.nonEmpty)
+
+    // exactly-once: re-deliver the last batch -> landed set unchanged
+    val lastBatch = spark.read.parquet(sink)
+      .select(org.apache.spark.sql.functions.max($"batch_id"))
+      .head().getAs[Number](0).longValue()
+    graft.sources.Sinks.writeShardedBatchIdempotent(
+      StreamingOps.tokenizeIngestBatch(arrivals.drop(2).toDF(), merges),
+      lastBatch, sink)
+    assert(landed() == got, "replayed tokenized batch must not change the landed set")
+  }
 }
 
 object StreamingSpec {
   final case class Doc(doc_id: Long, text: String)
+  final case class LDoc(doc_id: Long, lang: String, text: String)
 }
