@@ -994,12 +994,15 @@ object TextQueries {
     *      vocab-sized, map-side partials (the q72 shape);
     *   2. equi-join tokens⋈census on token — the standard co-partitioned
     *      big-big join; the Zipf-hot head splits under AQE skew-join. The
-    *      only broadcast is the 1-row corpus total;
-    *   3. per-doc fold: collect_list(struct(pos, ln cnt)) — per-group
-    *      state bounded by DOC LENGTH, not vocab — sorted by pos, then a
-    *      SEQUENTIAL left fold in the document's own token order (Spark
-    *      `aggregate`, DuckDB `list_reduce` — same addition order, 0.0+x
-    *      seed exact in IEEE), so H is bit-identical to the r8 formula;
+    *      only broadcast is the 1-row corpus total. ln(cnt) is evaluated
+    *      once per VOCAB row (truncated to floor(ln·10⁹) int64), never
+    *      per occurrence — the q109 r12 lesson;
+    *   3. per-doc sum: exact int64s, ORDER-INDEPENDENT, map-side
+    *      combinable (r12 — replaced the positional collect_list +
+    *      array_sort + sequential fold, which kept per-group array state
+    *      and shipped every term through the shuffle; h_nats moves
+    *      < 10⁻⁹, invisible at round(6), and the oracle applies the
+    *      identical fixed-point encoding);
     *   4. terciles by EXACT global rank without a single-task window:
     *      range-partition + sort on (h_nats, doc_id) (strict total
     *      order), per-partition row_number (a PARTITIONED window), plus a
@@ -1026,21 +1029,28 @@ object TextQueries {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
-    val tokenPos = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "token")))
-    val counts = tokenPos.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val tokenOcc = toks.select(col("doc_id"), explode(col("toks")).as("token"))
+    val counts = tokenOcc.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n_corpus"))
 
-    val scored = tokenPos.join(counts, "token")
-      .select(col("doc_id"), col("pos"), log(col("cnt").cast("double")).as("ln_cnt"))
+    // r12: the q109 fixed-point contract — ln(cnt) is a function of the
+    // VOCAB row alone, truncated once per unique token to floor(ln·10⁹)
+    // int64 (identical on both engines); the per-doc sum is exact
+    // integers, ORDER-INDEPENDENT, so the collect_list + array_sort +
+    // positional fold (per-group array state, no map-side combine — every
+    // term crossed the shuffle inside per-doc arrays) collapses to a
+    // plain partial-aggregating SUM. h_nats moves < 10⁻⁹ (round(6)), the
+    // oracle applies the identical encoding.
+    val scored = tokenOcc
+      .join(counts.select(col("token"),
+        floor(log(col("cnt").cast("double")) * lit(1.0e9)).as("t9")), "token")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        array_sort(collect_list(struct(col("pos"), col("ln_cnt")))).as("terms"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"), sum(col("t9")).as("tsum"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_tokens"),
         round(
           log(col("n_corpus")) -
-            expr("aggregate(terms, 0.0D, (a, t) -> a + t.ln_cnt)") / col("n_tokens"),
+            col("tsum").cast("double") / lit(1.0e9) / col("n_tokens"),
           6).as("h_nats"))
 
     // exact rank via the shared range-partition + offset-join helper
@@ -1488,7 +1498,9 @@ object TextQueries {
         |m AS (SELECT MAP(list(token ORDER BY token), list(cnt ORDER BY token)) AS mp,
         |             SUM(cnt) AS n_corpus FROM c),
         |s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  round(ln(m.n_corpus) - list_reduce(list_transform(toks, tk -> ln(CAST(map_extract(m.mp, tk)[1] AS DOUBLE))), (a, b) -> a + b) / len(toks), 6) AS h_nats
+        |  round(ln(m.n_corpus) - CAST(list_sum(list_transform(toks,
+        |    tk -> CAST(floor(ln(CAST(map_extract(m.mp, tk)[1] AS DOUBLE)) * 1000000000.0) AS BIGINT))) AS DOUBLE)
+        |    / 1000000000.0 / len(toks), 6) AS h_nats
         |  FROM t2, m)
         |SELECT doc_id, n_tokens, h_nats,
         |  CAST(ntile(3) OVER (ORDER BY h_nats, doc_id) AS INT) AS bucket

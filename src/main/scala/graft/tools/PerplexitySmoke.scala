@@ -58,8 +58,13 @@ object PerplexitySmoke {
         size(col("toks")).cast("long").as("n_tokens"),
         round(
           log(col("n_corpus")) -
-            expr("aggregate(toks, 0.0D, (a, tk) -> a + ln(CAST(element_at(mp, tk) AS DOUBLE)))")
-              / size(col("toks")),
+            // r12: the shipping form switched to fixed-point int64 term
+            // sums; the retired twin mirrors the encoding so the
+            // row-identity assertion keeps holding exactly (the plan
+            // pathologies being raced — one-row map, linear element_at —
+            // are untouched)
+            expr("aggregate(toks, 0L, (a, tk) -> a + CAST(floor(ln(CAST(element_at(mp, tk) AS DOUBLE)) * 1000000000.0D) AS BIGINT))").cast("double")
+              / lit(1.0e9) / size(col("toks")),
           6).as("h_nats"))
       .withColumn("bucket",
         ntile(3).over(Window.orderBy(col("h_nats").asc, col("doc_id").asc)).cast("int"))
