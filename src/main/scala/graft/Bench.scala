@@ -235,7 +235,11 @@ object Bench {
         // query's own checkpoints are garbage the moment its sink returns,
         // so dropping them here is cleanup, not caching policy; the
         // non-blocking unpersist costs ~ms inside the measured window.
+        // PINNED ids are session-cache frames (signedUniquesFor): a
+        // localCheckpoint's only copy dies on unpersist (truncated
+        // lineage), killing every later consumer — r12.
         spark.sparkContext.getPersistentRDDs.valuesIterator
+          .filterNot(r => graft.operators.Materialize.isPinned(r.id))
           .foreach(_.unpersist(blocking = false))
         spark.sharedState.cacheManager.clearCache()
       }

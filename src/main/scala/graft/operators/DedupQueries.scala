@@ -78,7 +78,11 @@ object DedupQueries {
     signedUniqueCache.getOrElseUpdate((spark, dir), {
       val uniq = Tables.documents(spark, dir).filter(col("text").isNotNull)
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      withShinglesAndSignature(uniq)
+      // PINNED materialization: the bench's between-queries unpersist
+      // sweep would otherwise destroy the cached localCheckpoint's only
+      // copy and crash every later consumer (measured r12 — see
+      // Materialize.materializePinned)
+      Materialize.materializePinned(signedDocs(uniq))
     })
 
   /** Test hook (the clearTokenizerCache twin). */

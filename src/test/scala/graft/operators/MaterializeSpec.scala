@@ -78,4 +78,30 @@ class MaterializeSpec extends AnyFunSuite with SparkTestSession {
         s"checkpoints must land under $dirShort, still pointing at $current")
     } finally spark.conf.unset(Materialize.ConfKey)
   }
+
+  test("pinned materialization survives the bench's unpersist sweep; " +
+      "unpinned frames are swept") {
+    import spark.implicits._
+    // the session-cache shape: one pinned frame that later entries reuse
+    DedupQueries.clearSignedUniqueCache()
+    val cached = DedupQueries.signedUniquesFor(spark, dir)
+    val before = cached.count()
+    assert(before > 0)
+    val unpinned = Materialize.materialize(Seq(1, 2, 3).toDF("v"))
+    // the exact Bench cleanup
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .filterNot(r => Materialize.isPinned(r.id))
+      .foreach(_.unpersist(blocking = true))
+    spark.sharedState.cacheManager.clearCache()
+    // the pinned frame is still consumable (an unpinned localCheckpoint
+    // would die here: truncated lineage cannot recompute — the r12
+    // bench failure this guards); same rows as before the sweep
+    assert(cached.count() == before)
+    // and the sweep DID do its job on the per-query garbage
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(persisted.forall(Materialize.isPinned),
+      s"unpinned ids survived the sweep: ${persisted.filterNot(Materialize.isPinned)}")
+    unpinned // silence unused warning; its blocks are gone by design
+    DedupQueries.clearSignedUniqueCache()
+  }
 }
