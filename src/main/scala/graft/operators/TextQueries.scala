@@ -1209,6 +1209,17 @@ object TextQueries {
     * < 2 tokens emit no row (nothing to score); callers left-join and
     * decide pass-through policy. */
   private[graft] def scoreWithBigramLm(docs: DataFrame,
+      m: BigramLmModel): DataFrame =
+    bigramTermSums(docs, m)
+      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+        round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_bigrams"), 6)
+          .as("h_nats"))
+
+  /** The scoring stage BEFORE the per-doc rounding: exact int64 fixed-
+    * point term sums per doc — [[scoreWithBigramLm]] is this plus the
+    * h_nats divide, and q116's per-domain aggregation re-sums these
+    * EXACT integers (a rounded per-doc h would not re-aggregate). */
+  private def bigramTermSums(docs: DataFrame,
       m: BigramLmModel): DataFrame = {
     lmToks(docs).filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(lmPairExpr).as("p"))
@@ -1225,9 +1236,66 @@ object TextQueries {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(col("oov")).as("oov_bigrams"),
         sum(floor(col("term") * lit(1.0e9))).as("tsum"))
-      .select(col("doc_id"), col("n_bigrams"), col("oov_bigrams"),
+  }
+
+  // ---- Q116: domain mixture reweighting (DoReMi-flavored) ----
+
+  /** Q116 — domain mixture reweighting in the DoReMi spirit (Xie et al.
+    * 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — its core signal: upweight domains with high EXCESS
+    * loss under a reference model). Here the reference model is q109's
+    * curated-trained bigram Stupid-Backoff LM, a domain is a `source`,
+    * and each domain's excess is its token-level cross-entropy above the
+    * best (lowest-H) domain:
+    *   h(d)      = −Σ_docs tsum / 10⁹ / n_bigrams(d)   (nats/bigram)
+    *   excess(d) = h_fix(d) − min_d h_fix               (nano-nats)
+    *   weight(d) = excess(d)·1000 ÷ Σ excess            (permille)
+    * Crawl domains (whose text the curated LM finds surprising) get the
+    * large weights — on this corpus src10–19 land ~70–120‰ while curated
+    * src0–9 sit ≤ 20‰ — exactly the "train more where the reference is
+    * worst" mixture a DoReMi-lite pipeline feeds its sampler. NOT full
+    * DoReMi: there is no proxy-model minimax loop — the reference-excess
+    * table IS the deliverable (the sampler owns the iteration), stated
+    * here so the scaladoc doesn't overclaim.
+    *
+    * EXACTNESS: per-doc tsum int64s re-aggregate per domain (exact,
+    * order-independent — a rounded per-doc h would not re-sum, hence
+    * [[bigramTermSums]]); h_fix = (−tsum) DIV n_bigrams is nonnegative
+    * integer division (identical truncation both engines); excess and
+    * weight stay integers; only the reported h_nats divides to double,
+    * in q109's exact expression shape. Σ excess = Σh − n·min(h) comes
+    * from ONE 1-row broadcast aggregate. All-domains-equal degrades to
+    * all-zero weights (CASE-guarded on both engines) — the "no signal"
+    * reading, documented rather than divided-by.
+    *
+    * Scale shape: q109's scoring plan (two occurrence equi-joins against
+    * lazy censuses, fixed-point map-side-combinable sums) plus one
+    * |domains|-row aggregate and a doc_id equi-join to recover `source`
+    * (the serve path deliberately reads no label column, so the domain
+    * tag rejoins at the per-doc grain — |docs| rows, co-partitioned).
+    * Output is |domains| rows. */
+  def q116DomainMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val per = bigramTermSums(docs, bigramLmTerms(bigramLmCensuses(docs)))
+    val agg = per
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        sum(col("tsum")).as("tsum"))
+      .withColumn("h_fix", expr("(-tsum) DIV n_bigrams"))
+    val stats = agg.agg(min(col("h_fix")).as("h_min"),
+      sum(col("h_fix")).as("h_sum"), count(lit(1)).as("n_dom"))
+    agg.crossJoin(broadcast(stats))
+      .withColumn("sx", col("h_sum") - col("n_dom") * col("h_min"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
         round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_bigrams"), 6)
-          .as("h_nats"))
+          .as("h_nats"),
+        (col("h_fix") - col("h_min")).as("excess_nano"),
+        when(col("sx") === 0L, lit(0L))
+          .otherwise(expr("(h_fix - h_min) * 1000 DIV sx"))
+          .as("weight_permille"))
+      .orderBy(col("source").asc)
   }
 
   // ---- Q112: trigram Stupid-Backoff LM scoring ----
@@ -1395,7 +1463,39 @@ object TextQueries {
     "q97_pmi_pairs" -> (q97PmiPairs _),
     "q109_bigram_lm" -> (q109BigramLm _),
     "q112_trigram_lm" -> (q112TrigramLm _),
+    "q116_domain_mixture" -> (q116DomainMixture _),
   )
+
+  /** The bigram-LM oracle's training prefix (tokenize → curated slice →
+    * unigram/bigram censuses → scalar maps) — shared verbatim by the q109
+    * and q116 oracles so the reference model cannot drift between the
+    * per-doc score and the per-domain mixture. Ends at `m`. */
+  private def bigramLmOracleCtes: String =
+    """t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |tr AS (SELECT toks FROM t WHERE CAST(replace(source, 'src', '') AS INT) < 10 AND len(toks) > 0),
+      |u AS (SELECT unnest(toks) AS token FROM tr),
+      |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_b FROM u GROUP BY token),
+      |pr AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+      |       FROM tr WHERE len(toks) >= 2),
+      |cp AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr GROUP BY p.a, p.b),
+      |ra AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS r_a FROM cp GROUP BY a),
+      |m AS (SELECT (SELECT MAP(list(a || chr(1) || b ORDER BY a, b), list(c_ab ORDER BY a, b)) FROM cp) AS mab,
+      |             (SELECT MAP(list(a ORDER BY a), list(r_a ORDER BY a)) FROM ra) AS ma,
+      |             (SELECT MAP(list(token ORDER BY token), list(c_b ORDER BY token)) FROM c) AS mb,
+      |             (SELECT SUM(c_b) FROM c) AS nn,
+      |             (SELECT COUNT(*) FROM c) AS vv)""".stripMargin
+
+  /** Per-doc fixed-point bigram term sum (exact integer) — the oracle twin
+    * of [[bigramTermSums]]'s tsum, shared by q109 (÷ into h_nats) and q116
+    * (re-summed per domain). */
+  private def bigramTsumSql: String =
+    """list_sum(list_transform(range(1, len(toks)),
+      |    i -> CAST(floor((CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL
+      |         THEN ln(CAST(map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] AS DOUBLE))
+      |            - ln(CAST(map_extract(m.ma, toks[i])[1] AS DOUBLE))
+      |         ELSE ln(CAST(2 * (coalesce(map_extract(m.mb, toks[i+1])[1], 0) + 1) AS DOUBLE))
+      |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END) * 1000000000.0) AS BIGINT)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
@@ -1403,33 +1503,32 @@ object TextQueries {
     "q106_tokenizer_fertility" -> bpeFertilityOracleSql(BpeRounds),
     "q108_token_packing" -> bpePackingOracleSql(BpeRounds, TokenPackBudget),
     "q109_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |tr AS (SELECT toks FROM t WHERE CAST(replace(source, 'src', '') AS INT) < 10 AND len(toks) > 0),
-        |u AS (SELECT unnest(toks) AS token FROM tr),
-        |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c_b FROM u GROUP BY token),
-        |pr AS (SELECT unnest(list_transform(range(1, len(toks)), i -> {'a': toks[i], 'b': toks[i+1]})) AS p
-        |       FROM tr WHERE len(toks) >= 2),
-        |cp AS (SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pr GROUP BY p.a, p.b),
-        |ra AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS r_a FROM cp GROUP BY a),
-        |m AS (SELECT (SELECT MAP(list(a || chr(1) || b ORDER BY a, b), list(c_ab ORDER BY a, b)) FROM cp) AS mab,
-        |             (SELECT MAP(list(a ORDER BY a), list(r_a ORDER BY a)) FROM ra) AS ma,
-        |             (SELECT MAP(list(token ORDER BY token), list(c_b ORDER BY token)) FROM c) AS mb,
-        |             (SELECT SUM(c_b) FROM c) AS nn,
-        |             (SELECT COUNT(*) FROM c) AS vv),
+      s"""WITH $bigramLmOracleCtes,
         |s AS (SELECT doc_id,
         |  CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
         |  CAST(list_sum(list_transform(range(1, len(toks)),
         |    i -> CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL THEN 0 ELSE 1 END)) AS BIGINT) AS oov_bigrams,
-        |  round((-CAST(list_sum(list_transform(range(1, len(toks)),
-        |    i -> CAST(floor((CASE WHEN map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] IS NOT NULL
-        |         THEN ln(CAST(map_extract(m.mab, toks[i] || chr(1) || toks[i+1])[1] AS DOUBLE))
-        |            - ln(CAST(map_extract(m.ma, toks[i])[1] AS DOUBLE))
-        |         ELSE ln(CAST(2 * (coalesce(map_extract(m.mb, toks[i+1])[1], 0) + 1) AS DOUBLE))
-        |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END) * 1000000000.0) AS BIGINT))) AS DOUBLE))
+        |  round((-CAST($bigramTsumSql AS DOUBLE))
         |    / 1000000000.0 / (len(toks) - 1), 6) AS h_nats
         |  FROM t, m WHERE len(toks) >= 2)
         |SELECT doc_id, n_bigrams, oov_bigrams, h_nats FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q116_domain_mixture" ->
+      s"""WITH $bigramLmOracleCtes,
+        |s AS (SELECT source,
+        |  CAST(len(toks) - 1 AS BIGINT) AS nb,
+        |  CAST($bigramTsumSql AS BIGINT) AS tsum
+        |  FROM t, m WHERE len(toks) >= 2),
+        |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+        |        CAST(SUM(tsum) AS BIGINT) AS tsum FROM s GROUP BY source),
+        |hx AS (SELECT source, n_docs, n_bigrams, tsum, (-tsum) // n_bigrams AS h_fix FROM agg),
+        |mn AS (SELECT MIN(h_fix) AS h_min, SUM(h_fix) AS h_sum, COUNT(*) AS n_dom FROM hx),
+        |ex AS (SELECT hx.*, hx.h_fix - mn.h_min AS excess_nano,
+        |       mn.h_sum - mn.n_dom * mn.h_min AS sx FROM hx, mn)
+        |SELECT source, n_docs, n_bigrams,
+        |  round(CAST(-tsum AS DOUBLE)/1000000000.0/n_bigrams, 6) AS h_nats,
+        |  CAST(excess_nano AS BIGINT) AS excess_nano,
+        |  CAST(CASE WHEN sx = 0 THEN 0 ELSE excess_nano * 1000 // sx END AS BIGINT) AS weight_permille
+        |FROM ex ORDER BY source NULLS FIRST""".stripMargin,
     "q112_trigram_lm" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents WHERE text IS NOT NULL),

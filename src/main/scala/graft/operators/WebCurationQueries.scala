@@ -643,6 +643,84 @@ object WebCurationQueries {
       .select(col("doc_id"), col("n_grams"), col("score"),
         (col("score") >= 0).as("keep"))
 
+  // ---- Q115: DSIR importance weights (generative data selection) ----
+
+  /** Bucket count of the hashed feature space, 2^(4·[[QcHexChars]]) — the
+    * add-one smoothing denominator of q115's two bucket LMs (a constant,
+    * NOT the observed-bucket count: the smoothed distributions must be
+    * proper over the full hash range so unseen buckets carry mass). */
+  private[operators] val QcBuckets = 4096L
+
+  /** Q115 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): the GENERATIVE dual of
+    * q102's discriminative gate. Fit two add-one-smoothed hashed-bigram
+    * bag LMs — target p̂ on the curated slice, raw q̂ on the crawl slice
+    * (the exact [[classifierScores]] feature map, so the two learned gates
+    * see the same features) — and score every CRAWL document by its log
+    * importance weight log(p̂(doc)/q̂(doc)) = Σ_g [ln(c_t(b_g)+1) −
+    * ln(N_t+B)] − [ln(c_r(b_g)+1) − ln(N_r+B)]. DSIR resamples the raw
+    * pool ∝ these weights; the deterministic per-doc weight (plus keep =
+    * w ≥ 1, i.e. "looks more target than raw") is the engine-side artifact
+    * that sampler consumes.
+    *
+    * EXACTNESS: every ln argument is an exact integer on both engines
+    * (counts + 1, totals + [[QcBuckets]]); each bucket's term is the
+    * difference of two floor((ln a − ln b)·10⁹) int64s — the q109
+    * integer-ln discipline — and per-doc sums are exact int64s with
+    * map-side combine.
+    *
+    * Scale shape: featurize once ([[Materialize]]d, the q102 discipline —
+    * the 3-narrow-column gram stream feeds class totals, the bucket
+    * census, and scoring); the term table is ≤ [[QcBuckets]] rows by
+    * construction — broadcast, zero per-occurrence lns; scoring is one
+    * broadcast join + one per-doc aggregate. Same plan family as q102
+    * serving, so the 100 TB story is identical: everything rides the scan
+    * except two bounded shuffles. Eager at build (the Materialize). */
+  def q115DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir))
+      .orderBy(col("doc_id").asc)
+
+  /** The q115 body over ANY (doc_id, source, text) frame: fit target/raw
+    * bucket LMs on the frame's own curated/crawl split, score the crawl
+    * slice. Both classes must be non-empty only in the sense that the
+    * smoothed LMs stay defined — they always are (add-one over a constant
+    * bucket count), so unlike [[classifierWeights]] a single-class corpus
+    * degrades gracefully (empty output or all-zero terms), not loudly. */
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+    val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        (replace(col("source"), lit("src"), lit("")).cast("int") < 10).as("curated"),
+        normalizeText(col("text")).as("t"))
+      .select(col("doc_id"), col("curated"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("doc_id"), col("curated"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b")))
+    val tot = gb.agg(
+      sum(when(col("curated"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("curated"), 0L).otherwise(1L)).as("nr"))
+    val tw = gb.groupBy(col("b"))
+      .agg(
+        sum(when(col("curated"), 1L).otherwise(0L)).as("ctb"),
+        sum(when(col("curated"), 0L).otherwise(1L)).as("crb"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor((log((col("ctb") + lit(1L)).cast("double")) -
+            log((col("nt") + lit(QcBuckets)).cast("double"))) * lit(1.0e9)).cast("long") -
+          floor((log((col("crb") + lit(1L)).cast("double")) -
+            log((col("nr") + lit(QcBuckets)).cast("double"))) * lit(1.0e9)).cast("long"))
+          .as("term"))
+    gb.filter(!col("curated"))
+      .join(broadcast(tw), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("term")).cast("long").as("logw_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("logw_sum").cast("double") / lit(1.0e9) / col("n_grams"), 6)
+          .as("logw_nats"),
+        (col("logw_sum") >= 0L).as("keep"))
+  }
+
   // ---- Q92: URL canonicalization + canonical-family census ----
 
   // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then
@@ -745,6 +823,7 @@ object WebCurationQueries {
     "q92_url_canonical" -> (q92UrlCanonical _),
     "q102_quality_classifier" -> (q102QualityClassifier _),
     "q111_classifier_calibration" -> (q111ClassifierCalibration _),
+    "q115_dsir_weights" -> (q115DsirWeights _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -870,21 +949,47 @@ object WebCurationQueries {
          |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT) AS n_curated,
          |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS curated_permille
          |FROM sc GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
+    "q115_dsir_weights" -> dsirOracleSql,
   )
 
-  /** The q102 oracle's CTE prefix (shared verbatim with q111's): features,
-    * labels, fixed-point weights, per-doc scores — ends at `sc`
-    * (doc_id, curated, score, n_grams). Both engines' `score // bin` is
-    * truncation toward zero (DuckDB `//` truncates on integers like
-    * Spark's `div`), so signed bucket ids agree. */
-  private def qcOracleCtes: String =
+  /** The hashed-bigram FEATURE prefix (normalize → word bigrams → md5
+    * bucket) shared by the q102/q111 classifier oracles and q115's DSIR
+    * oracle — one text, so the three cannot drift. Ends at `gb`
+    * (doc_id, curated, b). */
+  private def qcGramCtes: String =
     s"""WITH d AS (SELECT doc_id, CAST(replace(source, 'src', '') AS INT) < 10 AS curated,
        |  trim(regexp_replace(regexp_replace(translate(text, '$Upper', '$Lower'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
        |  FROM documents WHERE text IS NOT NULL),
        |s AS (SELECT doc_id, curated, string_split(t, ' ') AS w FROM d),
        |g AS (SELECT doc_id, curated, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
        |  FROM s WHERE len(w) >= 2),
-       |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g),
+       |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g)""".stripMargin
+
+  /** The q115 oracle: the shared feature prefix, per-class gram totals,
+    * the per-bucket fixed-point log-likelihood-ratio term (two joint
+    * floor((ln a − ln b)·10⁹) int64s subtracted — the engine's exact
+    * encoding), crawl-doc sums. */
+  private def dsirOracleSql: String =
+    s"""$qcGramCtes,
+       |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS nt,
+       |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS nr FROM gb),
+       |tw AS (SELECT b,
+       |    CAST(floor((ln(CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) + 1 AS DOUBLE)) - ln(CAST((SELECT nt FROM tot) + $QcBuckets AS DOUBLE))) * 1000000000.0) AS BIGINT)
+       |  - CAST(floor((ln(CAST(SUM(CASE WHEN curated THEN 0 ELSE 1 END) + 1 AS DOUBLE)) - ln(CAST((SELECT nr FROM tot) + $QcBuckets AS DOUBLE))) * 1000000000.0) AS BIGINT) AS term
+       |  FROM gb GROUP BY b),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(term) AS BIGINT) AS logw_sum
+       |  FROM gb JOIN tw USING (b) WHERE NOT curated GROUP BY doc_id)
+       |SELECT doc_id, n_grams, round(CAST(logw_sum AS DOUBLE)/1000000000.0/n_grams, 6) AS logw_nats,
+       |  logw_sum >= 0 AS keep
+       |FROM sc ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** The q102 oracle's CTE prefix (shared verbatim with q111's): the
+    * feature prefix plus labels, fixed-point weights, per-doc scores —
+    * ends at `sc` (doc_id, curated, score, n_grams). Both engines'
+    * `score // bin` is truncation toward zero (DuckDB `//` truncates on
+    * integers like Spark's `div`), so signed bucket ids agree. */
+  private def qcOracleCtes: String =
+    s"""$qcGramCtes,
        |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS tp,
        |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS tn FROM gb),
        |wt AS (SELECT b,

@@ -134,4 +134,98 @@ class ClassifierSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size >= 3)
     assert(got.last._4 > got.head._4)
   }
+
+  /** Plain-Scala DSIR reference (q115): two add-one-smoothed hashed-bigram
+    * bucket LMs, fixed-point log-likelihood-ratio per bucket, crawl-doc
+    * sums — mirrors the DuckDB-validated prototype. */
+  private def dsirReference(rows: Seq[(Long, String, String)])
+      : Map[Long, (Long, Double, Boolean)] = {
+    val B = 4096L
+    def norm(t: String): String =
+      t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+        .replaceAll(" +", " ").trim
+    def buckets(t: String): Seq[Int] = {
+      val w = norm(t).split(" ", -1).toSeq
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.mkString(" ").getBytes("UTF-8"))
+        Integer.parseInt(md.map("%02x".format(_)).mkString
+          .take(WebCurationQueries.QcHexChars), 16)
+      }.toSeq
+    }
+    val docs = rows.map { case (id, src, text) =>
+      (id, src.stripPrefix("src").toInt < 10, buckets(text))
+    }
+    val ct = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val cr = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, cur, bs) =>
+      bs.foreach(b => if (cur) ct(b) += 1 else cr(b) += 1)
+    }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def term(b: Int): Long =
+      math.floor((math.log((ct(b) + 1).toDouble) -
+        math.log((nt + B).toDouble)) * 1e9).toLong -
+        math.floor((math.log((cr(b) + 1).toDouble) -
+          math.log((nr + B).toDouble)) * 1e9).toLong
+    docs.collect { case (id, false, bs) if bs.nonEmpty =>
+      val s = bs.map(term).sum
+      val w = BigDecimal(s.toDouble / 1e9 / bs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((bs.length.toLong, w, s >= 0))
+    }.toMap
+  }
+
+  test("q115 DSIR matches the plain-Scala reference; curated-looking crawl docs keep") {
+    // constructed corpus: crawl docs 20-24 use the CURATED vocabulary (the
+    // paraphrase-grade pool DSIR exists to rescue), 25+ are junk
+    val rows = (0L until 20L).map { i =>
+      (i, s"src${i % 10}", s"the quick quality prose sentence $i reads well indeed")
+    } ++ (20L until 25L).map { i =>
+      (i, s"src${10 + i % 10}", s"the quick quality prose sentence $i reads well")
+    } ++ (25L until 32L).map { i =>
+      (i, s"src${10 + i % 10}", s"click here buy now cheap $i cheap cheap click")
+    } :+ ((32L, "src11", "one")) // no bigram: must drop
+    val got = WebCurationQueries.dsirWeights(
+        rows.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val want = dsirReference(rows)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (n, w, k)) =>
+      val (en, ew, ek) = want(id)
+      assert(n == en && k == ek, s"doc $id: ($n,$k) vs ($en,$ek)")
+      assert(math.abs(w - ew) < 1e-9, s"doc $id: $w vs $ew")
+    }
+    assert(!got.contains(32L))
+    // only crawl docs are scored (curated ids 0-19 absent)
+    assert(got.keySet.forall(_ >= 20L))
+    // the curated-vocabulary crawl docs outscore the junk ones, and keep
+    val (lookalike, junk) = got.partition(_._1 < 25L)
+    assert(lookalike.values.forall(_._3))
+    assert(junk.values.forall(!_._3))
+    assert(lookalike.values.map(_._2).min > junk.values.map(_._2).max)
+  }
+
+  test("q115 DSIR matches the plain-Scala reference over the real corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val got = WebCurationQueries
+      .q115DsirWeights(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val want = dsirReference(docs)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, (n, w, k)) =>
+      val (en, ew, ek) = want(id)
+      assert(n == en && k == ek, s"doc $id: ($n,$k) vs ($en,$ek)")
+      assert(math.abs(w - ew) < 1e-9, s"doc $id: $w vs $ew")
+    }
+    // the corpus genuinely splits: some crawl docs keep, most do not
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
 }

@@ -178,4 +178,59 @@ class PerplexitySpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists { case (id, (_, b1, _, _)) => !curated(id) && b1 > 0 })
     assert(got.exists { case (id, (_, _, b2, _)) => !curated(id) && b2 > 0 })
   }
+
+  test("q116 domain mixture matches an exact fixed-point recomputation; crawl domains upweight") {
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter("text IS NOT NULL").select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty)
+    val train = rows.filter(_._2.replace("src", "").toInt < 10).map(t => toks(t._3))
+    val uni = train.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val (nTot, vTot) = (train.flatten.length.toLong, uni.size.toLong)
+    val cp = train.flatMap(tk => tk.zip(tk.drop(1)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val ra = cp.toSeq.groupBy(_._1._1).map { case (a, xs) => a -> xs.map(_._2).sum }
+    // per-source EXACT fixed-point sums (the engine's own int64 encoding)
+    val perSrc = rows.flatMap { case (_, src, text) =>
+      val tk = toks(text)
+      if (tk.length < 2) None else {
+        val tsum = tk.zip(tk.drop(1)).map { case (a, b) =>
+          val t = cp.get((a, b)) match {
+            case Some(c) => math.log(c.toDouble) - math.log(ra(a).toDouble)
+            case None => math.log(2.0 * (uni.getOrElse(b, 0L) + 1)) -
+              math.log(5.0 * (nTot + vTot))
+          }
+          math.floor(t * 1e9).toLong
+        }.sum
+        Some((src, (tk.length - 1).toLong, tsum))
+      }
+    }.groupBy(_._1).map { case (src, xs) =>
+      src -> ((xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum))
+    }
+    val hFix = perSrc.map { case (s, (_, nb, ts)) => s -> (-ts) / nb }
+    val hMin = hFix.values.min
+    val sx = hFix.values.sum - hFix.size * hMin
+    val expected = perSrc.map { case (s, (nd, nb, ts)) =>
+      val h = BigDecimal(-ts.toDouble / 1e9 / nb)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val ex = hFix(s) - hMin
+      s -> ((nd, nb, h, ex, if (sx == 0) 0L else ex * 1000 / sx))
+    }
+    val got = TextQueries.q116DomainMixture(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (s, (nd, nb, h, ex, w)) =>
+      val (end, enb, eh, eex, ew) = expected(s)
+      assert(nd == end && nb == enb && ex == eex && w == ew,
+        s"source $s: ($nd,$nb,$ex,$w) vs ($end,$enb,$eex,$ew)")
+      assert(math.abs(h - eh) < 1e-9, s"source $s: $h vs $eh")
+    }
+    // mixture semantics: the best domain has zero excess, weights bound to
+    // a permille budget, and every crawl domain outweighs every curated one
+    assert(got.values.exists(_._4 == 0L))
+    assert(got.values.map(_._5).sum <= 1000L)
+    val (curated, crawl) = got.partition(_._1.stripPrefix("src").toInt < 10)
+    assert(crawl.values.map(_._5).min > curated.values.map(_._5).max)
+  }
 }

@@ -51,7 +51,17 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     // q111: inherits q102's 1-row class-total broadcast
     "q111_classifier_calibration",
     // q114: the BNLJ is the 1-row broadcast of the census total
-    "q114_ivf_balance")
+    "q114_ivf_balance",
+    // q115: the BNLJ is the 1-row broadcast of the per-class gram totals
+    // (the q102 shape; the term table travels by broadcast HASH join,
+    // bounded at QcBuckets rows by construction)
+    "q115_dsir_weights",
+    // q116: two 1-row broadcasts — q109's (N, V) training totals plus the
+    // (h_min, h_sum, n_dom) mixture stats over the |domains|-row aggregate
+    "q116_domain_mixture",
+    // q117: the pair join over the bounded SrpSample vectors is the q28
+    // bounded-BNLJ shape (<= SrpSample^2 rows by construction)
+    "q117_srp_audit")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's

@@ -729,4 +729,49 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(cb.map(_._2.toSeq).toSet ==
       Set(Seq(10000L, 0L), Seq(0L, 10000L), Seq(-10000L, -10000L)))
   }
+
+  test("q117 SRP audit: constructed vectors hit the exact deciles and match fractions") {
+    import spark.implicits._
+    def axis(i: Int, scale: Long): Seq[Long] =
+      Seq.tabulate(64)(d => if (d == i) scale else 0L)
+    // signs of plane p on axis 0 / axis 1 — the spec derives the expected
+    // sketch agreement straight from the production plane table
+    val planes = SimilarityQueries.planeSignsRange(0, SimilarityQueries.SrpPlanes)
+    val sameSign01 = planes.count(p => (p(0) > 0) == (p(1) > 0)).toLong
+    val rows = Seq(
+      0L -> axis(0, 1000L),             // e0
+      1L -> axis(0, 1000L),             // identical to e0
+      2L -> axis(0, -1000L),            // -e0
+      3L -> axis(1, 1000L),             // orthogonal e1
+      4L -> Seq.fill(64)(0L),           // zero norm: excluded
+      200L -> axis(2, 1000L),           // beyond SrpSample: excluded
+    ).toDF("vec_id", "qv")
+    val got = SimilarityQueries.srpAudit(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // pairs among {0,1,2,3}: (0,1) cos 1; (0,2),(1,2) cos -1; (0,3),(1,3)
+    // cos 0 with sameSign01 agreeing planes; (2,3) cos 0, complement signs
+    val est03 = sameSign01 * 1000L / 16L
+    val est23 = (16L - sameSign01) * 1000L / 16L
+    val expected = Map(
+      10L -> ((1L, 1000L, 1000000L)),
+      0L -> ((2L, 0L, -1000000L)),
+      5L -> ((3L, (2 * est03 + est23) / 3L, 0L)))
+    assert(got === expected)
+  }
+
+  test("q117 SRP audit on the real corpus: calibration curve rises with cosine") {
+    val got = SimilarityQueries.q117SrpAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // deciles ordered; agreement non-decreasing in cosine (Goemans-
+    // Williamson: E[match] = 1 - theta/pi, monotone in cos theta)
+    assert(got.map(_._1) === got.map(_._1).sorted)
+    val match_ = got.map(_._3)
+    assert(match_.zip(match_.drop(1)).forall { case (a, b) => a <= b })
+    // the audited sample is the full bounded pair set over nonzero vectors
+    val n = SimilarityQueries.quantized(spark, dir)
+      .filter(col("vec_id") < SimilarityQueries.SrpSample)
+      .collect().count(r => r.getSeq[Long](r.fieldIndex("qv")).exists(_ != 0L))
+    assert(got.map(_._2).sum === n.toLong * (n - 1) / 2)
+  }
 }
