@@ -721,6 +721,77 @@ object WebCurationQueries {
         (col("logw_sum") >= 0L).as("keep"))
   }
 
+  /** Train q115's bucket term table ALONE — the frozen-model half of the
+    * DSIR train/serve split (the classifierWeights/bigramLmModel
+    * discipline): a DENSE [[QcBuckets]]-row (b, term) table, one row for
+    * EVERY bucket in the hash range. Density is the serving contract —
+    * an arriving gram can hash to a bucket the standing corpus never
+    * populated, and the smoothed log ratio of an unseen bucket is NOT
+    * zero (it is ln((N_r+B)/(N_t+B)), the "seen by neither LM" prior),
+    * so the fused q115's observed-buckets-only census would silently
+    * mis-score novel arrivals if broadcast as-is. The class totals are a
+    * 1-row bounded collect inlined as literals; add-one smoothing keeps
+    * every ln argument positive, so unlike [[classifierWeights]] a
+    * single-class corpus trains a valid (if one-sided) model rather than
+    * dividing by zero. [[Materialize]]d: frozen, never re-aggregated per
+    * micro-batch. Eager at build (the collect + Materialize). */
+  private[graft] def dsirModel(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
+      .select(
+        (replace(col("source"), lit("src"), lit("")).cast("int") < 10).as("curated"),
+        normalizeText(col("text")).as("t"))
+      .select(col("curated"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("curated"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b")))
+    val t = gb.agg(
+      sum(when(col("curated"), 1L).otherwise(0L)).as("nt"),
+      sum(when(col("curated"), 0L).otherwise(1L)).as("nr")).collect()(0)
+    val nt = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val nr = if (t.isNullAt(1)) 0L else t.getLong(1)
+    val census = gb.groupBy(col("b"))
+      .agg(
+        sum(when(col("curated"), 1L).otherwise(0L)).as("ctb"),
+        sum(when(col("curated"), 0L).otherwise(1L)).as("crb"))
+    Materialize.materialize(spark.range(QcBuckets)
+      .select(col("id").cast("int").as("b"))
+      .join(census, Seq("b"), "left")
+      .select(col("b"),
+        (floor((log((coalesce(col("ctb"), lit(0L)) + lit(1L)).cast("double")) -
+            log(lit(nt + QcBuckets).cast("double"))) * lit(1.0e9)).cast("long") -
+          floor((log((coalesce(col("crb"), lit(0L)) + lit(1L)).cast("double")) -
+            log(lit(nr + QcBuckets).cast("double"))) * lit(1.0e9)).cast("long"))
+          .as("term")))
+  }
+
+  /** Score ANY (doc_id, text) frame against a TRAINED dense term table —
+    * the serve half (no label column read): featurize with the exact
+    * [[dsirWeights]] map, broadcast-join the [[QcBuckets]]-row model
+    * (inner — the table is dense over the whole hash range by
+    * construction), one per-doc aggregate. On the training corpus's crawl
+    * slice this reproduces the fused q115 row-for-row (observed buckets
+    * carry identical terms; StreamingSpec pins it). Docs with < 1 bigram
+    * emit no row — callers left-join and own the pass-through policy. */
+  private[graft] def scoreWithDsir(docs: DataFrame,
+      model: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), normalizeText(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("term")).cast("long").as("logw_sum"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("logw_sum").cast("double") / lit(1.0e9) / col("n_grams"), 6)
+          .as("logw_nats"),
+        (col("logw_sum") >= 0L).as("keep"))
+
   // ---- Q92: URL canonicalization + canonical-family census ----
 
   // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then

@@ -279,22 +279,26 @@ object StreamingOps {
   /** Per-batch SCORING stage of the ingest lifecycle (VERDICT r10 #2) — a
     * batch transform shared verbatim by [[scoredArrivals]]'s foreachBatch
     * and any nightly job, which is what makes the replay-equals-batch pin
-    * possible: left-join the FROZEN q102 classifier verdict and q109
-    * bigram-LM cross-entropy onto every arriving document.
+    * possible: left-join the FROZEN q102 classifier verdict, q109
+    * bigram-LM cross-entropy, and q115 DSIR importance weight onto every
+    * arriving document (r12: all three learned gates serve at the edge).
     *
-    * Model discipline: the weight table (≤ 4096 rows) and LM censuses are
-    * STATIC frames trained once on the standing corpus
+    * Model discipline: the weight table (≤ 4096 rows), LM censuses, and
+    * dense DSIR term table (exactly 4096 rows) are STATIC frames trained
+    * once on the standing corpus
     * ([[graft.operators.WebCurationQueries.classifierWeights]] /
-    * [[graft.operators.TextQueries.bigramLmModel]]) — the stream side is
-    * featurized per micro-batch and joined (weights broadcast; censuses
-    * by equi-join, auto-broadcast only when genuinely small). No label
-    * column is read from arrivals. Docs the models cannot score (null
-    * text; < 2 words/tokens) pass through with NULL score columns — the
-    * gate policy belongs to the consumer (q88's flag comment), the
+    * [[graft.operators.TextQueries.bigramLmModel]] /
+    * [[graft.operators.WebCurationQueries.dsirModel]]) — the stream side
+    * is featurized per micro-batch and joined (weights + terms broadcast;
+    * censuses by equi-join, auto-broadcast only when genuinely small). No
+    * label column is read from arrivals. Docs the models cannot score
+    * (null text; < 2 words/tokens) pass through with NULL score columns —
+    * the gate policy belongs to the consumer (q88's flag comment), the
     * scorer only annotates. No state, no watermark: scoring is per-doc,
     * so exactly-once comes entirely from the idempotent sharded sink. */
   def scoreIngestBatch(batch: DataFrame, classifierWeights: DataFrame,
-      lm: graft.operators.TextQueries.BigramLmModel): DataFrame =
+      lm: graft.operators.TextQueries.BigramLmModel,
+      dsir: DataFrame): DataFrame =
     batch
       .join(
         graft.operators.WebCurationQueries
@@ -307,23 +311,29 @@ object StreamingOps {
           .select(col("doc_id"), col("n_bigrams").as("lm_bigrams"),
             col("oov_bigrams").as("lm_oov"), col("h_nats").as("lm_h_nats")),
         Seq("doc_id"), "left")
+      .join(
+        graft.operators.WebCurationQueries.scoreWithDsir(batch, dsir)
+          .select(col("doc_id"), col("logw_nats").as("dsir_logw"),
+            col("keep").as("dsir_keep")),
+        Seq("doc_id"), "left")
 
   /** The scored STREAMING ingest: arriving documents annotated with the
-    * frozen classifier + LM scores ([[scoreIngestBatch]]) and landed as
-    * hash-sharded training shards with the same exactly-once-observable
-    * semantics as [[ingestLifecycle]] (a re-delivered batch replaces
-    * exactly its own (shard, batch_id) partitions — unchanged; scoring
-    * is a pure per-doc annotation, so replay reproduces identical rows
-    * by construction, pinned in StreamingSpec). */
+    * frozen classifier + LM + DSIR scores ([[scoreIngestBatch]]) and
+    * landed as hash-sharded training shards with the same exactly-once-
+    * observable semantics as [[ingestLifecycle]] (a re-delivered batch
+    * replaces exactly its own (shard, batch_id) partitions — unchanged;
+    * scoring is a pure per-doc annotation, so replay reproduces identical
+    * rows by construction, pinned in StreamingSpec). */
   def scoredArrivals(docs: DataFrame, classifierWeights: DataFrame,
-      lm: graft.operators.TextQueries.BigramLmModel, path: String,
+      lm: graft.operators.TextQueries.BigramLmModel, dsir: DataFrame,
+      path: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.sources.Sinks.writeShardedBatchIdempotent(
-          scoreIngestBatch(batch, classifierWeights, lm), batchId, path)
+          scoreIngestBatch(batch, classifierWeights, lm, dsir), batchId, path)
       }
       .start()
 

@@ -792,6 +792,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       (4L, "src42", "zz yy xx ww vv uu tt ss")).toDF("doc_id", "source", "text")
     val weights = WebCurationQueries.classifierWeights(corpus)
     val lm = TextQueries.bigramLmModel(corpus)
+    val dsir = WebCurationQueries.dsirModel(corpus)
+    // the DSIR model is DENSE: one term for every bucket in the hash range
+    assert(dsir.count() == 4096L)
 
     val arrivals = Seq(
       // bigrams all inside the curated censuses -> LM never backs off
@@ -805,43 +808,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val sink = java.nio.file.Files.createTempDirectory("scored_sink").toString + "/out"
     val ckpt = java.nio.file.Files.createTempDirectory("scored_ckpt").toString
     val stream = MemoryStream[StreamingSpec.Doc](spark)
-    val q = StreamingOps.scoredArrivals(stream.toDF(), weights, lm, sink, ckpt)
+    val q = StreamingOps.scoredArrivals(stream.toDF(), weights, lm, dsir, sink, ckpt)
     stream.addData(arrivals.take(2))
     q.processAllAvailable()
     stream.addData(arrivals.drop(2))
     q.processAllAvailable()
     q.stop()
 
-    type RowT = (Long, Option[String], Option[Long], Option[Boolean], Option[Long], Option[Double], Long)
+    type RowT = (Long, Option[String], Option[Long], Option[Boolean], Option[Long], Option[Double], Option[Double], Option[Boolean], Long)
     def key(r: org.apache.spark.sql.Row): RowT = (
       r.getAs[Long]("doc_id"), Option(r.getAs[String]("text")),
       Option(r.getAs[java.lang.Long]("qc_score")).map(_.longValue()),
       Option(r.getAs[java.lang.Boolean]("qc_keep")).map(_.booleanValue()),
       Option(r.getAs[java.lang.Long]("lm_oov")).map(_.longValue()),
       Option(r.getAs[java.lang.Double]("lm_h_nats")).map(_.doubleValue()),
+      Option(r.getAs[java.lang.Double]("dsir_logw")).map(_.doubleValue()),
+      Option(r.getAs[java.lang.Boolean]("dsir_keep")).map(_.booleanValue()),
       r.getAs[Number]("shard").longValue())
     def landed() = spark.read.parquet(sink).collect().map(key).toSet
     val got = landed()
 
     // replay == batch: the SAME scorer over all arrivals as one frame
     val twin = StreamingOps.scoreIngestBatch(
-      arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), weights, lm)
+      arrivals.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
+      weights, lm, dsir)
       .withColumn("shard", AnalyticsQueries.shardCol)
       .collect().map(key).toSet
     assert(got == twin, s"landed $got != batch twin $twin")
 
     val byId = got.map(r => r._1 -> r).toMap
     assert(byId.keySet == Set(30L, 31L, 32L, 33L)) // nothing dropped
-    // in-census arrival: scored by both models, zero backoffs
+    // in-census arrival: scored by all three models, zero backoffs,
+    // curated-leaning importance weight (its grams dominate the target LM)
     assert(byId(30L)._3.nonEmpty && byId(30L)._5.contains(0L))
+    assert(byId(30L)._7.exists(_ > 0.0) && byId(30L)._8.contains(true))
     // novel arrival: unseen buckets score 0 -> qc_score 0, keep true at
-    // the >= 0 threshold; every bigram backs off (6 tokens -> 5 bigrams)
+    // the >= 0 threshold; every bigram backs off (6 tokens -> 5 bigrams);
+    // DSIR's dense model gives unseen buckets the ln((Nr+B)/(Nt+B)) prior
+    // — raw-leaning here (more curated than crawl grams in the corpus)
     assert(byId(31L)._3.contains(0L) && byId(31L)._4.contains(true))
     assert(byId(31L)._5.contains(5L) && byId(31L)._6.nonEmpty)
+    assert(byId(31L)._7.exists(_ < 0.0) && byId(31L)._8.contains(false))
     // unscorable and null docs: pass through, all score columns null
     Seq(32L, 33L).foreach { id =>
       assert(byId(id)._3.isEmpty && byId(id)._4.isEmpty &&
-        byId(id)._5.isEmpty && byId(id)._6.isEmpty, s"doc $id not null-scored")
+        byId(id)._5.isEmpty && byId(id)._6.isEmpty &&
+        byId(id)._7.isEmpty && byId(id)._8.isEmpty, s"doc $id not null-scored")
     }
     // exactly-once unchanged: re-deliver the last batch -> same landed set
     val lastBatch = spark.read.parquet(sink)
@@ -850,9 +862,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     graft.sources.Sinks.writeShardedBatchIdempotent(
       StreamingOps.scoreIngestBatch(
         arrivals.drop(2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"),
-        weights, lm),
+        weights, lm, dsir),
       lastBatch, sink)
     assert(landed() == got, "replayed scored batch must not change the landed set")
+  }
+
+  test("train/serve split: frozen dense DSIR model reproduces the fused q115 " +
+      "scorer on the training corpus's crawl slice") {
+    import graft.operators.WebCurationQueries
+    import org.apache.spark.sql.functions.{col, expr}
+    val docs = graft.operators.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fused = WebCurationQueries.dsirWeights(docs)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val crawl = docs.filter(col("text").isNotNull)
+      .filter(expr("CAST(replace(source, 'src', '') AS INT) >= 10"))
+      .select("doc_id", "text")
+    val split = WebCurationQueries
+      .scoreWithDsir(crawl, WebCurationQueries.dsirModel(docs))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(split === fused)
+    assert(split.nonEmpty)
   }
 
   test("BPE-budgeted ingest: frozen-tokenizer counts land exactly once and " +
