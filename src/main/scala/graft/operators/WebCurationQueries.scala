@@ -686,7 +686,18 @@ object WebCurationQueries {
     * smoothed LMs stay defined — they always are (add-one over a constant
     * bucket count), so unlike [[classifierWeights]] a single-class corpus
     * degrades gracefully (empty output or all-zero terms), not loudly. */
-  private[graft] def dsirWeights(docs: DataFrame): DataFrame = {
+  private[graft] def dsirWeights(docs: DataFrame): DataFrame =
+    dsirSums(docs)
+      .select(col("doc_id"), col("n_grams"),
+        round(col("logw_sum").cast("double") / lit(1.0e9) / col("n_grams"), 6)
+          .as("logw_nats"),
+        (col("logw_sum") >= 0L).as("keep"))
+
+  /** The q115 scoring stage BEFORE the per-doc rounding: exact int64
+    * fixed-point log-weight sums per crawl doc — [[dsirWeights]] is this
+    * plus the presentation divide, and q118's Gumbel resample keys off
+    * these EXACT integers (the bigramTermSums discipline). */
+  private def dsirSums(docs: DataFrame): DataFrame = {
     val gb = Materialize.materialize(docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
         (replace(col("source"), lit("src"), lit("")).cast("int") < 10).as("curated"),
@@ -715,10 +726,49 @@ object WebCurationQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(col("term")).cast("long").as("logw_sum"))
-      .select(col("doc_id"), col("n_grams"),
-        round(col("logw_sum").cast("double") / lit(1.0e9) / col("n_grams"), 6)
-          .as("logw_nats"),
-        (col("logw_sum") >= 0L).as("keep"))
+  }
+
+  // ---- Q118: DSIR importance RESAMPLE (Gumbel-top-k selection) ----
+
+  /** Resample size for q118 — the selected-subset budget. */
+  private[operators] val DsirSampleK = 64
+
+  /** Q118 — the importance RESAMPLING step DSIR is named for (Xie et al.
+    * 2023 §2): q115 emits per-doc log importance weights; this entry
+    * SELECTS the training subset by sampling WITHOUT replacement
+    * ∝ exp(logw) via the Gumbel-top-k identity (Vieira 2014: adding
+    * i.i.d. Gumbel noise to log-weights and taking the top-k draws a
+    * weighted sample without ever leaving log space — exp(logw) itself
+    * would underflow at document scale). The q96 priority-sampling twin
+    * for LEARNED log-space weights:
+    *   key = logw_sum + ⌊−ln(−ln(u))·10⁹⌋,  u = (2·u_int+1)/2³³
+    * with u_int the [[AnalyticsQueries.uFoldSql]] md5-fold — u is a
+    * strictly-interior dyadic rational (never 0 or 1, so both lns are
+    * finite), the SQL text is identical on both engines, and the Gumbel
+    * term floors to int64 nano-nats so the KEY is an exact integer —
+    * deterministic, mergeable, hash-checkable.
+    *
+    * Scale shape: q115's scoring plan, one codegen'd key projection,
+    * then distributed top-K (TakeOrdered partial top-Ks per partition —
+    * no global shuffle); the rank window runs over the ≤ [[DsirSampleK]]
+    * survivors only (the q96 bounded-post-limit shape). */
+  def q118DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = AnalyticsQueries.uFoldSql(
+      "md5(concat(CAST(doc_id AS STRING), ':gumbel'))")
+    val keyed = dsirSums(Tables.documents(spark, dir))
+      .withColumn("u_int", expr(s"CAST($u AS BIGINT)"))
+      .withColumn("gumbel_nano",
+        floor(-log(-log((col("u_int") * lit(2L) + lit(1L)).cast("double") /
+            lit(8589934592.0))) * lit(1.0e9)).cast("long"))
+      .withColumn("key", col("logw_sum") + col("gumbel_nano"))
+    keyed.orderBy(col("key").desc, col("doc_id").asc).limit(DsirSampleK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key").desc, col("doc_id").asc))
+          .cast("int"))
+      .select(col("doc_id"), col("n_grams"), col("logw_sum"),
+        col("gumbel_nano"), col("rank"))
+      .orderBy(col("rank").asc)
   }
 
   /** Train q115's bucket term table ALONE — the frozen-model half of the
@@ -895,6 +945,7 @@ object WebCurationQueries {
     "q102_quality_classifier" -> (q102QualityClassifier _),
     "q111_classifier_calibration" -> (q111ClassifierCalibration _),
     "q115_dsir_weights" -> (q115DsirWeights _),
+    "q118_dsir_resample" -> (q118DsirResample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1021,6 +1072,7 @@ object WebCurationQueries {
          |  CAST(SUM(CASE WHEN curated THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS curated_permille
          |FROM sc GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
     "q115_dsir_weights" -> dsirOracleSql,
+    "q118_dsir_resample" -> dsirResampleOracleSql,
   )
 
   /** The hashed-bigram FEATURE prefix (normalize → word bigrams → md5
@@ -1036,11 +1088,12 @@ object WebCurationQueries {
        |  FROM s WHERE len(w) >= 2),
        |gb AS (SELECT doc_id, curated, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b FROM g)""".stripMargin
 
-  /** The q115 oracle: the shared feature prefix, per-class gram totals,
-    * the per-bucket fixed-point log-likelihood-ratio term (two joint
-    * floor((ln a − ln b)·10⁹) int64s subtracted — the engine's exact
-    * encoding), crawl-doc sums. */
-  private def dsirOracleSql: String =
+  /** The DSIR oracle's shared chain (q115 + q118): the feature prefix,
+    * per-class gram totals, the per-bucket fixed-point
+    * log-likelihood-ratio term (two joint floor((ln a − ln b)·10⁹)
+    * int64s subtracted — the engine's exact encoding), crawl-doc sums —
+    * ends at `sc` (doc_id, n_grams, logw_sum). */
+  private def dsirSumCtes: String =
     s"""$qcGramCtes,
        |tot AS (SELECT SUM(CASE WHEN curated THEN 1 ELSE 0 END) AS nt,
        |               SUM(CASE WHEN curated THEN 0 ELSE 1 END) AS nr FROM gb),
@@ -1049,10 +1102,28 @@ object WebCurationQueries {
        |  - CAST(floor((ln(CAST(SUM(CASE WHEN curated THEN 0 ELSE 1 END) + 1 AS DOUBLE)) - ln(CAST((SELECT nr FROM tot) + $QcBuckets AS DOUBLE))) * 1000000000.0) AS BIGINT) AS term
        |  FROM gb GROUP BY b),
        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, CAST(SUM(term) AS BIGINT) AS logw_sum
-       |  FROM gb JOIN tw USING (b) WHERE NOT curated GROUP BY doc_id)
+       |  FROM gb JOIN tw USING (b) WHERE NOT curated GROUP BY doc_id)""".stripMargin
+
+  private def dsirOracleSql: String =
+    s"""$dsirSumCtes
        |SELECT doc_id, n_grams, round(CAST(logw_sum AS DOUBLE)/1000000000.0/n_grams, 6) AS logw_nats,
        |  logw_sum >= 0 AS keep
        |FROM sc ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** The q118 oracle: the shared DSIR sums plus the Gumbel key — the
+    * SAME u-fold text as the engine, the same strictly-interior dyadic
+    * uniform, the same floored nano-nat Gumbel. */
+  private def dsirResampleOracleSql: String = {
+    val u = AnalyticsQueries.uFoldSql(
+      "md5(CAST(doc_id AS VARCHAR) || ':gumbel')")
+    s"""$dsirSumCtes,
+       |gk AS (SELECT doc_id, n_grams, logw_sum, CAST($u AS BIGINT) AS u_int FROM sc),
+       |g2 AS (SELECT doc_id, n_grams, logw_sum,
+       |  CAST(floor(-ln(-ln((2*u_int + 1)/8589934592.0)) * 1000000000.0) AS BIGINT) AS gumbel_nano FROM gk),
+       |r AS (SELECT *, row_number() OVER (ORDER BY logw_sum + gumbel_nano DESC, doc_id) AS rank FROM g2)
+       |SELECT doc_id, n_grams, logw_sum, gumbel_nano, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $DsirSampleK ORDER BY rank""".stripMargin
+  }
 
   /** The q102 oracle's CTE prefix (shared verbatim with q111's): the
     * feature prefix plus labels, fixed-point weights, per-doc scores —

@@ -228,4 +228,70 @@ class ClassifierSpec extends AnyFunSuite with SparkTestSession {
     // the corpus genuinely splits: some crawl docs keep, most do not
     assert(got.values.exists(_._3) && got.values.exists(!_._3))
   }
+
+  test("q118 Gumbel-top-k resample matches a plain-Scala recomputation and skews curated-ward") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text")
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // exact per-doc logw sums from the (already spec-pinned) reference,
+    // un-rounded: reference() rounds, so rebuild sums via dsirReference's
+    // math at full precision through the engine's own rounded output is
+    // not enough — recompute the fixed-point sums directly
+    val B = 4096L
+    def norm(t: String): String =
+      t.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')
+        .replaceAll(" +", " ").trim
+    def buckets(t: String): Seq[Int] = {
+      val w = norm(t).split(" ", -1).toSeq
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.mkString(" ").getBytes("UTF-8"))
+        Integer.parseInt(md.map("%02x".format(_)).mkString
+          .take(WebCurationQueries.QcHexChars), 16)
+      }.toSeq
+    }
+    val ds = docs.map { case (id, src, text) =>
+      (id, src.stripPrefix("src").toInt < 10, buckets(text))
+    }
+    val ct = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    val cr = collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    ds.foreach { case (_, cur, bs) =>
+      bs.foreach(b => if (cur) ct(b) += 1 else cr(b) += 1)
+    }
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def term(b: Int): Long =
+      math.floor((math.log((ct(b) + 1).toDouble) -
+        math.log((nt + B).toDouble)) * 1e9).toLong -
+        math.floor((math.log((cr(b) + 1).toDouble) -
+          math.log((nr + B).toDouble)) * 1e9).toLong
+    def gumbel(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:gumbel".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val m = java.lang.Long.parseLong(h.take(8), 16)
+      math.floor(-math.log(-math.log((2 * m + 1) / 8589934592.0)) * 1e9).toLong
+    }
+    val sums = ds.collect { case (id, false, bs) if bs.nonEmpty =>
+      (id, bs.length.toLong, bs.map(term).sum)
+    }
+    val expected = sums
+      .map { case (id, n, lw) => (id, n, lw, gumbel(id), lw + gumbel(id)) }
+      .sortBy { case (id, _, _, _, key) => (-key, id) }
+      .take(WebCurationQueries.DsirSampleK)
+      .zipWithIndex
+      .map { case ((id, n, lw, g, _), i) => (id, n, lw, g, i + 1) }
+    val got = WebCurationQueries
+      .q118DsirResample(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got === expected)
+    // the selection genuinely prefers target-looking docs: mean logw of
+    // the selected subset beats the unselected rest
+    val sel = got.map(_._1).toSet
+    val (in, out) = sums.partition(s => sel(s._1))
+    assert(in.map(_._3).sum / in.size > out.map(_._3).sum / out.size)
+  }
 }

@@ -61,7 +61,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     "q116_domain_mixture",
     // q117: the pair join over the bounded SrpSample vectors is the q28
     // bounded-BNLJ shape (<= SrpSample^2 rows by construction)
-    "q117_srp_audit")
+    "q117_srp_audit",
+    // q118: inherits q115's 1-row class-total broadcast (the term table
+    // travels by broadcast HASH join, bounded at QcBuckets rows)
+    "q118_dsir_resample")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
@@ -75,7 +78,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     * so the single window task touches K rows at ANY corpus scale. An
     * unbounded global window funnels the corpus through one task — the
     * q94-r8 scale bug this net exists to catch (VERDICT r8 #2). */
-  private val globalWindowAllowed = Set("q83_hybrid_search", "q96_priority_sample")
+  // q96/q118: the rank window runs AFTER the distributed top-K limit, so
+  // it sees <= SampleK rows — bounded by construction, not corpus-sized
+  private val globalWindowAllowed =
+    Set("q83_hybrid_search", "q96_priority_sample", "q118_dsir_resample")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => exempt(n) || globalWindowAllowed(n) }
