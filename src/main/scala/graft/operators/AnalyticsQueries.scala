@@ -220,6 +220,88 @@ object AnalyticsQueries {
       s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $place"
     }.mkString(" + ")
 
+  // ---- Q119: per-shard token-distribution drift audit ----
+
+  /** Q119 — shard DISTRIBUTION drift audit: per output shard, the KL
+    * divergence of its hashed-token distribution from the whole corpus —
+    * the distributional complement of q73's volume manifest (equal byte
+    * counts do not mean equal CONTENT: a shard that accidentally
+    * concentrates one language or domain trains a skewed model even when
+    * its size is right, the classic sharded-training-data failure). For
+    * the deterministic md5 sharding the divergence sits near zero by
+    * construction (~0.005–0.013 nats/token on this corpus) — a key-
+    * correlated re-shard, a hot-key salting bug, or a drifted ingest
+    * shows up as one shard's kl_nats spiking, which fails the gate hash.
+    *
+    *   KL(s‖corpus) = (Σ_b c_sb·⌊(ln c_sb − ln c_b)·10⁹⌋ + n_s·⌊(ln n −
+    *   ln n_s)·10⁹⌋) / 10⁹ / n_s
+    *
+    * over [[WebCurationQueries.QcHexChars]]-hex md5 token buckets (the
+    * hashing-trick census — ≤ 4096 rows per shard at ANY corpus scale).
+    * Only buckets the shard populates contribute, and c_b ≥ c_sb > 0, so
+    * every ln argument is a positive exact integer (the q109
+    * discipline); per-shard sums ride in DECIMAL(38,0) (the q60 power-sum
+    * precedent — c_sb·t₁ fits int64 but their sum can pass it at corpus
+    * scale); the two floored terms recombine in doubles in the same
+    * expression shape on both engines.
+    *
+    * Scale shape: one explode → (shard, bucket) census with map-side
+    * partials (key space ≤ [[NumShards]]·4096 — bounded, uniform); the
+    * census [[Materialize]]s ONCE and feeds the corpus margin, the
+    * per-shard totals, and the term join; the bucket margin is ≤ 4096
+    * rows (AQE broadcasts it); output is [[NumShards]] rows. Eager at
+    * build (the Materialize). */
+  def q119ShardDrift(spark: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val sb = Materialize.materialize(
+      Tables.documents(spark, dir)
+        .filter(col("text").isNotNull)
+        .select(shardCol.as("shard"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("token"))
+        .select(col("shard"),
+          conv(substring(md5(col("token")), 1, WebCurationQueries.QcHexChars), 16, 10)
+            .cast("int").as("b"))
+        .groupBy(col("shard"), col("b")).agg(count(lit(1)).as("c_sb")))
+    val cb = sb.groupBy(col("b")).agg(sum(col("c_sb")).as("c_b"))
+    val ns = sb.groupBy(col("shard"))
+      .agg(sum(col("c_sb")).as("n_s"), count(lit(1)).as("n_buckets"))
+    val nTot = cb.agg(sum(col("c_b")).as("nn"))
+    val agg = sb.join(cb, "b")
+      .select(col("shard"),
+        (col("c_sb") *
+          floor((log(col("c_sb").cast("double")) - log(col("c_b").cast("double"))) *
+            lit(1.0e9)).cast("long")).cast(big).as("p"))
+      .groupBy(col("shard")).agg(sum(col("p")).cast(big).as("s1"))
+    agg.join(ns, "shard").crossJoin(broadcast(nTot))
+      .select(col("shard"), col("n_s").as("n_tokens"), col("n_buckets"),
+        round((col("s1").cast("double") + col("n_s").cast("double") *
+            floor((log(col("nn").cast("double")) - log(col("n_s").cast("double"))) *
+              lit(1.0e9)).cast("long")) / lit(1.0e9) / col("n_s"), 6)
+          .as("kl_nats"))
+      .orderBy(col("shard").asc)
+  }
+
+  /** The q119 oracle: the same census/margin chain with the shared
+    * [[shardOracleExpr]] and bucket hash. */
+  private def shardDriftOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST($shardOracleExpr AS BIGINT) AS shard,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT shard, CAST(concat('0x', substr(md5(token), 1, ${WebCurationQueries.QcHexChars})) AS INT) AS b FROM t),
+       |sb AS (SELECT shard, b, CAST(COUNT(*) AS BIGINT) AS c_sb FROM g GROUP BY shard, b),
+       |cb AS (SELECT b, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY b),
+       |ns AS (SELECT shard, CAST(SUM(c_sb) AS BIGINT) AS n_s, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM sb GROUP BY shard),
+       |n AS (SELECT CAST(SUM(c_b) AS BIGINT) AS nn FROM cb),
+       |tm AS (SELECT s.shard, s.c_sb,
+       |    CAST(floor((ln(CAST(s.c_sb AS DOUBLE)) - ln(CAST(c.c_b AS DOUBLE))) * 1000000000.0) AS BIGINT) AS t1
+       |  FROM sb s JOIN cb c USING (b)),
+       |agg AS (SELECT shard, CAST(SUM(CAST(c_sb * t1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1 FROM tm GROUP BY shard)
+       |SELECT a.shard, ns.n_s AS n_tokens, ns.n_buckets,
+       |  round((CAST(a.s1 AS DOUBLE) + CAST(ns.n_s AS DOUBLE) *
+       |    CAST(floor((ln(CAST(n.nn AS DOUBLE)) - ln(CAST(ns.n_s AS DOUBLE))) * 1000000000.0) AS BIGINT))
+       |    / 1000000000.0 / ns.n_s, 6) AS kl_nats
+       |FROM agg a JOIN ns USING (shard), n ORDER BY a.shard NULLS FIRST""".stripMargin
+
   /** The actual sharded WRITE the q73 manifest plans for: the same
     * assignment expression, shuffle-partitioned by it and written as
     * partitioned parquet through [[graft.sources.Sinks.writePartitioned]]
@@ -359,9 +441,11 @@ object AnalyticsQueries {
     "q70_temperature_sample" -> (q70TemperatureSample _),
     "q73_shard_stats" -> (q73ShardStats _),
     "q96_priority_sample" -> (q96PrioritySample _),
+    "q119_shard_drift" -> (q119ShardDrift _),
   )
 
   val oracle: Map[String, String] = Map(
+    "q119_shard_drift" -> shardDriftOracleSql,
     "q96_priority_sample" ->
       s"""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
          |  CAST(${uFoldSql("md5(CAST(doc_id AS STRING))")} AS BIGINT) AS u_int

@@ -166,4 +166,48 @@ class AnalyticsSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaMap == viaStruct)
   }
+
+  test("q119 shard-drift KL matches a plain-Scala recomputation; md5 shards are representative") {
+    import scala.collection.mutable
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val rows = Tables.documents(spark, dir)
+      .filter("text IS NOT NULL").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val csb = mutable.Map[(Long, Int), Long]().withDefaultValue(0L)
+    rows.foreach { case (id, text) =>
+      val shard = java.lang.Long.parseLong(
+        md5hex(id.toString).take(AnalyticsQueries.ShardHexDigits), 16)
+      text.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val b = Integer.parseInt(
+          md5hex(tok).take(WebCurationQueries.QcHexChars), 16)
+        csb((shard, b)) += 1
+      }
+    }
+    val cb = csb.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val nn = cb.values.sum
+    val expected = csb.keys.map(_._1).toSeq.distinct.sorted.map { s =>
+      val mine = csb.collect { case ((`s`, b), c) => b -> c }
+      val nS = mine.values.sum
+      val s1 = mine.map { case (b, c) =>
+        BigDecimal(c) * BigDecimal(
+          math.floor((math.log(c.toDouble) - math.log(cb(b).toDouble)) * 1e9).toLong)
+      }.sum
+      val t2 = math.floor((math.log(nn.toDouble) - math.log(nS.toDouble)) * 1e9).toLong
+      val kl = BigDecimal((s1.toDouble + nS.toDouble * t2) / 1e9 / nS)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (s, nS, mine.size.toLong, kl)
+    }
+    val got = AnalyticsQueries.q119ShardDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) === expected.map(t => (t._1, t._2, t._3)))
+    got.zip(expected).foreach { case ((s, _, _, kl), (_, _, _, ekl)) =>
+      assert(math.abs(kl - ekl) < 1e-9, s"shard $s: $kl vs $ekl")
+    }
+    // the deterministic md5 sharding IS representative: every shard's
+    // divergence from the corpus distribution is tiny and non-negative
+    assert(got.map(_._4).forall(kl => kl >= 0.0 && kl < 0.05))
+    assert(got.size == AnalyticsQueries.NumShards)
+  }
 }

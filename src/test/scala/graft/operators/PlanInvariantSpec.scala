@@ -64,7 +64,10 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
     "q117_srp_audit",
     // q118: inherits q115's 1-row class-total broadcast (the term table
     // travels by broadcast HASH join, bounded at QcBuckets rows)
-    "q118_dsir_resample")
+    "q118_dsir_resample",
+    // q119: the BNLJ is the 1-row broadcast of the corpus token total
+    // (the bucket margin travels by equi-join, <= QcBuckets rows)
+    "q119_shard_drift")
 
   // q56's iterative loop materializes intermediate frames eagerly
   // (localCheckpoint actions); its join shape is pinned by DedupSpec's
