@@ -240,10 +240,11 @@ object AnalyticsQueries {
     * hashing-trick census — ≤ 4096 rows per shard at ANY corpus scale).
     * Only buckets the shard populates contribute, and c_b ≥ c_sb > 0, so
     * every ln argument is a positive exact integer (the q109
-    * discipline); per-shard sums ride in DECIMAL(38,0) (the q60 power-sum
-    * precedent — c_sb·t₁ fits int64 but their sum can pass it at corpus
-    * scale); the two floored terms recombine in doubles in the same
-    * expression shape on both engines.
+    * discipline); the c_sb·t₁ product AND the per-shard sum both ride in
+    * DECIMAL(38,0) (the q60 power-sum precedent; the product casts
+    * BEFORE multiplying — ADVICE r12 — since long·long wraps past
+    * ~2.5·10¹⁰ tokens per bucket); the two floored terms recombine in
+    * doubles in the same expression shape on both engines.
     *
     * Scale shape: one explode → (shard, bucket) census with map-side
     * partials (key space ≤ [[NumShards]]·4096 — bounded, uniform); the
@@ -268,9 +269,12 @@ object AnalyticsQueries {
     val nTot = cb.agg(sum(col("c_b")).as("nn"))
     val agg = sb.join(cb, "b")
       .select(col("shard"),
-        (col("c_sb") *
+        // c_sb casts to decimal BEFORE the multiply: a long·long c_sb·t₁
+        // wraps silently past ~2.5·10¹⁰ tokens per bucket while DuckDB's
+        // HUGEINT raises — inconsistent failure modes (ADVICE r12, low)
+        (col("c_sb").cast(big) *
           floor((log(col("c_sb").cast("double")) - log(col("c_b").cast("double"))) *
-            lit(1.0e9)).cast("long")).cast(big).as("p"))
+            lit(1.0e9)).cast("long")).as("p"))
       .groupBy(col("shard")).agg(sum(col("p")).cast(big).as("s1"))
     agg.join(ns, "shard").crossJoin(broadcast(nTot))
       .select(col("shard"), col("n_s").as("n_tokens"), col("n_buckets"),
@@ -295,7 +299,7 @@ object AnalyticsQueries {
        |tm AS (SELECT s.shard, s.c_sb,
        |    CAST(floor((ln(CAST(s.c_sb AS DOUBLE)) - ln(CAST(c.c_b AS DOUBLE))) * 1000000000.0) AS BIGINT) AS t1
        |  FROM sb s JOIN cb c USING (b)),
-       |agg AS (SELECT shard, CAST(SUM(CAST(c_sb * t1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1 FROM tm GROUP BY shard)
+       |agg AS (SELECT shard, CAST(SUM(CAST(c_sb AS DECIMAL(38,0)) * t1) AS DECIMAL(38,0)) AS s1 FROM tm GROUP BY shard)
        |SELECT a.shard, ns.n_s AS n_tokens, ns.n_buckets,
        |  round((CAST(a.s1 AS DOUBLE) + CAST(ns.n_s AS DOUBLE) *
        |    CAST(floor((ln(CAST(n.nn AS DOUBLE)) - ln(CAST(ns.n_s AS DOUBLE))) * 1000000000.0) AS BIGINT))

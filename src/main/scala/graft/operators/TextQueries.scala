@@ -1268,21 +1268,81 @@ object TextQueries {
     * all-zero weights (CASE-guarded on both engines) — the "no signal"
     * reading, documented rather than divided-by.
     *
-    * Scale shape: q109's scoring plan (two occurrence equi-joins against
-    * lazy censuses, fixed-point map-side-combinable sums) plus one
-    * |domains|-row aggregate and a doc_id equi-join to recover `source`
-    * (the serve path deliberately reads no label column, so the domain
-    * tag rejoins at the per-doc grain — |docs| rows, co-partitioned).
-    * Output is |domains| rows. */
+    * Scale shape (r13, the census-collapse step past q109's term tables;
+    * VERDICT r12 #1): the per-domain tsum never needs the occurrence
+    * grain — `term` is a pure function of the pair (a, b) and the
+    * fixed-point encoding floors PER OCCURRENCE, so occurrences of the
+    * same (source, a, b) contribute identical integers and
+    *   Σ_occurrences floor(term·10⁹) = Σ_census cnt · floor(term·10⁹)
+    * EXACTLY. The plan therefore explodes the corpus into bigrams ONCE,
+    * censuses by (source, a, b) (one map-side-combinable shuffle whose
+    * output is unique-pairs-per-domain — vocabulary-bounded, sub-linear
+    * in the corpus), [[Materialize]]s that census, and derives BOTH the
+    * training pair census (curated-slice re-aggregate of the checkpoint —
+    * not a second corpus explode) and the census-grain scoring joins from
+    * it. The occurrence-grain scoring joins, the per-doc groupBy, and the
+    * doc_id→source rejoin of the r12 form are all gone; only the add-one
+    * unigram census still reads the corpus (token grain ≠ pair grain).
+    * Adjudicated at sf1.0 benched-alone, min-of-3: r12 occurrence-grain
+    * 2.48 s; r12 form served from the Materialized frozen model 1.76 s;
+    * census-collapse with two explodes 1.62 s; this single-explode form
+    * 1.54 s — the keeper on both the measurement and the 100 TB shape
+    * (one corpus-sized explode, census-sized checkpoint). The serving
+    * path ([[bigramLmModel]] + streaming) is unchanged.
+    *
+    * OVERFLOW (ADVICE r12, medium): tsum is ~h·10⁹ nano-nats per bigram,
+    * so a domain with ~4·10⁸ bigrams overflows an int64 re-sum — far
+    * below the 100 TB design point. Both engines therefore sum tsum in
+    * DECIMAL(38,0) and derive h_fix by integer division of the decimal
+    * total (both truncate; operands nonnegative — DuckDB routes through
+    * HUGEINT for the division because its `//` on DECIMAL is true
+    * division). cnt casts to decimal BEFORE the cnt·floor(term·10⁹)
+    * multiply — a long·long product wraps at cnt ~3·10⁸ (the q119
+    * product-before-cast hazard, ADVICE r12). Output is |domains| rows. */
   def q116DomainMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val per = bigramTermSums(docs, bigramLmTerms(bigramLmCensuses(docs)))
-    val agg = per
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val big = DecimalType(38, 0)
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    val census = Materialize.materialize(
+      toks.filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(lmPairExpr).as("p"))
+        .groupBy(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt")))
+    // training pair census re-aggregated FROM the checkpoint (docs with
+    // < 2 tokens emit no pairs, so the size filters agree with
+    // bigramLmCensuses by construction)
+    val cp = census
+      .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
+      .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c_ab"))
+    val ra = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("r_a"))
+    val pairTerm = cp.join(ra, Seq("a"))
+      .select(col("a"), col("b"),
+        (log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))
+          .as("t_ab"))
+    val train = toks
+      .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
+      .filter(size(col("toks")) > 0)
+    val uni = train.select(explode(col("toks")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val tot = uni.agg(sum(col("c_b")).as("nn"), count(lit(1)).as("vv"))
+    val scored = census
+      .join(pairTerm, Seq("a", "b"), "left")
+      .join(uni, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("cnt"),
+        coalesce(col("t_ab"),
+          log(((coalesce(col("c_b"), lit(0L)) + lit(1L)) * lit(2L)).cast("double")) -
+            log(((col("nn") + col("vv")) * lit(5L)).cast("double"))).as("term"))
+    val nd = toks.filter(size(col("toks")) >= 2)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val agg = scored
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_bigrams")).as("n_bigrams"),
-        sum(col("tsum")).as("tsum"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt").cast(big) * floor(col("term") * lit(1.0e9)))
+          .as("tsum"))
+      .join(nd, "source")
       .withColumn("h_fix", expr("(-tsum) DIV n_bigrams"))
     val stats = agg.agg(min(col("h_fix")).as("h_min"),
       sum(col("h_fix")).as("h_sum"), count(lit(1)).as("n_dom"))
@@ -1519,8 +1579,8 @@ object TextQueries {
         |  CAST($bigramTsumSql AS BIGINT) AS tsum
         |  FROM t, m WHERE len(toks) >= 2),
         |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
-        |        CAST(SUM(tsum) AS BIGINT) AS tsum FROM s GROUP BY source),
-        |hx AS (SELECT source, n_docs, n_bigrams, tsum, (-tsum) // n_bigrams AS h_fix FROM agg),
+        |        SUM(CAST(tsum AS DECIMAL(38,0))) AS tsum FROM s GROUP BY source),
+        |hx AS (SELECT source, n_docs, n_bigrams, tsum, CAST((-CAST(tsum AS HUGEINT)) // n_bigrams AS BIGINT) AS h_fix FROM agg),
         |mn AS (SELECT MIN(h_fix) AS h_min, SUM(h_fix) AS h_sum, COUNT(*) AS n_dom FROM hx),
         |ex AS (SELECT hx.*, hx.h_fix - mn.h_min AS excess_nano,
         |       mn.h_sum - mn.n_dom * mn.h_min AS sx FROM hx, mn)

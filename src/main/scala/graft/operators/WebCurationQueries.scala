@@ -741,12 +741,21 @@ object WebCurationQueries {
     * weighted sample without ever leaving log space — exp(logw) itself
     * would underflow at document scale). The q96 priority-sampling twin
     * for LEARNED log-space weights:
-    *   key = logw_sum + ⌊−ln(−ln(u))·10⁹⌋,  u = (2·u_int+1)/2³³
+    *   e_fix = max(1, ⌊−ln(u)·10⁹⌋),  u = (2·u_int+1)/2³³
+    *   key   = logw_sum + ⌊(ln(10⁹) − ln(e_fix))·10⁹⌋
     * with u_int the [[AnalyticsQueries.uFoldSql]] md5-fold — u is a
-    * strictly-interior dyadic rational (never 0 or 1, so both lns are
-    * finite), the SQL text is identical on both engines, and the Gumbel
-    * term floors to int64 nano-nats so the KEY is an exact integer —
-    * deterministic, mergeable, hash-checkable.
+    * strictly-interior dyadic rational (never 0 or 1, so −ln(u) is
+    * finite) and the exponential draw QUANTIZES to the exact int64 e_fix
+    * before the outer ln (r13, ADVICE r12: the naive −ln(−ln u) nests two
+    * libm calls, and a 1-ulp inner disagreement propagates through the
+    * outer ln and can flip the floored key; here EVERY ln argument is
+    * exactly representable — u dyadic, e_fix ≤ 2.3·10¹⁰ < 2⁵³, 10⁹
+    * exact — the q109 integer-ln discipline, and the e_fix ≥ 1 clamp
+    * bounds G at ln(10⁹) for the u-within-2⁻³³-of-1 corner where the
+    * floor hits 0). The Gumbel term floors to int64 nano-nats so the KEY
+    * is an exact integer — deterministic, mergeable, hash-checkable; the
+    * 10⁻⁹ exponential quantization is part of the defined key, not an
+    * approximation the oracle could disagree on.
     *
     * Scale shape: q115's scoring plan, one codegen'd key projection,
     * then distributed top-K (TakeOrdered partial top-Ks per partition —
@@ -758,9 +767,22 @@ object WebCurationQueries {
       "md5(concat(CAST(doc_id AS STRING), ':gumbel'))")
     val keyed = dsirSums(Tables.documents(spark, dir))
       .withColumn("u_int", expr(s"CAST($u AS BIGINT)"))
+      // exponential draw QUANTIZED to an exact int64 before the outer ln
+      // (ADVICE r12, low): a nested -ln(-ln u) feeds the outer ln a
+      // computed double, doubling cross-libm ulp exposure; flooring
+      // e_fix = ⌊−ln(u)·10⁹⌋ first (clamped ≥ 1 — u within 2⁻³³ of 1
+      // floors to 0 and ln(0) = −∞) makes BOTH ln arguments exactly
+      // representable (e_fix ≤ 2.3·10¹⁰ < 2⁵³), the q109 integer-ln
+      // discipline. G = −ln(e_fix/10⁹) = ln(10⁹) − ln(e_fix); the 10⁻⁹
+      // quantization of the exponential is part of the DEFINED key, not
+      // an approximation the oracle could disagree on.
+      .withColumn("e_fix",
+        greatest(lit(1L),
+          floor(-log((col("u_int") * lit(2L) + lit(1L)).cast("double") /
+            lit(8589934592.0)) * lit(1.0e9)).cast("long")))
       .withColumn("gumbel_nano",
-        floor(-log(-log((col("u_int") * lit(2L) + lit(1L)).cast("double") /
-            lit(8589934592.0))) * lit(1.0e9)).cast("long"))
+        floor((log(lit(1.0e9)) - log(col("e_fix").cast("double"))) *
+          lit(1.0e9)).cast("long"))
       .withColumn("key", col("logw_sum") + col("gumbel_nano"))
     keyed.orderBy(col("key").desc, col("doc_id").asc).limit(DsirSampleK)
       .withColumn("rank",
@@ -1118,8 +1140,10 @@ object WebCurationQueries {
       "md5(CAST(doc_id AS VARCHAR) || ':gumbel')")
     s"""$dsirSumCtes,
        |gk AS (SELECT doc_id, n_grams, logw_sum, CAST($u AS BIGINT) AS u_int FROM sc),
+       |ge AS (SELECT doc_id, n_grams, logw_sum,
+       |  GREATEST(1, CAST(floor(-ln((2*u_int + 1)/8589934592.0) * 1000000000.0) AS BIGINT)) AS e_fix FROM gk),
        |g2 AS (SELECT doc_id, n_grams, logw_sum,
-       |  CAST(floor(-ln(-ln((2*u_int + 1)/8589934592.0)) * 1000000000.0) AS BIGINT) AS gumbel_nano FROM gk),
+       |  CAST(floor((ln(1000000000.0) - ln(CAST(e_fix AS DOUBLE))) * 1000000000.0) AS BIGINT) AS gumbel_nano FROM ge),
        |r AS (SELECT *, row_number() OVER (ORDER BY logw_sum + gumbel_nano DESC, doc_id) AS rank FROM g2)
        |SELECT doc_id, n_grams, logw_sum, gumbel_nano, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $DsirSampleK ORDER BY rank""".stripMargin

@@ -272,7 +272,11 @@ class ClassifierSpec extends AnyFunSuite with SparkTestSession {
         .digest(s"$id:gumbel".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       val m = java.lang.Long.parseLong(h.take(8), 16)
-      math.floor(-math.log(-math.log((2 * m + 1) / 8589934592.0)) * 1e9).toLong
+      // r13 exact-argument form: quantize the exponential draw to int64
+      // BEFORE the outer ln (clamped >= 1), then G = ln(1e9) - ln(e_fix)
+      val eFix = math.max(1L,
+        math.floor(-math.log((2 * m + 1) / 8589934592.0) * 1e9).toLong)
+      math.floor((math.log(1.0e9) - math.log(eFix.toDouble)) * 1e9).toLong
     }
     val sums = ds.collect { case (id, false, bs) if bs.nonEmpty =>
       (id, bs.length.toLong, bs.map(term).sum)
