@@ -725,81 +725,68 @@ object DedupQueries {
     * how many of its distinct [[SpanTokens]]-word spans occur verbatim in at
     * least one OTHER document (or twice in a duplicated corpus family).
     *
-    * Plan shape — per-doc OUTPUT, so cardinality never blows up on
-    * duplicated corpora (no pair expansion anywhere):
-    *   1. distinct spans per doc via the native [[graft.functions.WordNGrams]]
-    *      kernel + `array_distinct`, exploded and md5'd so the shuffle key is
-    *      32 uniform bytes, never the span text;
-    *   2. per-span occurrence counts via `count() OVER (PARTITION BY h)`
-    *      (rows are per-doc-distinct, so the count IS the number of docs
-    *      containing the span) — the span stream is shuffled ONCE, by span
-    *      hash, and each row learns its span's corpus count in place
-    *      (the census-then-rejoin formulation shuffles the same stream
-    *      twice: 2.1x slower at the 10x smoke, 7.3 -> 3.5 s);
-    *   3. per-doc counts on uniform doc_id keys — zero-overlap docs fall
-    *      out naturally with n_dup_spans = 0.
+    * Plan shape — CENSUS ARITHMETIC (r13, VERDICT r12 #4; the third
+    * formulation, replacing both the window form and the census+rejoin
+    * form it was probed against): rows are per-doc-distinct, so
+    *   n_dup_spans(doc) = n_spans(doc) − #{h : doc is h's SOLE holder},
+    * and the sole-holder set needs only the h census itself — groupBy(h)
+    * keeping (count, min(doc_id)), where a count-1 row's min(doc_id) IS
+    * the one holder. So:
+    *   1. per-doc span arrays via the native [[graft.functions.WordNGrams]]
+    *      kernel + `array_distinct`; n_spans = size(array) — a projection,
+    *      the span stream is never shuffled by doc at all;
+    *   2. spans exploded and md5'd (32 uniform bytes, never span text) →
+    *      ONE map-side-combinable groupBy(h) — the span stream's only
+    *      shuffle; count-1 rows re-aggregate to per-doc unique counts on
+    *      a census-sized frame;
+    *   3. one doc-grain left join (n_spans ⋈ n_unique) closes the
+    *      arithmetic; zero-overlap docs fall out with n_dup_spans = 0.
+    * Adjudicated at sf1.0 benched-alone, min-of-3 (the q77 discipline):
+    * window form 3.35 s (hot-span-unsafe: every row of one span in one
+    * window partition, AQE cannot split windows — the VERDICT r5 license-
+    * header adversary); census+rejoin 4.33 s (skew-safe but shuffles the
+    * span stream twice); census-arithmetic 2.18 s AND skew-safe by
+    * construction — a universal boilerplate span collapses to one census
+    * row per map task and is DROPPED by the count-1 filter before any
+    * further movement. The [[SkewProbe]] auto-pick q71 carried while two
+    * forms coexisted is retired with them (the probe lives on in q22's
+    * canonical-pick); DedupSpec pins this form against an in-spec window
+    * twin on the hot-span corpus and a plain-Scala reference on a seeded
+    * random one.
     * At 100 TB every shuffle key here is either a hash or doc_id — uniform
     * by construction; contrast q66, whose benchmark side is small enough to
     * broadcast: this is the corpus-vs-ITSELF version of the same question,
-    * which is exactly when the broadcast shape stops existing.
-    *
-    * SKEW CAVEAT (VERDICT r5 "what's wrong" #2): hash keys are uniform over
-    * DISTINCT spans, but the window needs every ROW of one span in one
-    * partition — a truly universal boilerplate span (a license header in 10%
-    * of a 100 TB corpus, precisely the signal this operator exists to catch)
-    * becomes one hot window partition, and AQE cannot split windows. Setting
-    * `spark.graft.spans.skewSafe=true` switches step 2 to a census-then-
-    * rejoin formulation — `groupBy(h).count` then an h equi-join — which
-    * gets map-side partial aggregation (the hot span collapses to one row
-    * per map task before the shuffle) AND AQE skew-join splitting on the
-    * rejoin. It shuffles the span stream twice and measured 2.1x slower on
-    * a skew-free corpus (7.3 vs 3.5 s at the 10x smoke). Both forms are
-    * output-identical (DedupSpec pins this on a constructed corpus with one
-    * span in >= 50% of docs).
-    *
-    * The form is picked by `spark.graft.spans.skewSafe`, default `"auto"`
-    * (VERDICT r6 #6): a [[SkewProbe]] sample census over a doc-sample's
-    * span hashes decides at plan time — hot corpus -> census+rejoin,
-    * skew-free -> the cheaper window. `"true"`/`"false"` pin a form
-    * explicitly (the escape hatch survives). */
-  def q71ExactSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val skewSafe = SkewProbe.resolve(spark, "spark.graft.spans.skewSafe", "auto") {
-      // sample DOCS (pre-explode) so the ngram kernel also runs on the
-      // sample; hashes are uniform over distinct spans, so a hot key in the
-      // sampled stream is a hot window partition in the full one
-      SkewProbe.hasHotKey(
-        docSpans(SkewProbe.sampleByHash(docs, "doc_id",
-          SkewProbe.sampleFraction(spark))).select(col("h")))
-    }
-    spanDupFlags(docs, skewSafe).orderBy(col("doc_id").asc)
-  }
+    * which is exactly when the broadcast shape stops existing. */
+  def q71ExactSpans(spark: SparkSession, dir: String): DataFrame =
+    spanDupFlags(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
-  /** Per-doc-distinct (doc_id, h) span-hash stream — step 1 of q71/q77. */
+  /** Per-doc-distinct (doc_id, h) span-hash stream — step 1 of q77's
+    * window twin and the [[SkewProbe]]-style sampling in tools. */
   private[graft] def docSpans(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.WordNGrams(col("text"), spanTokens(docs.sparkSession)))).as("span"))
       .select(col("doc_id"), md5(col("span")).as("h"))
 
-  /** q71's census over any document frame, in either formulation. */
-  private[graft] def spanDupFlags(docs: DataFrame, skewSafe: Boolean): DataFrame = {
-    val spans = docSpans(docs)
-    // rows are per-doc-distinct, so the per-h row count IS the number of
-    // docs containing the span, in both formulations
-    val withCounts =
-      if (skewSafe) {
-        val census = spans.groupBy(col("h")).agg(count(lit(1)).as("n_docs_with"))
-        spans.join(census, "h")
-      } else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-        spans.withColumn("n_docs_with", count(lit(1)).over(w))
-      }
-    withCounts
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs_with") >= 2L, 1L).otherwise(0L)).as("n_dup_spans"))
+  /** q71's census-arithmetic body over any document frame (see
+    * [[q71ExactSpans]] for the derivation and the r13 ruling). */
+  private[graft] def spanDupFlags(docs: DataFrame): DataFrame = {
+    val withSpans = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.WordNGrams(col("text"),
+          spanTokens(docs.sparkSession))).as("spans"))
+      .filter(size(col("spans")) > 0)
+    val totals = withSpans
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+    val uniq = withSpans
+      .select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), md5(col("span")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"), min(col("doc_id")).as("d"))
+      .filter(col("c") === 1L)
+      .groupBy(col("d")).agg(count(lit(1)).as("n_unique"))
+    totals.join(uniq, totals("doc_id") === uniq("d"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_unique"), lit(0L))).as("n_dup_spans"))
       .withColumn("dup_permille", expr("n_dup_spans * 1000 DIV n_spans"))
       .withColumn("cloned",
         col("n_dup_spans") * 1000L >= col("n_spans") * SpanSharedPermille)
@@ -915,26 +902,39 @@ object DedupQueries {
     * dedup work and double-count effective tokens; the matrix says which
     * sources to merge or drop before mixing).
     *
-    * Plan shape: distinct (source, span-hash) pairs — the span stream
-    * collapses PER SOURCE before any pairing, so a span repeated across a
-    * source's docs costs one row; then a self-equi-join on the hash whose
-    * fan-out per span is bounded by the number of sources carrying it
-    * (squared at worst — sources are a catalog-sized dimension, never
-    * corpus-sized), and a |sources|^2-row aggregate. Per-source totals
-    * re-join the matrix as a broadcast (|sources| rows). All shuffle keys
-    * are uniform hashes. */
+    * Plan shape (r13, VERDICT r12 #4 — the q113 census-arithmetic
+    * discipline replaces the span self-join): ONE map-side-combinable
+    * groupBy(h) collapses the raw (source, h) span stream straight to
+    * per-span sorted source SETS (collect_set is per-source-distinct by
+    * definition, so the separate `.distinct()` shuffle the self-join form
+    * needed is folded into the census; set state is bounded by |sources|
+    * — a catalog-sized dimension, never corpus-sized). Each multi-source
+    * row then explodes its C(k,2) ordered pairs — ≤ C(|sources|,2) rows
+    * per span, pure projection — into the |sources|²-row aggregate, and
+    * per-source totals re-derive from the same census (explode the sets,
+    * count — no second span pass). The self-join's h-shuffle of BOTH
+    * sides and its bucket fan-out are gone. Adjudicated at sf1.0
+    * benched-alone, min-of-3: self-join 3.33–4.06 s across sessions,
+    * census-pairs 2.44–3.48 s on the same pairs of sessions (~25%);
+    * same-session deltas were 3.33→2.44 and 4.06→3.48. All shuffle keys
+    * are uniform hashes. (A bloom pre-filter on the self-join — the
+    * VERDICT alternative — became moot with the join itself.) */
   def q76SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables.documents(spark, dir)
+    val census = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("source"), explode(array_distinct(
         graft.functions.WordNGrams(col("text"), spanTokens(spark)))).as("span"))
       .select(col("source"), md5(col("span")).as("h"))
-      .distinct()
-    val totals = spans.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
-    val l = spans.select(col("source").as("source_a"), col("h"))
-    val r = spans.select(col("source").as("source_b"), col("h"))
-    l.join(r, "h")
-      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("h"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val totals = census.select(explode(col("srcs")).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
+    census.filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (x, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1),
+          |    y -> struct(x AS source_a, y AS source_b))))""".stripMargin)).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(totals.select(col("source").as("source_a"), col("n_spans").as("n_a"))), "source_a")

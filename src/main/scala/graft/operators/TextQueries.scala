@@ -534,13 +534,10 @@ object TextQueries {
     * rows — a bounded collect, the codebook discipline), then encoding is
     * a CHAIN OF LITERAL `replace`s compiled into one codegen'd projection
     * — the tokenizer travels inside the plan like the IVF codebook, not
-    * as a joined table. Applied over the per-(doc_id, word) census, so
-    * the chain runs once per distinct word PER DOC (within-doc collapse;
-    * map-side partials collapse hot words before the shuffle), not per
-    * occurrence. Two stream-sized shuffles total: the (doc_id, word)
-    * census and the per-doc re-aggregation. A corpus-level vocab map
-    * (cross-doc collapse) would trade the 8-replace chain — trivial,
-    * codegen'd — for a third shuffle plus a join; measured unnecessary.
+    * as a joined table. The chain runs per occurrence INSIDE the scan
+    * stage and the plan's only shuffle is the map-side-combined per-doc
+    * aggregate (r13 — the full ladder of collapse-first alternatives
+    * measured slower; numbers in [[bpeTokenCountsWith]]).
     *
     * Greedy-merge parity with a symbol-walking tokenizer is inherited
     * from q101's bracket encoding (left-to-right non-overlapping replace
@@ -657,34 +654,35 @@ object TextQueries {
     * paid for nothing). PURE APPLY: the tokenizer arrives as data; no
     * training job hides in the plan.
     *
-    * Apply shape (r11): collapse-first at TWO levels, exactly like the
-    * oracle's `map JOIN pd USING (word)` — the merge chain (a `rounds`-
-    * deep nested-replace expression, too large for whole-stage codegen to
-    * inline cheaply) is evaluated once per unique WORD on a vocab-sized
-    * frame, then equi-joined back to the per-(doc, word) census. The
-    * census is [[Materialize]]d so its one expensive pass (normalize +
-    * explode + shuffle) feeds both the vocab derivation and the final
-    * doc-grain aggregate instead of re-running per branch (the q89
-    * three-branch lesson). AQE broadcasts the word→n_tok side when the
-    * vocabulary is small; at 100 TB vocab the equi-join is the fallback —
-    * the q72/q94 "vocab travels by equi-join, never a forced broadcast"
-    * ruling. Measured sf1.0: 3.9 s (per-census-row chain) → see
-    * ROUND11_NOTES (vocab-level chain + join). */
+    * Apply shape (r13, the VERDICT r12 #2 ladder ruling): the merge chain
+    * evaluates PER OCCURRENCE inside the scan's codegen stage, and the
+    * only shuffle is the map-side-combined per-doc aggregate. The ladder
+    * at sf1.0 (benched alone, min-of-3): census alone 1.03 s; census +
+    * Materialize 1.32 s; the r11 vocab-level chain + equi-join form
+    * 1.88 s; lazy-census twin 1.26 s; per-census-row chain 3.96 s
+    * (r11's measured loser, reconfirmed); THIS single-shuffle
+    * occurrence-inline form 0.75 s. The per-(doc, word) collapse barely
+    * collapses (most words occur once per document), so the
+    * census/checkpoint/distinct/join apparatus cost more than the chain
+    * evaluations it saved. 100 TB shape: chain CPU is linear in corpus
+    * tokens and rides the scan with full parallelism; the former shape
+    * paid a corpus-sized checkpoint plus a second corpus-sized shuffle
+    * for the join — the wrong trade at every scale measured. (A frozen
+    * word→n_tok LOOKUP artifact — the production tokenizer-cache shape —
+    * would beat both, but it moves the encode out of the timed apply;
+    * the chain IS the encode.) */
   private[graft] def bpeTokenCountsWith(docs: DataFrame,
       merges: Seq[BpeMerge]): DataFrame = {
     val enc = encChain(merges)
-    val pd = Materialize.materialize(docs
+    docs
       .select(col("doc_id"),
         explode(split(WebCurationQueries.normalizeText(col("text")), " ")).as("word"))
       .filter(col("word") =!= "")
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt")))
-    val wordTok = pd.select(col("word")).distinct()
-      .withColumn("n_tok",
-        (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long"))
-    pd.join(wordTok, Seq("word"))
+      .select(col("doc_id"),
+        (length(enc) - length(replace(enc, lit("<"), lit("")))).cast("long")
+          .as("n_tok"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_words"),
-        sum(col("cnt") * col("n_tok")).as("n_tokens"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
   }
 
   /** The q104 oracle's CTE prefix (shared verbatim with q108's): the q101
@@ -934,16 +932,23 @@ object TextQueries {
     * inverse frequency is order-equivalent to linear-likelihood scoring, the
     * q53 idf discipline).
     *
-    * Collapse-first at the (doc, word) level: the token stream aggregates to
-    * per-doc term frequencies BEFORE touching the vocabulary, so the
-    * vocab join moves one row per distinct word per doc, not one per token —
-    * and the Zipf-head skew ("the" in every doc) is capped at one row per
-    * document. The vocabulary census itself is corpus-sized — a shuffle on
-    * uniform word-hash keys — and CANNOT broadcast at 100 TB (~10^8 distinct
-    * words), so the tf-vocab equi-join is the standard co-partitioned
-    * big-big join; corpus token count rides in as a broadcast 1-row
-    * aggregate (the q53/q60 scalar-stats shape). AQE's skew-join splits any
-    * residual hot word. */
+    * Shape (r13, VERDICT r12 #6 — the q104 occurrence-grain ruling applied
+    * here): the token stream feeds the vocabulary census directly
+    * (groupBy(word) with map-side partials — the Zipf head collapses per
+    * map task) and the scoring join runs at OCCURRENCE grain into the
+    * per-doc aggregate. The r12 collapse-first form built a (doc, word)
+    * tf census + Materialize first; the ladder at sf1.0 (benched alone,
+    * min-of-3): tf census alone 1.03 s, tf + checkpoint 1.29 s, the full
+    * r12 form 1.85–2.83 s across sessions, a lazy-tf twin 1.92 s, THIS
+    * occurrence-grain form 0.66 s — like q104, the per-(doc, word)
+    * collapse barely collapses on real text (most words occur once per
+    * doc), so the tf shuffle + checkpoint + narrower join bought less
+    * than they cost. The vocabulary census is corpus-sized and CANNOT
+    * broadcast at 100 TB (~10^8 distinct words), so the occurrence⋈vocab
+    * equi-join is the standard co-partitioned big-big join (AQE broadcasts
+    * it at small SFs, skew-splits the Zipf head at large ones); corpus
+    * token count derives from the census (sum cf) as a broadcast 1-row
+    * aggregate (the q53/q60 scalar-stats shape). */
   def q72Rarity(spark: SparkSession, dir: String): DataFrame =
     rarityScores(Tables.documents(spark, dir))
       .orderBy(col("doc_id").asc)
@@ -951,27 +956,22 @@ object TextQueries {
   /** Per-doc rarity scores for ANY document frame — (doc_id, n_tokens,
     * rarity_sum, rarity_milli). Shared by q72 (whole corpus) and the q75
     * pipeline (the decontaminated corpus), so the formula cannot drift
-    * between the score and the filter that applies it. The collapsed tf
-    * frame is MATERIALIZED once: it feeds three consumers (vocab census,
-    * corpus token count, the scoring join) and is per-(doc, distinct word)
-    * sized — far smaller than the token stream it collapses;
-    * corpus_tokens = SUM(tf) rides off it instead of re-exploding. The
-    * materialization is the shared [[Materialize.materialize]] — reliable
-    * (cluster-safe) when `spark.graft.checkpointDir` is set. */
+    * between the score and the filter that applies it. Occurrence-grain
+    * (r13 ruling in [[q72Rarity]]): the lazy occurrence stream is consumed
+    * twice (vocab census + scoring probe) — two explode passes cost less
+    * than the (doc, word) shuffle + checkpoint they replaced, measured. */
   private[operators] def rarityScores(docs: DataFrame): DataFrame = {
-    val tf = Materialize.materialize(docs
+    val occ = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
-    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cf"))
-    val totN = tf.agg(sum(col("tf")).as("corpus_tokens"))
-    tf.join(vocab, "word")
+    val vocab = occ.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val totN = vocab.agg(sum(col("cf")).as("corpus_tokens"))
+    occ.join(vocab, "word")
       .crossJoin(broadcast(totN))
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("tf")).cast("long").as("n_tokens"),
-        sum(col("tf") *
-          least(expr("corpus_tokens * 1000 DIV cf"), lit(RarityCap)))
+        count(lit(1)).cast("long").as("n_tokens"),
+        sum(least(expr("corpus_tokens * 1000 DIV cf"), lit(RarityCap)))
           .cast("long").as("rarity_sum"))
       .withColumn("rarity_milli", expr("rarity_sum DIV n_tokens"))
   }
@@ -1299,7 +1299,23 @@ object TextQueries {
     * division). cnt casts to decimal BEFORE the cnt·floor(term·10⁹)
     * multiply — a long·long product wraps at cnt ~3·10⁸ (the q119
     * product-before-cast hazard, ADVICE r12). Output is |domains| rows. */
-  def q116DomainMixture(spark: SparkSession, dir: String): DataFrame = {
+  def q116DomainMixture(spark: SparkSession, dir: String): DataFrame =
+    domainExcess(spark, dir)
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_bigrams"), 6)
+          .as("h_nats"),
+        (col("h_fix") - col("h_min")).as("excess_nano"),
+        when(col("sx") === 0L, lit(0L))
+          .otherwise(expr("(h_fix - h_min) * 1000 DIV sx"))
+          .as("weight_permille"))
+      .orderBy(col("source").asc)
+
+  /** q116's per-domain excess frame BEFORE the presentation select —
+    * (source, n_docs, n_bigrams, tsum, h_fix, h_min, h_sum, n_dom, sx),
+    * one row per domain. Shared by q116 (one-shot weights) and q120 (the
+    * iterated Group-DRO update seeds from the same excess), so the
+    * reference-excess definition cannot drift between them. */
+  private[operators] def domainExcess(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val big = DecimalType(38, 0)
     val toks = docs.filter(col("text").isNotNull)
@@ -1348,14 +1364,70 @@ object TextQueries {
       sum(col("h_fix")).as("h_sum"), count(lit(1)).as("n_dom"))
     agg.crossJoin(broadcast(stats))
       .withColumn("sx", col("h_sum") - col("n_dom") * col("h_min"))
-      .select(col("source"), col("n_docs"), col("n_bigrams"),
-        round((-col("tsum").cast("double")) / lit(1.0e9) / col("n_bigrams"), 6)
-          .as("h_nats"),
-        (col("h_fix") - col("h_min")).as("excess_nano"),
-        when(col("sx") === 0L, lit(0L))
-          .otherwise(expr("(h_fix - h_min) * 1000 DIV sx"))
-          .as("weight_permille"))
-      .orderBy(col("source").asc)
+  }
+
+  // ---- Q120: DoReMi proxy-weight ITERATION (bounded Group-DRO loop) ----
+
+  /** Rounds for q120's multiplicative-weights loop — enough to show the
+    * trajectory concentrate (the q101 bounded-rounds discipline). */
+  val DoremiRounds = 5
+
+  /** q120's step size as an integer scale: the round factor is
+    * (SCALE + excess_milli) / SCALE, i.e. η = 1/SCALE per milli-nat. */
+  val DoremiEtaScale = 1000L
+
+  /** Q120 — the bounded proxy-weight ITERATION DoReMi runs on top of the
+    * q116 excess signal (Xie et al. 2023 §3, Group DRO: the domain-weight
+    * player ascends by exponentiated gradient on per-domain excess loss,
+    * α_t ∝ α_{t−1} ⊙ exp(η·excess); VERDICT r12 #7). [[DoremiRounds]]
+    * rounds of the multiplicative update over q116's per-domain excess,
+    * each renormalized to parts-per-million, emitting the full weight
+    * TRAJECTORY — (source, round, weight_ppm) for round 0 (uniform)
+    * through [[DoremiRounds]] — the convergence curve a mixture operator
+    * monitors. NOT full DoReMi, stated plainly: the minimax's proxy model
+    * retrains on the current mixture every round and re-measures excess;
+    * here the reference excess is FROZEN (q116's table), so the loop is
+    * exponentiated-gradient ascent on static losses — the exact α-update
+    * with the proxy-feedback edge stubbed to the frozen signal, which is
+    * what a one-proxy-checkpoint pipeline actually iterates.
+    *
+    * EXACTNESS: exp(η·x) is replaced by its first-order integer factor
+    * (SCALE + excess_milli) — all-integer, so both engines agree
+    * bit-for-bit: w·(SCALE+e) ≤ 10⁶·(10³+~130) ~ 1.13·10⁹ and the
+    * renormalizing w·10⁶ DIV Σ stays < 2⁶³; DIV and DuckDB's `//` agree
+    * on nonnegative operands. All-equal domains degrade to a uniform
+    * trajectory (the factor cancels in the renormalize); truncation makes
+    * Σ weight_ppm ≤ 10⁶ by at most n_dom per round — deterministic on
+    * both engines, documented rather than redistributed.
+    *
+    * Scale shape: the excess seed is ONE run of q116's census chain,
+    * [[Materialize]]d at |domains| rows; every round is arithmetic on
+    * that |domains|-row frame through Materialize (the q95/q101 fixed-
+    * rounds discipline — lineage cut per round, reliable-checkpoint safe
+    * on a cluster); output is (rounds+1)·|domains| rows. Eager at
+    * construction (the loop must run). */
+  def q120DoremiIterate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Materialize.materialize(domainExcess(spark, dir)
+      .select(col("source"),
+        expr("(h_fix - h_min) DIV 1000000").as("excess_milli"),
+        col("n_dom")))
+    var cur = ex.select(col("source"), col("excess_milli"),
+      expr("1000000 DIV n_dom").as("w"))
+    val hist = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("source"), lit(0).as("round"), col("w")))
+    for (t <- 1 to DoremiRounds) {
+      val m = cur.select(col("source"), col("excess_milli"),
+        (col("w") * (lit(DoremiEtaScale) + col("excess_milli"))).as("m"))
+      val s = m.agg(sum(col("m")).as("s"))
+      cur = Materialize.materialize(m.crossJoin(broadcast(s))
+        .select(col("source"), col("excess_milli"),
+          expr("m * 1000000 DIV s").as("w")))
+      hist += cur.select(col("source"), lit(t).as("round"), col("w"))
+    }
+    hist.reduce(_ unionAll _)
+      .select(col("source"), col("round").cast("int").as("round"),
+        col("w").as("weight_ppm"))
+      .orderBy(col("round").asc, col("source").asc)
   }
 
   // ---- Q112: trigram Stupid-Backoff LM scoring ----
@@ -1524,6 +1596,7 @@ object TextQueries {
     "q109_bigram_lm" -> (q109BigramLm _),
     "q112_trigram_lm" -> (q112TrigramLm _),
     "q116_domain_mixture" -> (q116DomainMixture _),
+    "q120_doremi_iterate" -> (q120DoremiIterate _),
   )
 
   /** The bigram-LM oracle's training prefix (tokenize → curated slice →
@@ -1557,6 +1630,42 @@ object TextQueries {
       |         ELSE ln(CAST(2 * (coalesce(map_extract(m.mb, toks[i+1])[1], 0) + 1) AS DOUBLE))
       |            - ln(CAST(5 * (m.nn + m.vv) AS DOUBLE)) END) * 1000000000.0) AS BIGINT)))""".stripMargin
 
+  /** The domain-excess oracle chain shared verbatim by the q116 and q120
+    * oracles (ends at `ex`) — the [[domainExcess]] twin, so the frozen
+    * reference-excess definition cannot drift between the one-shot weights
+    * and the iterated loop. */
+  private def domainExcessOracleCtes: String =
+    s"""$bigramLmOracleCtes,
+      |s AS (SELECT source,
+      |  CAST(len(toks) - 1 AS BIGINT) AS nb,
+      |  CAST($bigramTsumSql AS BIGINT) AS tsum
+      |  FROM t, m WHERE len(toks) >= 2),
+      |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+      |        SUM(CAST(tsum AS DECIMAL(38,0))) AS tsum FROM s GROUP BY source),
+      |hx AS (SELECT source, n_docs, n_bigrams, tsum, CAST((-CAST(tsum AS HUGEINT)) // n_bigrams AS BIGINT) AS h_fix FROM agg),
+      |mn AS (SELECT MIN(h_fix) AS h_min, SUM(h_fix) AS h_sum, COUNT(*) AS n_dom FROM hx),
+      |ex AS (SELECT hx.*, hx.h_fix - mn.h_min AS excess_nano,
+      |       mn.h_sum - mn.n_dom * mn.h_min AS sx FROM hx, mn)""".stripMargin
+
+  /** The q120 oracle: the shared excess chain + [[DoremiRounds]] unrolled
+    * multiplicative-weight rounds (generated by the same Scala loop that
+    * drives the engine — the q101 CTE-stage discipline). */
+  private def doremiOracleSql: String = {
+    val rounds = (1 to DoremiRounds).map { t =>
+      val p = t - 1
+      s"""m$t AS (SELECT source, em, w * ($DoremiEtaScale + em) AS m FROM w$p),
+         |w$t AS (SELECT source, em, m * 1000000 // (SELECT SUM(m) FROM m$t) AS w FROM m$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to DoremiRounds).map { t =>
+      s"SELECT source, CAST($t AS INT) AS round, CAST(w AS BIGINT) AS weight_ppm FROM w$t"
+    }.mkString(" UNION ALL ")
+    s"""WITH $domainExcessOracleCtes,
+       |w0 AS (SELECT source, excess_nano // 1000000 AS em,
+       |       1000000 // (SELECT n_dom FROM mn) AS w FROM ex),
+       |$rounds
+       |SELECT * FROM ($unions) ORDER BY round, source NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
     "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
@@ -1573,22 +1682,13 @@ object TextQueries {
         |  FROM t, m WHERE len(toks) >= 2)
         |SELECT doc_id, n_bigrams, oov_bigrams, h_nats FROM s ORDER BY doc_id NULLS FIRST""".stripMargin,
     "q116_domain_mixture" ->
-      s"""WITH $bigramLmOracleCtes,
-        |s AS (SELECT source,
-        |  CAST(len(toks) - 1 AS BIGINT) AS nb,
-        |  CAST($bigramTsumSql AS BIGINT) AS tsum
-        |  FROM t, m WHERE len(toks) >= 2),
-        |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
-        |        SUM(CAST(tsum AS DECIMAL(38,0))) AS tsum FROM s GROUP BY source),
-        |hx AS (SELECT source, n_docs, n_bigrams, tsum, CAST((-CAST(tsum AS HUGEINT)) // n_bigrams AS BIGINT) AS h_fix FROM agg),
-        |mn AS (SELECT MIN(h_fix) AS h_min, SUM(h_fix) AS h_sum, COUNT(*) AS n_dom FROM hx),
-        |ex AS (SELECT hx.*, hx.h_fix - mn.h_min AS excess_nano,
-        |       mn.h_sum - mn.n_dom * mn.h_min AS sx FROM hx, mn)
+      s"""WITH $domainExcessOracleCtes
         |SELECT source, n_docs, n_bigrams,
         |  round(CAST(-tsum AS DOUBLE)/1000000000.0/n_bigrams, 6) AS h_nats,
         |  CAST(excess_nano AS BIGINT) AS excess_nano,
         |  CAST(CASE WHEN sx = 0 THEN 0 ELSE excess_nano * 1000 // sx END AS BIGINT) AS weight_permille
         |FROM ex ORDER BY source NULLS FIRST""".stripMargin,
+    "q120_doremi_iterate" -> doremiOracleSql,
     "q112_trigram_lm" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents WHERE text IS NOT NULL),

@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.Sessions
+import graft.operators._
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf10-class scale smoke (VERDICT r12 #5): race the flagship chains at
+  * sf1.0 (tools/gen_scale.py, 10 reps of sf0.1) against sf10 (100 reps —
+  * 500k docs / 200k embeddings) and report per-stage wall-clock with the
+  * 10x data ratio. The claim under test: every shipped plan is
+  * census/band/bounded-shaped, so a 10x corpus costs ~10x (linear) or
+  * less on fixed cores — a super-linear stage is a plan defect (pair
+  * blow-up, unbounded state), exactly what this smoke exists to catch.
+  *
+  * The sf10 dir carries documents + embeddings only (the LLM-pipeline
+  * tables); every raced stage reads only those. Index lifecycles race
+  * build and probe separately (the probe batch is the q74 IncrMod split).
+  *
+  * Usage: runMain graft.tools.Scale100Smoke [outJson]
+  *   SPARK_GRAFT_SF1_DIR  (default target/sf1.0)
+  *   SPARK_GRAFT_SF10_DIR (default target/sf10)
+  */
+object Scale100Smoke {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val out = args.headOption.getOrElse("artifacts/SCALE_SMOKE_r13.json")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1.0")
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
+    val spark = Sessions.build("local[32]", 32, "graft-scale100")
+
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .filterNot(r => Materialize.isPinned(r.id))
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    // warmup + 2 timed, min — the bench discipline, pared down because the
+    // sf10 legs are minutes, not seconds
+    def timed(f: => Unit): Double = {
+      f; cleanup()
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; val t = (System.nanoTime() - t0) / 1e9
+        cleanup(); t
+      }
+      ts.min
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def race(name: String)(f: String => Unit): Unit = {
+      val t1 = timed(f(sf1))
+      val t10 = timed(f(sf10))
+      results(name) = (t1, t10)
+      System.err.println(f"[scale100] $name sf1=$t1%.2f sf10=$t10%.2f ratio=${t10 / t1}%.2f")
+    }
+
+    // document chains
+    race("q22_dedup_exact")(d => mat(DedupQueries.q22ExactDedup(spark, d)))
+    race("q23_minhash_lsh")(d => mat(DedupQueries.q23MinhashLsh(spark, d)))
+    race("q71_exact_spans")(d => mat(DedupQueries.q71ExactSpans(spark, d)))
+    race("q76_source_overlap")(d => mat(DedupQueries.q76SourceOverlap(spark, d)))
+    race("q77_span_dedup")(d => mat(DedupQueries.q77SpanDedup(spark, d)))
+    race("q52_curation")(d => mat(CurationPipeline.q52Curation(spark, d)))
+    race("q75_curation_v2")(d => mat(CurationPipeline.q75CurationV2(spark, d)))
+    race("q88_web_curation")(d => mat(WebCurationQueries.q88WebCuration(spark, d)))
+    race("q104_bpe_encode")(d => mat(TextQueries.q104BpeEncode(spark, d)))
+    race("q109_bigram_lm")(d => mat(TextQueries.q109BigramLm(spark, d)))
+    race("q116_domain_mixture")(d => mat(TextQueries.q116DomainMixture(spark, d)))
+
+    // band-index lifecycle: build on the standing corpus, probe the
+    // IncrMod arrival batch against it (the q74 split)
+    race("band_index_build") { d =>
+      val docs = graft.operators.Tables.documents(spark, d)
+        .filter(col("doc_id") % DedupQueries.IncrMod =!= DedupQueries.IncrRes)
+      DedupQueries.buildNearDupIndex(spark, docs,
+        s"/tmp/graft_scale100_band_${d.split('/').last}")
+    }
+    race("band_index_probe") { d =>
+      val batch = graft.operators.Tables.documents(spark, d)
+        .filter(col("doc_id") % DedupQueries.IncrMod === DedupQueries.IncrRes)
+      mat(DedupQueries.nearDupAgainstIndex(spark, batch,
+        s"/tmp/graft_scale100_band_${d.split('/').last}"))
+    }
+
+    // IVF lifecycle: build (codebook + assignments), then the fused
+    // build+probe entry as the serving-path stand-in
+    race("ivf_index_build") { d =>
+      SimilarityQueries.buildIvfIndex(spark, d,
+        s"/tmp/graft_scale100_ivf_${d.split('/').last}")
+    }
+    race("q42_ivf_ann")(d => mat(SimilarityQueries.q42IvfAnn(spark, d)))
+
+    val rows = results.map { case (k, (t1, t10)) =>
+      f""""$k":{"sf1_sec":$t1%.3f,"sf10_sec":$t10%.3f,"ratio":${t10 / t1}%.2f}"""
+    }.mkString(",")
+    val maxRatio = results.values.map { case (a, b) => b / a }.max
+    val json =
+      f"""{"metric":"scale100_smoke","sf1_dir":"$sf1","sf10_dir":"$sf10","data_ratio":10.0,"max_stage_ratio":$maxRatio%.2f,"stages":{$rows}}"""
+    println(json)
+    Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}

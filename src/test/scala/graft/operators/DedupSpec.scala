@@ -399,13 +399,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(expected.count(_._3 > 0) >= 3, "differential corpus too clean")
   }
 
-  test("q71 skew-safe census+rejoin form is output-identical to the window " +
-      "form on a hot-span corpus (one span in >= 50% of docs)") {
+  test("q71 census-arithmetic form is output-identical to a window twin " +
+      "on a hot-span corpus (one span in >= 50% of docs)") {
     import spark.implicits._
     // the adversarial shape from VERDICT r5: one universal boilerplate span
-    // (license header) in half the corpus — the window form funnels every
-    // row of that span into ONE partition; the skew-safe form must agree
-    // exactly while staying AQE-splittable
+    // (license header) in half the corpus — a window formulation funnels
+    // every row of that span into ONE partition; the shipped census-
+    // arithmetic form must agree exactly while carrying the hot span only
+    // as map-side-combined census partials (r13: the window and
+    // census+rejoin forms were both retired after the census-arithmetic
+    // form measured faster than either AND skew-safe by construction)
     val header = (1 to DedupQueries.SpanTokens).map(i => s"lic$i").mkString(" ")
     val docs = (0L until 400L).map { id =>
       if (id % 2 == 0) (id, s"$header unique${id}a unique${id}b unique${id}c")
@@ -415,26 +418,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val frame = spark.read.parquet(s"$tmp/documents.parquet")
-    val window = DedupQueries.spanDupFlags(frame, skewSafe = false)
+    // independent window twin, built in-spec (the retired formulation,
+    // kept here as the differential reference)
+    import org.apache.spark.sql.functions.{count, expr, lit, sum, when}
+    val spans = DedupQueries.docSpans(frame)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val window = spans.withColumn("n_docs_with", count(lit(1)).over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"n_docs_with" >= 2L, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_permille", expr("n_dup_spans * 1000 DIV n_spans"))
+      .withColumn("cloned",
+        $"n_dup_spans" * 1000L >= $"n_spans" * DedupQueries.SpanSharedPermille)
       .orderBy($"doc_id").collect().map(_.toString).toSeq
-    val skewSafe = DedupQueries.spanDupFlags(frame, skewSafe = true)
+    val got = DedupQueries.spanDupFlags(frame)
       .orderBy($"doc_id").collect().map(_.toString).toSeq
-    assert(skewSafe == window)
+    assert(got == window)
     // every even doc is dominated by the shared header span
-    assert(window.length == 400)
-    // plan shape: the skew-safe form must not contain a Window operator
-    // (windows cannot be skew-split by AQE; the agg+join form can)
-    val plan = DedupQueries.spanDupFlags(frame, skewSafe = true)
+    assert(got.length == 400)
+    // plan shape: the shipped form must not contain a Window operator
+    // (windows cannot be skew-split by AQE) and must aggregate (map-side
+    // partials carry the hot span)
+    val plan = DedupQueries.spanDupFlags(frame)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("HashAggregate"), plan)
-    // and the conf flag routes q71 through it
-    spark.conf.set("spark.graft.spans.skewSafe", "true")
-    try {
-      val viaFlag = DedupQueries.q71ExactSpans(spark, tmp)
-        .collect().map(_.toString).toSeq
-      assert(viaFlag == window)
-    } finally spark.conf.unset("spark.graft.spans.skewSafe")
   }
 
   test("q76 source-overlap matrix counts distinct shared spans per source " +
@@ -582,42 +590,10 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q71 auto mode (default) probes span hashes: census+rejoin on the " +
-      "hot-span corpus, window form when skew-free") {
-    import spark.implicits._
-    val header = (1 to DedupQueries.SpanTokens).map(i => s"lic$i").mkString(" ")
-    // every doc = header + 1 unique word -> 2 spans/doc, one hot: the hot
-    // key holds 50% of span rows, comfortably past the P=4/factor=1 bar
-    val hotDocs = (0L until 300L).map(id => (id, s"$header u$id"))
-    val freeDocs = (0L until 300L).map(id =>
-      (id, (1 to 10).map(j => s"w${id}_$j").mkString(" ")))
-    val tmpHot = java.nio.file.Files.createTempDirectory("q71autoh").toString
-    val tmpFree = java.nio.file.Files.createTempDirectory("q71autof").toString
-    hotDocs.toDF("doc_id", "text").write.mode("overwrite")
-      .parquet(s"$tmpHot/documents.parquet")
-    freeDocs.toDF("doc_id", "text").write.mode("overwrite")
-      .parquet(s"$tmpFree/documents.parquet")
-    spark.conf.set("spark.graft.skew.sampleFraction", "1.0")
-    spark.conf.set("spark.graft.skew.partitionFactor", "1")
-    // spans.skewSafe deliberately NOT set: auto is the default
-    try {
-      val hotPlan = DedupQueries.q71ExactSpans(spark, tmpHot)
-        .queryExecution.executedPlan.toString
-      val freePlan = DedupQueries.q71ExactSpans(spark, tmpFree)
-        .queryExecution.executedPlan.toString
-      assert(!hotPlan.contains("Window"), "hot spans must pick census+rejoin")
-      assert(freePlan.contains("Window"), "skew-free spans must pick the window form")
-      // and the explicit pins still win over the probe
-      spark.conf.set("spark.graft.spans.skewSafe", "false")
-      val pinned = DedupQueries.q71ExactSpans(spark, tmpHot)
-        .queryExecution.executedPlan.toString
-      assert(pinned.contains("Window"))
-    } finally {
-      spark.conf.unset("spark.graft.skew.sampleFraction")
-      spark.conf.unset("spark.graft.skew.partitionFactor")
-      spark.conf.unset("spark.graft.spans.skewSafe")
-    }
-  }
+  // the q71 probe-picks-a-form test retired with the probe itself (r13:
+  // the census-arithmetic form is unconditional and skew-safe by
+  // construction; the SkewProbe mechanism remains covered by the q22
+  // canonical-pick tests in ScaleToolsSpec)
 
   test("spark.graft.spans.tokens re-parameterizes q71/q77 span length " +
       "(oracle default 8 untouched)") {

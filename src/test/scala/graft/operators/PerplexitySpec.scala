@@ -233,4 +233,38 @@ class PerplexitySpec extends AnyFunSuite with SparkTestSession {
     val (curated, crawl) = got.partition(_._1.stripPrefix("src").toInt < 10)
     assert(crawl.values.map(_._5).min > curated.values.map(_._5).max)
   }
+
+  test("q120 DoReMi iteration matches a plain-Scala multiplicative-weights " +
+      "recomputation; trajectory concentrates on high-excess domains") {
+    // seed from the engine's own q116 excess (pinned against plain Scala in
+    // the q116 test above) — this test pins the ITERATION arithmetic
+    val ex = TextQueries.q116DomainMixture(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(4) / 1000000L).toMap
+    val srcs = ex.keys.toSeq.sorted
+    var w = srcs.map(s => s -> 1000000L / srcs.length).toMap
+    val expected = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    srcs.foreach(s => expected += ((s, 0, w(s))))
+    for (t <- 1 to TextQueries.DoremiRounds) {
+      val m = srcs.map(s => s -> w(s) * (TextQueries.DoremiEtaScale + ex(s))).toMap
+      val tot = m.values.sum
+      w = srcs.map(s => s -> m(s) * 1000000L / tot).toMap
+      srcs.foreach(s => expected += ((s, t, w(s))))
+    }
+    val got = TextQueries.q120DoremiIterate(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === expected.sortBy(p => (p._2, p._1)).toSeq)
+    // Group-DRO semantics: the max-excess domain's weight rises every
+    // round; a zero-excess domain's weight falls monotonically
+    val hot = ex.maxBy(_._2)._1
+    val cold = ex.minBy(_._2)._1
+    val byRound = got.groupBy(_._2).view.mapValues(_.map(r => r._1 -> r._3).toMap)
+    (1 to TextQueries.DoremiRounds).foreach { t =>
+      assert(byRound(t)(hot) > byRound(t - 1)(hot), s"round $t hot")
+      assert(byRound(t)(cold) <= byRound(t - 1)(cold), s"round $t cold")
+    }
+    // the budget stays a budget: ppm sums never exceed 1e6 (truncation
+    // shrinks, never grows)
+    (0 to TextQueries.DoremiRounds).foreach(t =>
+      assert(byRound(t).values.sum <= 1000000L))
+  }
 }

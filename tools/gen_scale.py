@@ -94,6 +94,12 @@ def main():
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     tables = ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]
+    # optional table subset (argv[3], comma-separated) — the sf10-class
+    # SCALE_SMOKE only needs documents/embeddings, at 100 reps the rest
+    # would be generation time and disk for nothing
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        tables = [t for t in tables if t in keep]
     for t in tables:
         src = pq.read_table(f"{SRC}/{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
