@@ -28,6 +28,10 @@ object SparkEntry {
       // Estimator sweep: non-SQL-expressible (rows-only check); the kernel is
       // value-pinned by the ScalaTest parity suite instead.
       ("q21_estimator_sweep" -> (Engine.sweepQuery _)) +
+      // Kernel non-loop passes over the same grid: ORACLE-CHECKED (r13 —
+      // the straight-line sizing math DuckDB can re-derive; the fixpoint
+      // stays rows-only in q21).
+      ("q121_kernel_passes" -> (Engine.kernelPassesQuery _)) +
       // B5 list pipeline over a deterministic demo run store (rows-only:
       // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
       ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
@@ -61,7 +65,8 @@ object SparkEntry {
     "curation" -> (CurationPipeline.all.map(_._1) ++
       WebCurationQueries.all.map(_._1) ++ LineCurationQueries.all.map(_._1)),
     "graph" -> GraphQueries.all.map(_._1),
-    "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list"),
+    "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list",
+      "q121_kernel_passes"),
     "multimodal" -> Seq("q38_media_meta", "q98_image_phash",
       "q99_audio_fingerprint", "q103_video_fingerprint"))
 
@@ -73,6 +78,7 @@ object SparkEntry {
       AsOfQueries.oracle ++ AnalyticsQueries.oracle ++ CurationPipeline.oracle ++
       WebCurationQueries.oracle ++ LineCurationQueries.oracle ++
       GraphQueries.oracle +
+      ("q121_kernel_passes" -> Engine.kernelPassesOracleSql) +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
       ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
       ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle) +

@@ -81,6 +81,41 @@ class EngineSpec extends AnyFunSuite with SparkTestSession {
     assert(err.isNullAt(1))
   }
 
+  test("q121 kernel passes: independent spot recomputation + structural pins") {
+    val df = Engine.kernelPassesQuery(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == Engine.demoGrid.size)
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName.size == rows.length) // project_name is the unique key
+    // grid-wide constants: keys=1e6 -> JM S tier; node mem 16384 either way
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("jm_cpu")) == 1L)
+      assert(r.getLong(r.fieldIndex("jm_memory_mb")) == 2048L)
+      assert(r.getLong(r.fieldIndex("per_tm_cap_mb")) == 15872L)
+    }
+    // spot row recomputed from the published formulas, independent of the
+    // kernel functions: mps=1000, lat=0.5, (s,m,c)=(1,0,0)
+    val spot = byName("grid mps=1000 lat=0.5 s=1 m=0 c=0 skew=low node=S")
+    val thr = 1000.0 * 512 / (1024.0 * 1024.0) // 0.48828125, exact
+    assert(spot.getLong(spot.fieldIndex("thr_fix")) ==
+      math.floor(thr * 1e6).toLong)
+    assert(spot.getLong(spot.fieldIndex("mm_permille")) == 320L)
+    assert(spot.getLong(spot.fieldIndex("state_mem_fix")) == 0L) // m+c=0
+    assert(spot.getLong(spot.fieldIndex("cpu_factor_permille")) == 1500L)
+    val buffer = math.ceil(
+      thr * 1.4 * (1.0 + 0.02 * 0.5) * 2.0 + // recScale at 512B, pressure at 0.5s
+        0.4 * (thr * 0.5) +                  // in-flight at latCapped=0.5
+        256.0 * (1.0 + 0.01 * 1)).toLong     // pipe = 1 statement
+    assert(spot.getLong(spot.fieldIndex("buffer_mb_1tm")) == buffer)
+    // state pass live where m+c > 0: lat=5.0 -> pct 0.4;
+    // bytes = 1e6*(m+c)*512, mb exact, ceil, /0.4
+    val st = byName("grid mps=1000 lat=5.0 s=0 m=2 c=2 skew=low node=S")
+    val mb = math.ceil(1000000.0 * 4 * 512 / 1048576.0)
+    assert(st.getLong(st.fieldIndex("state_mem_fix")) ==
+      math.floor(mb / 0.4 * 1000).toLong)
+    assert(st.getLong(st.fieldIndex("mm_permille")) == 400L)
+  }
+
   test("sweepQuery produces one row per grid scenario") {
     val df = Engine.sweepQuery(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
