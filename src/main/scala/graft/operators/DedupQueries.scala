@@ -253,6 +253,27 @@ object DedupQueries {
       .distinct()
   }
 
+  /** STAR candidate edges per band bucket — (bucket-min, member) instead
+    * of the full C(k,2) clique [[candidatePairs]] emits (r13, surfaced by
+    * the sf10 SCALE_SMOKE: a corpus of ~100-member near-dup families puts
+    * ~C(100,2) pairs in every bucket, and any clique emitter is Ω(true
+    * pair count) — 50 s at sf10 where this is linear). Within a bucket
+    * every member stays connected THROUGH the minimum, so the union over
+    * buckets has exactly the same connected components as the clique
+    * graph — k−1 edges per bucket instead of C(k,2). For CONNECTIVITY
+    * consumers (q56) the outputs are therefore identical; pair-list
+    * consumers (q23/q24/q110 — the pairs ARE the deliverable) keep the
+    * clique form. Shuffle shape: one map-side-combined min census per
+    * bucket + an AQE-skew-splittable rejoin — a hot mega-family bucket
+    * collapses to one census row per map task. */
+  private def starEdges(b: DataFrame): DataFrame = {
+    val m = b.groupBy(col("band"), col("bsig")).agg(min(col("doc_id")).as("doc_a"))
+    b.join(m, Seq("band", "bsig"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Q110 — MinHash sketch-quality audit: for every LSH candidate pair
     * (over UNIQUE texts — identical texts would flood the top decile with
     * degenerate jaccard-1000 pairs), compare the sketch's similarity
@@ -618,9 +639,18 @@ object DedupQueries {
     * shuffle-bounded, no cartesian anywhere; per-round materialization
     * truncates lineage so the plan does not grow exponentially with
     * iterations (reliable `checkpoint` to HDFS on a production cluster —
-    * see [[Materialize.materialize]]). */
+    * see [[Materialize.materialize]]).
+    *
+    * Edge source (r13): [[starEdges]], not the clique [[candidatePairs]]
+    * — a connectivity consumer needs k−1 edges per bucket, not C(k,2),
+    * and the components (hence this entry's output, oracle hash
+    * included) are IDENTICAL by the bucket-min connectivity argument.
+    * The sf10 smoke measured the difference on a ~100-member-family
+    * corpus: the clique edge build alone took ~50 s where the star build
+    * is corpus-linear. Bucket members sit at distance ≤ 2 through their
+    * bucket min, so the 2-4 round convergence claim survives. */
   def q56DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(
+    val pairs = starEdges(
       bands(withShinglesAndSignature(Tables.documents(spark, dir))))
     resolveClusters(pairs)
       .orderBy(col("doc_id").asc)
@@ -628,13 +658,16 @@ object DedupQueries {
 
   /** Connected components over undirected (doc_a, doc_b) pairs ->
     * (doc_id, cluster_id, cluster_size, is_canonical). Each round does one
-    * neighbor-min step AND one pointer-jump step (label <- label(label) —
-    * labels are always node ids, so the jump is a self-join): distances to
-    * the component minimum at least halve per round, so `MaxRounds` = 20
-    * covers diameters past 10^6 — near-dup families are near-cliques
-    * (2-4 rounds), but an adversarial chain corpus no longer exceeds the
-    * cap; if one somehow does, the loop FAILS LOUDLY rather than returning
-    * an under-merged clustering.
+    * neighbor-min step, one pointer-jump step (label <- label(label) —
+    * labels are always node ids, so the jump is a self-join), and one
+    * edge CONTRACTION step (r13 — edges rewritten onto current labels,
+    * the alternating large-star/small-star shape; see the loop comment
+    * for the measured ruling that forced it: the jump alone left the
+    * sparse star-edge graph at 24 rounds where contraction takes 6, with
+    * the edge set shrinking per round instead of staying corpus-sized).
+    * `MaxRounds` = 20 is the loud-failure envelope — measured corpora
+    * converge in 4-7 rounds; if one somehow exceeds it, the loop FAILS
+    * LOUDLY rather than returning an under-merged clustering.
     *
     * Per-round materialization goes through the shared
     * [[Materialize.materialize]] helper: `localCheckpoint` by default
@@ -669,8 +702,9 @@ object DedupQueries {
         lit(0L).as("cluster_size"), lit(false).as("is_canonical"))
     var converged = false
     var round = 0
+    var curEdges = edges
     while (!converged && round < MaxRounds) {
-      val propagated = edges.join(labels, edges("src") === labels("node"))
+      val propagated = curEdges.join(labels, curEdges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
         .union(labels)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
@@ -680,6 +714,28 @@ object DedupQueries {
       val next = materialize(propagated
         .join(jump, propagated("label") === jump("jnode"), "left")
         .select(col("node"), coalesce(col("jlabel"), col("label")).as("label")))
+      // CONTRACTION (r13): rewrite the edge set onto current labels
+      // (drop self-loops, distinct) and keep one (label -> member) edge
+      // per node so later label improvements still reach every member —
+      // the alternating large-star/small-star shape (Kiveris et al.
+      // 2014). Propagate-only label propagation moves the min ONE hop
+      // per round, and the single pointer jump cannot shortcut a chain
+      // whose intermediate labels are stale, so sparse edge sets (the
+      // r13 starEdges) measured 24 rounds at sf1.0 where the clique
+      // graph took ~6; contraction measured 6 rounds on the same star
+      // graph with the edge set SHRINKING per round (114k -> 48k after
+      // round 1), bit-identical final labels (equal monotone label sums
+      // bound below by the component minima force pointwise equality).
+      val la = next.select(col("node").as("na"), col("label").as("la"))
+      val lb = next.select(col("node").as("nb"), col("label").as("lb"))
+      curEdges = materialize(curEdges
+        .join(la, curEdges("src") === col("na"))
+        .join(lb, curEdges("dst") === col("nb"))
+        .select(col("la").as("src"), col("lb").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(lb.select(col("lb").as("src"), col("nb").as("dst"))
+          .filter(col("src") =!= col("dst")))
+        .distinct())
       val s = labelSum(next)
       converged = s.compareTo(sumPrev) == 0
       sumPrev = s

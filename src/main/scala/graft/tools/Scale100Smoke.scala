@@ -59,7 +59,17 @@ object Scale100Smoke {
 
     // document chains
     race("q22_dedup_exact")(d => mat(DedupQueries.q22ExactDedup(spark, d)))
+    // q23 vs q62 is the smoke's designed contrast: the sf10 corpus carries
+    // 100-copy exact-duplicate families (gen_scale keeps doc_id%7==0
+    // verbatim across replicas), so q23's pair-list CONTRACT is quadratic
+    // in family multiplicity (C(100,2) pairs per family is the OUTPUT,
+    // not a plan defect) while the collapse-first q62 pairs uniques and
+    // carries multiplicity as a column — the documented scale path.
     race("q23_minhash_lsh")(d => mat(DedupQueries.q23MinhashLsh(spark, d)))
+    race("q62_collapse_first")(d => mat(DedupQueries.q62MinhashUnique(spark, d)))
+    // q56 consumes star edges (k-1 per bucket, r13) + contraction CC —
+    // the connectivity consumer's answer to the mega-family corpus
+    race("q56_dup_clusters")(d => mat(DedupQueries.q56DupClusters(spark, d)))
     race("q71_exact_spans")(d => mat(DedupQueries.q71ExactSpans(spark, d)))
     race("q76_source_overlap")(d => mat(DedupQueries.q76SourceOverlap(spark, d)))
     race("q77_span_dedup")(d => mat(DedupQueries.q77SpanDedup(spark, d)))
