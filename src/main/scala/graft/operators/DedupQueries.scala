@@ -236,7 +236,16 @@ object DedupQueries {
   /** Q23 — banded-minhash LSH near-dup candidate pairs. The only wide op is
     * the self-equi-join on (band, bsig): docs sharing a band signature meet
     * in one reducer; everything upstream is narrow. Zero cartesian products
-    * (the 100 TB survival property VERDICT demanded). */
+    * (the 100 TB survival property VERDICT demanded).
+    *
+    * CONTRACT CAVEAT (r13, measured by the sf10 SCALE_SMOKE): the pair
+    * LIST is Ω(true pair count) — a corpus of k-member near-dup families
+    * has C(k,2) real pairs per family, so this entry is inherently
+    * quadratic in family multiplicity (~20x wall for 10x data on the
+    * 100-copy-family smoke corpus). That is the deliverable, not a plan
+    * defect; consumers that only need exact-duplicate collapse use q62
+    * (uniques + multiplicities) and connectivity consumers use q56's
+    * [[starEdges]] (k−1 edges per bucket, same components). */
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(bands(withShinglesAndSignature(Tables.documents(spark, dir))))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
