@@ -1642,25 +1642,30 @@ object TextQueries {
       |  FROM t, m WHERE len(toks) >= 2),
       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
       |        SUM(CAST(tsum AS DECIMAL(38,0))) AS tsum FROM s GROUP BY source),
-      |hx AS (SELECT source, n_docs, n_bigrams, tsum, CAST((-CAST(tsum AS HUGEINT)) // n_bigrams AS BIGINT) AS h_fix FROM agg),
+      |hx AS MATERIALIZED (SELECT source, n_docs, n_bigrams, tsum, CAST((-CAST(tsum AS HUGEINT)) // n_bigrams AS BIGINT) AS h_fix FROM agg),
       |mn AS (SELECT MIN(h_fix) AS h_min, SUM(h_fix) AS h_sum, COUNT(*) AS n_dom FROM hx),
       |ex AS (SELECT hx.*, hx.h_fix - mn.h_min AS excess_nano,
       |       mn.h_sum - mn.n_dom * mn.h_min AS sx FROM hx, mn)""".stripMargin
 
   /** The q120 oracle: the shared excess chain + [[DoremiRounds]] unrolled
     * multiplicative-weight rounds (generated by the same Scala loop that
-    * drives the engine — the q101 CTE-stage discipline). */
+    * drives the engine — the q101 CTE-stage discipline). Every round CTE
+    * is MATERIALIZED — w_t is referenced by m_{t+1} AND the final union,
+    * and m_t twice inside w_t, so default CTE inlining re-evaluates the
+    * full upstream excess chain exponentially in the round count
+    * (measured: 115 s at sf0.1 inlined vs sub-second materialized — the
+    * exact bpeOracleSql lesson). */
   private def doremiOracleSql: String = {
     val rounds = (1 to DoremiRounds).map { t =>
       val p = t - 1
-      s"""m$t AS (SELECT source, em, w * ($DoremiEtaScale + em) AS m FROM w$p),
-         |w$t AS (SELECT source, em, m * 1000000 // (SELECT SUM(m) FROM m$t) AS w FROM m$t)""".stripMargin
+      s"""m$t AS MATERIALIZED (SELECT source, em, w * ($DoremiEtaScale + em) AS m FROM w$p),
+         |w$t AS MATERIALIZED (SELECT source, em, m * 1000000 // (SELECT SUM(m) FROM m$t) AS w FROM m$t)""".stripMargin
     }.mkString(",\n")
     val unions = (0 to DoremiRounds).map { t =>
       s"SELECT source, CAST($t AS INT) AS round, CAST(w AS BIGINT) AS weight_ppm FROM w$t"
     }.mkString(" UNION ALL ")
     s"""WITH $domainExcessOracleCtes,
-       |w0 AS (SELECT source, excess_nano // 1000000 AS em,
+       |w0 AS MATERIALIZED (SELECT source, excess_nano // 1000000 AS em,
        |       1000000 // (SELECT n_dom FROM mn) AS w FROM ex),
        |$rounds
        |SELECT * FROM ($unions) ORDER BY round, source NULLS FIRST""".stripMargin
