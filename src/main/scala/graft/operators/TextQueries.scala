@@ -1400,33 +1400,39 @@ object TextQueries {
     * Σ weight_ppm ≤ 10⁶ by at most n_dom per round — deterministic on
     * both engines, documented rather than redistributed.
     *
-    * Scale shape: the excess seed is ONE run of q116's census chain,
-    * [[Materialize]]d at |domains| rows; every round is arithmetic on
-    * that |domains|-row frame through Materialize (the q95/q101 fixed-
-    * rounds discipline — lineage cut per round, reliable-checkpoint safe
-    * on a cluster); output is (rounds+1)·|domains| rows. Eager at
-    * construction (the loop must run). */
+    * Scale shape: the heavy work — q116's census chain — runs ONCE,
+    * distributed; the iteration state is |domains| rows (a catalog-sized
+    * dimension), so the seed COLLECTS like a codebook / q101 merge table
+    * (the bounded-collect discipline; q101 itself collects one row per
+    * training round) and the [[DoremiRounds]] integer rounds run
+    * driver-side — a distributed loop here would pay a checkpoint
+    * round-trip per round to move ≤ a few hundred integers (measured:
+    * the Materialize-per-round form spent ~1.4 s of its 2.35 s sf0.1
+    * wall on 20-row checkpoints). Output is (rounds+1)·|domains| rows
+    * via createDataFrame. Eager at construction (the collect). */
   def q120DoremiIterate(spark: SparkSession, dir: String): DataFrame = {
-    val ex = Materialize.materialize(domainExcess(spark, dir)
-      .select(col("source"),
-        expr("(h_fix - h_min) DIV 1000000").as("excess_milli"),
-        col("n_dom")))
-    var cur = ex.select(col("source"), col("excess_milli"),
-      expr("1000000 DIV n_dom").as("w"))
-    val hist = scala.collection.mutable.ArrayBuffer(
-      cur.select(col("source"), lit(0).as("round"), col("w")))
+    import spark.implicits._
+    val ex = domainExcess(spark, dir)
+      .select(col("source"), expr("(h_fix - h_min) DIV 1000000").as("excess_milli"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nDom = ex.length
+    val hist = scala.collection.mutable.ArrayBuffer[(String, Int, Long)]()
+    var w = ex.map { case (s, _) => s -> (if (nDom == 0) 0L else 1000000L / nDom) }.toMap
+    ex.foreach { case (s, _) => hist += ((s, 0, w(s))) }
     for (t <- 1 to DoremiRounds) {
-      val m = cur.select(col("source"), col("excess_milli"),
-        (col("w") * (lit(DoremiEtaScale) + col("excess_milli"))).as("m"))
-      val s = m.agg(sum(col("m")).as("s"))
-      cur = Materialize.materialize(m.crossJoin(broadcast(s))
-        .select(col("source"), col("excess_milli"),
-          expr("m * 1000000 DIV s").as("w")))
-      hist += cur.select(col("source"), lit(t).as("round"), col("w"))
+      val m = ex.map { case (s, e) => s -> w(s) * (DoremiEtaScale + e) }.toMap
+      val tot = m.values.sum
+      // tot = 0 only when every w truncated to 0 (> 1e6 domains) — hold
+      // the weights rather than divide by zero; the oracle's // would
+      // raise, but a >1e6-domain catalog is outside the demo grid's and
+      // the mixture sampler's domain-cardinality contract anyway
+      if (tot > 0L)
+        w = ex.map { case (s, _) => s -> m(s) * 1000000L / tot }.toMap
+      ex.foreach { case (s, _) => hist += ((s, t, w(s))) }
     }
-    hist.reduce(_ unionAll _)
+    hist.toSeq.toDF("source", "round", "weight_ppm")
       .select(col("source"), col("round").cast("int").as("round"),
-        col("w").as("weight_ppm"))
+        col("weight_ppm").cast("long").as("weight_ppm"))
       .orderBy(col("round").asc, col("source").asc)
   }
 
