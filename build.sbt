@@ -15,6 +15,13 @@ run / fork := true
 // contract is "print one clean JSON line", and sbt's default logger prefixes
 // every line with [info]/[error], which breaks the driver's JSON parse.
 run / outputStrategy := Some(StdoutOutput)
+// ... and suppress sbt's own "[success] Total time: ..." epilogue: it lands
+// on stdout AFTER the JSON line, so the driver's "parse the tail's last
+// line" step has failed every round (BENCH_r10..r13 all carry parsed:null
+// with the JSON one line above [success] — VERDICT r13 next-round #2).
+// With showSuccess off, the bench JSON is the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
