@@ -228,7 +228,15 @@ object Engine {
   /** The q121 oracle: the SAME demo grid inlined as a VALUES table
     * (generated from [[demoGrid]] itself — the BPE CTE-generation
     * discipline, so grid and oracle cannot drift), then each non-loop
-    * pass re-derived in SQL with the kernel's exact expression shapes. */
+    * pass re-derived in SQL with the kernel's exact expression shapes.
+    * Width pins (the two places DuckDB's defaults diverge from the
+    * kernel's arithmetic): the state byte product runs through HUGEINT
+    * because the kernel computes keys*(m+c)*apps*rec_bytes in BigInt —
+    * a BIGINT product would overflow/raise on grids near 2^63 where the
+    * kernel succeeds; and per_tm_cap_mb floors node_mb before the BIGINT
+    * cast because [[Estimator.perTmCapMb]] truncates (.toInt) while
+    * DuckDB's CAST rounds to nearest — they only agreed while the grid
+    * kept node memory integral. */
   def kernelPassesOracleSql: String = {
     val rows = demoGrid.map { raw =>
       val in = Validation.applyTshirt(raw)
@@ -250,7 +258,7 @@ object Engine {
        |  CAST(floor(thr * 1000000.0) AS BIGINT) AS thr_fix,
        |  CAST(CASE WHEN lat <= 0.5 THEN 320 WHEN lat <= 1.0 THEN 350
        |            WHEN lat < 5.0 THEN 380 ELSE 400 END AS BIGINT) AS mm_permille,
-       |  CAST(floor(ceiling(CAST(CAST(keys AS BIGINT) * (m + c) * apps * rec_bytes AS DOUBLE)
+       |  CAST(floor(ceiling(CAST(CAST(keys AS HUGEINT) * (m + c) * apps * rec_bytes AS DOUBLE)
        |    / 1048576.0) / mm_pct * 1000) AS BIGINT) AS state_mem_fix,
        |  CAST(CASE WHEN lat <= 0.5 THEN 1500 WHEN lat <= 1.0 THEN 1200
        |            WHEN lat < 5.0 THEN 1100 ELSE 1000 END AS BIGINT) AS cpu_factor_permille,
@@ -258,7 +266,7 @@ object Engine {
        |            ELSE 4 END AS BIGINT) AS jm_cpu,
        |  CAST(CASE WHEN keys <= 10000000 THEN 2048 WHEN keys <= 100000000 THEN 4096
        |            ELSE 8192 END AS BIGINT) AS jm_memory_mb,
-       |  CAST(least(65536, greatest(CAST(node_mb AS BIGINT) - 512, 4096)) AS BIGINT) AS per_tm_cap_mb,
+       |  CAST(least(65536, greatest(CAST(floor(node_mb) AS BIGINT) - 512, 4096)) AS BIGINT) AS per_tm_cap_mb,
        |  CAST(greatest(0, CAST(ceiling(
        |      thr * 1.4 * (1.0 + 0.02 * least(greatest(100, rec_bytes) / 1024.0, 64.0))
        |          * (CASE WHEN lat <= 0.5 THEN 2.0 WHEN lat <= 1.0 THEN 1.5

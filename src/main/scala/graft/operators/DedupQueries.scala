@@ -665,6 +665,49 @@ object DedupQueries {
       .orderBy(col("doc_id").asc)
   }
 
+  /** Local-finish budget for [[resolveClusters]]: once the (contracted)
+    * edge set has at most this many rows it is collected and closed with
+    * a driver-side union-find — two longs per row, so the default bounds
+    * the collect at ~3 MB, the same order as the IVF/PQ codebook and BPE
+    * merge-table collects. Tunable per session (tests force 0 to exercise
+    * the distributed loop end-to-end). */
+  val CcLocalThreshold = 200000L
+  private[graft] val CcLocalThresholdKey = "spark.graft.cc.localThreshold"
+
+  /** Union-find (path-halving + union-by-min) over a bounded edge list:
+    * returns node -> min node id of its component, for every node that
+    * appears as an endpoint. Called only under [[CcLocalThreshold]], so
+    * the maps stay a few MB. */
+  private[operators] def unionFindMinRoots(
+      edges: Array[(Long, Long)]): scala.collection.Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent.update(x, gp) // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        // union by min id: the root IS the cluster id, no second pass
+        if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+      }
+    }
+    val out = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (a, b) =>
+      out.update(a, find(a))
+      out.update(b, find(b))
+    }
+    out
+  }
+
   /** Connected components over undirected (doc_a, doc_b) pairs ->
     * (doc_id, cluster_id, cluster_size, is_canonical). Each round does one
     * neighbor-min step, one pointer-jump step (label <- label(label) —
@@ -678,6 +721,16 @@ object DedupQueries {
     * converge in 4-7 rounds; if one somehow exceeds it, the loop FAILS
     * LOUDLY rather than returning an under-merged clustering.
     *
+    * LOCAL FINISH (r14): whenever the current edge set fits the
+    * [[CcLocalThreshold]] budget — on entry for small corpora, after one
+    * or more shrinking contraction rounds at scale — the remaining graph
+    * is collected (bounded, ~3 MB) and closed with a driver-side
+    * union-find, replacing the tail of distributed rounds (3-4 jobs each,
+    * moving kilobytes) with one collect + one broadcast join. Labels are
+    * bit-identical either way (both paths compute the per-component min
+    * node id); DedupSpec pins the parity and the specs that exercise the
+    * distributed rounds force the threshold to 0.
+    *
     * Per-round materialization goes through the shared
     * [[Materialize.materialize]] helper: `localCheckpoint` by default
     * (executor block store — fine single-JVM), RELIABLE `checkpoint` when
@@ -690,6 +743,9 @@ object DedupQueries {
   private[operators] def resolveClusters(pairs: DataFrame): DataFrame = {
     val MaxRounds = 20
     import Materialize.materialize
+    val spark = pairs.sparkSession
+    val localThreshold =
+      spark.conf.get(CcLocalThresholdKey, CcLocalThreshold.toString).toLong
     val edges = materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
@@ -712,44 +768,86 @@ object DedupQueries {
     var converged = false
     var round = 0
     var curEdges = edges
+    // curEdges is always materialized, so count() reads cached block
+    // sizes — one trivial job per round, paid to know when the graph
+    // fits the local-finish budget below
+    var curEdgeCount = curEdges.count()
     while (!converged && round < MaxRounds) {
-      val propagated = curEdges.join(labels, curEdges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-      // pointer jump: label(label) is defined (every label is a node) and
-      // <= label (monotone), so a left join + coalesce shortcuts chains
-      val jump = propagated.select(col("node").as("jnode"), col("label").as("jlabel"))
-      val next = materialize(propagated
-        .join(jump, propagated("label") === jump("jnode"), "left")
-        .select(col("node"), coalesce(col("jlabel"), col("label")).as("label")))
-      // CONTRACTION (r13): rewrite the edge set onto current labels
-      // (drop self-loops, distinct) and keep one (label -> member) edge
-      // per node so later label improvements still reach every member —
-      // the alternating large-star/small-star shape (Kiveris et al.
-      // 2014). Propagate-only label propagation moves the min ONE hop
-      // per round, and the single pointer jump cannot shortcut a chain
-      // whose intermediate labels are stale, so sparse edge sets (the
-      // r13 starEdges) measured 24 rounds at sf1.0 where the clique
-      // graph took ~6; contraction measured 6 rounds on the same star
-      // graph with the edge set SHRINKING per round (114k -> 48k after
-      // round 1), bit-identical final labels (equal monotone label sums
-      // bound below by the component minima force pointwise equality).
-      val la = next.select(col("node").as("na"), col("label").as("la"))
-      val lb = next.select(col("node").as("nb"), col("label").as("lb"))
-      curEdges = materialize(curEdges
-        .join(la, curEdges("src") === col("na"))
-        .join(lb, curEdges("dst") === col("nb"))
-        .select(col("la").as("src"), col("lb").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .union(lb.select(col("lb").as("src"), col("nb").as("dst"))
-          .filter(col("src") =!= col("dst")))
-        .distinct())
-      val s = labelSum(next)
-      converged = s.compareTo(sumPrev) == 0
-      sumPrev = s
-      labels = next
-      round += 1
+      if (curEdgeCount <= localThreshold) {
+        // LOCAL FINISH (r14, VERDICT r13 #7): once the (contracted) edge
+        // set fits the fixed budget — [[CcLocalThreshold]] rows of two
+        // longs, ~3 MB at the default — collect it and close the
+        // components with a driver-side union-find, then map every node
+        // to its component min through one broadcast join. This is the
+        // standard endgame of distributed CC (the distributed rounds
+        // exist to SHRINK the graph; iterating them to convergence pays
+        // 3-4 Spark jobs per round to move kilobytes): at sf0.1 the raw
+        // star-edge graph is already under the budget, so the whole
+        // iteration collapses to one bounded collect, and at any scale
+        // the contraction rounds above strictly shrink curEdges until it
+        // fits. Correct on entry at ANY round: after contraction,
+        // curEdges carries (label-graph edges + one label->member edge
+        // per non-root node), so every node whose label can still
+        // improve is an endpoint, its union-find component contains its
+        // cluster min m (labels are node ids; label(m) = m is in the
+        // graph whenever anything remains to merge), and nodes absent
+        // from the graph are exactly the already-rooted singletons —
+        // coalesce keeps them. Labels land bit-identical to the
+        // distributed fixpoint (both compute the component min).
+        val root = unionFindMinRoots(curEdges.collect().map(r =>
+          (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        val rootDf = root.toSeq.toDF("uf_node", "uf_root")
+        labels = materialize(labels
+          .join(broadcast(rootDf), labels("node") === col("uf_node"), "left")
+          .select(col("node"),
+            coalesce(col("uf_root"), col("node")).as("label")))
+        converged = true
+      } else {
+        val propagated = curEdges.join(labels, curEdges("src") === labels("node"))
+          .select(col("dst").as("node"), col("label"))
+          .union(labels)
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+        // pointer jump: label(label) is defined (every label is a node) and
+        // <= label (monotone), so a left join + coalesce shortcuts chains
+        val jump = propagated.select(col("node").as("jnode"), col("label").as("jlabel"))
+        val next = materialize(propagated
+          .join(jump, propagated("label") === jump("jnode"), "left")
+          .select(col("node"), coalesce(col("jlabel"), col("label")).as("label")))
+        val s = labelSum(next)
+        converged = s.compareTo(sumPrev) == 0
+        sumPrev = s
+        labels = next
+        round += 1
+        // CONTRACTION (r13): rewrite the edge set onto current labels
+        // (drop self-loops, distinct) and keep one (label -> member) edge
+        // per node so later label improvements still reach every member —
+        // the alternating large-star/small-star shape (Kiveris et al.
+        // 2014). Propagate-only label propagation moves the min ONE hop
+        // per round, and the single pointer jump cannot shortcut a chain
+        // whose intermediate labels are stale, so sparse edge sets (the
+        // r13 starEdges) measured 24 rounds at sf1.0 where the clique
+        // graph took ~6; contraction measured 6 rounds on the same star
+        // graph with the edge set SHRINKING per round (114k -> 48k after
+        // round 1), bit-identical final labels (equal monotone label sums
+        // bound below by the component minima force pointwise equality).
+        // Runs AFTER the convergence check (r14, ADVICE r13): the final
+        // round's contracted edges feed nothing, so the converged round
+        // skips the two joins + distinct + checkpoint it used to pay.
+        if (!converged) {
+          val la = next.select(col("node").as("na"), col("label").as("la"))
+          val lb = next.select(col("node").as("nb"), col("label").as("lb"))
+          curEdges = materialize(curEdges
+            .join(la, curEdges("src") === col("na"))
+            .join(lb, curEdges("dst") === col("nb"))
+            .select(col("la").as("src"), col("lb").as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .union(lb.select(col("lb").as("src"), col("nb").as("dst"))
+              .filter(col("src") =!= col("dst")))
+            .distinct())
+          curEdgeCount = curEdges.count()
+        }
+      }
     }
     if (!converged)
       throw new IllegalStateException(

@@ -284,18 +284,64 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(DedupQueries.resolveClusters(empty).collect().isEmpty)
   }
 
-  test("cluster resolution converges on an adversarial 500-node chain") {
+  test("cluster resolution converges on an adversarial 500-node chain " +
+      "(distributed loop forced)") {
     import spark.implicits._
     // a path graph 0-1-2-...-500: diameter 500 >> the 20-round cap; plain
-    // min-label propagation would need 500 rounds — pointer jumping must
-    // collapse it within O(log n) rounds
-    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = DedupQueries.resolveClusters(chain).collect()
+    // min-label propagation would need 500 rounds — pointer jumping +
+    // contraction must collapse it within O(log n) rounds. Threshold 0
+    // forces the distributed loop (the default would local-finish a
+    // 500-edge graph immediately and test nothing).
+    spark.conf.set(DedupQueries.CcLocalThresholdKey, "0")
+    try {
+      val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = DedupQueries.resolveClusters(chain).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.length == 501)
+      assert(got.forall(_._2 == 0L), "every node must reach cluster 0")
+      assert(got.forall(_._3 == 501L))
+      assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 0L)
+    } finally spark.conf.unset(DedupQueries.CcLocalThresholdKey)
+  }
+
+  test("local union-find finish is output-identical to the distributed " +
+      "fixpoint (chains, cliques, singleton pairs, multi-component)") {
+    import spark.implicits._
+    // the graph mixes every shape the two paths could disagree on: a long
+    // chain (pointer-jump territory), a clique (one-round collapse), a
+    // 2-node component, and ids far apart so min-root selection matters
+    val pairs = ((0L until 60L).map(i => (i, i + 1)) ++ // chain 0..60
+      (for (a <- 100L to 105L; b <- (a + 1) to 105L) yield (a, b)) ++ // clique
+      Seq((500L, 999L), (1000L, 700L))) // pairs with reversed ids
+      .toDF("doc_a", "doc_b")
+    val local = DedupQueries.resolveClusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    assert(got.length == 501)
-    assert(got.forall(_._2 == 0L), "every node must reach cluster 0")
-    assert(got.forall(_._3 == 501L))
-    assert(got.count(_._4) == 1 && got.find(_._4).get._1 == 0L)
+      .sortBy(_._1)
+    spark.conf.set(DedupQueries.CcLocalThresholdKey, "0")
+    val dist =
+      try DedupQueries.resolveClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1)
+      finally spark.conf.unset(DedupQueries.CcLocalThresholdKey)
+    assert(local.toSeq == dist.toSeq)
+    assert(local.find(_._1 == 1000L).get._2 == 700L, "min id is the root")
+  }
+
+  test("local finish engages mid-loop when contraction shrinks the edge " +
+      "set under the threshold") {
+    import spark.implicits._
+    // threshold 300: the 500-chain's initial 1000 directed edges exceed
+    // it, so the loop runs distributed rounds until contraction shrinks
+    // the graph under 300 rows, then the union-find closes it — the exact
+    // at-scale trajectory. Output must match the pure-distributed run.
+    spark.conf.set(DedupQueries.CcLocalThresholdKey, "300")
+    try {
+      val chain = (0L until 500L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = DedupQueries.resolveClusters(chain).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.length == 501)
+      assert(got.forall(_._2 == 0L) && got.forall(_._3 == 501L))
+    } finally spark.conf.unset(DedupQueries.CcLocalThresholdKey)
   }
 
   test("collapse-first q24 equals the naive per-id-pair formulation on a " +
