@@ -243,9 +243,13 @@ object DedupQueries {
     * has C(k,2) real pairs per family, so this entry is inherently
     * quadratic in family multiplicity (~20x wall for 10x data on the
     * 100-copy-family smoke corpus). That is the deliverable, not a plan
-    * defect; consumers that only need exact-duplicate collapse use q62
-    * (uniques + multiplicities) and connectivity consumers use q56's
-    * [[starEdges]] (k−1 edges per bucket, same components). */
+    * defect; it makes this entry an AUDIT-ONLY deliverable (threshold
+    * calibration, recall studies on bounded slices). The production pair
+    * surface is [[q122CanonicalPairs]] — corpus-linear (doc, canonical,
+    * family_size) rows from the q56 cluster machinery; exact-duplicate
+    * collapse uses q62 (uniques + multiplicities) and connectivity
+    * consumers use q56's [[starEdges]] (k−1 edges per bucket, same
+    * components). */
   def q23MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(bands(withShinglesAndSignature(Tables.documents(spark, dir))))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
@@ -663,6 +667,30 @@ object DedupQueries {
       bands(withShinglesAndSignature(Tables.documents(spark, dir))))
     resolveClusters(pairs)
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Q122 — the scale-safe near-dup PAIR contract (VERDICT r13 #4): each
+    * non-canonical document paired with its family's canonical (min
+    * doc_id), plus the family size — (doc_a, doc_b, family_size), exactly
+    * k−1 rows per k-member family. This is the surface a pipeline that
+    * "wants q23's pairs" should consume at scale: the full pair list is
+    * Ω(Σ C(k,2)) — output-quadratic in family multiplicity, measured at
+    * 20x wall for 10x data on the r13 sf10 smoke — while this contract
+    * is corpus-LINEAR and carries the same information for every
+    * keep/drop, re-weight, or provenance decision (any member ↔ member
+    * pair is recoverable as doc_a↔doc_a' sharing doc_b). Built from the
+    * q56 machinery ([[starEdges]] + [[resolveClusters]]), so it inherits
+    * the contraction + bounded-local-finish scale path; q23/q62/q79 stay
+    * in the catalog as AUDIT-ONLY deliverables (threshold calibration,
+    * estimator-vs-truth audits) per their contract caveats. */
+  def q122CanonicalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = starEdges(
+      bands(withShinglesAndSignature(Tables.documents(spark, dir))))
+    resolveClusters(pairs)
+      .filter(col("is_canonical") === lit(false))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"),
+        col("cluster_size").as("family_size"))
+      .orderBy(col("doc_a").asc)
   }
 
   /** Local-finish budget for [[resolveClusters]]: once the (contracted)
@@ -1489,6 +1517,7 @@ object DedupQueries {
     "q81_canonical_priority" -> (q81CanonicalPriority _),
     "q110_minhash_audit" -> (q110MinhashAudit _),
     "q113_split_leakage" -> (q113SplitLeakage _),
+    "q122_neardup_canonical_pairs" -> (q122CanonicalPairs _),
   )
 
   /** DuckDB oracles — same md5-based definitions, column-for-column. */
@@ -1617,6 +1646,25 @@ object DedupQueries {
         |  cc.doc_id = cc.cluster_id AS is_canonical
         |FROM cc JOIN sz USING (cluster_id)
         |ORDER BY cc.doc_id NULLS FIRST""".stripMargin,
+      extraCtes = true, recursive = true),
+    // q122 = the q56 recursive-CC chain projected to the non-canonical
+    // (member, canonical, family size) rows — shares q56's sf1.0+ gate
+    // treatment (cc_check's union-find; the SQL recursion is
+    // O(component x edges) on giant-component corpora)
+    "q122_neardup_canonical_pairs" -> minhashOracle(
+      """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(node, label) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+        |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        |SELECT cc.doc_id AS doc_a, cc.cluster_id AS doc_b,
+        |  sz.cluster_size AS family_size
+        |FROM cc JOIN sz USING (cluster_id)
+        |WHERE cc.doc_id <> cc.cluster_id
+        |ORDER BY doc_a NULLS FIRST""".stripMargin,
       extraCtes = true, recursive = true),
     "q71_exact_spans" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -41,7 +41,7 @@ object ScaleSmoke {
     "q77_span_dedup", "q78_ingest_clean", "q79_edit_verify", "q80_bloom_dedup",
     "q82_ann_ivfpq", "q83_hybrid_search", "q84_pii_redact", "q85_domain_census",
     "q86_domain_cap", "q87_quality_rules", "q88_web_curation",
-    "q89_normalized_dedup")
+    "q89_normalized_dedup", "q122_neardup_canonical_pairs")
 
   private def replicate(df: DataFrame, shiftCols: Seq[String],
       tsCol: Option[String] = None): DataFrame =

@@ -256,6 +256,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(canon.toSet == got.map(_._2).toSet)
   }
 
+  test("q122 canonical pairs are exactly q56's non-canonical rows " +
+      "(member, canonical, family size) — k-1 rows per k-member family") {
+    val clusters = DedupQueries.q56DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val expected = clusters.filterNot(_._4)
+      .map { case (doc, cid, size, _) => (doc, cid, size) }.sortBy(_._1)
+    val got = DedupQueries.q122CanonicalPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expected.toSeq)
+    // linear contract: every family of size k contributes exactly k-1 rows
+    val byFamily = clusters.groupBy(_._2)
+    byFamily.foreach { case (cid, members) =>
+      assert(got.count(_._2 == cid) == members.length - 1,
+        s"family $cid: ${members.length} members")
+    }
+    // doc_b is always the family min (the canonical)
+    got.foreach { case (a, b, _) => assert(b < a) }
+  }
+
   test("collapsed minhash (q62) reconciles with pairwise minhash (q23) " +
       "on a duplicated corpus") {
     import spark.implicits._

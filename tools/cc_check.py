@@ -80,6 +80,31 @@ def main(sf_dir, out_dir):
         print(f"q56: {n_bad} mismatches")
         sys.exit(1)
 
+    # q122 = the same components projected to non-canonical
+    # (doc_a, doc_b = canonical, family_size) rows — checked from the same
+    # union-find whenever its dump is present (older dumps lack it)
+    q122_files = glob.glob(f"{out_dir}/q122_neardup_canonical_pairs/*.parquet")
+    if q122_files:
+        got122 = con.execute(
+            f"SELECT * FROM read_parquet({q122_files!r}) ORDER BY doc_a"
+        ).fetchall()
+        exp122 = sorted((m, c, s) for m, (c, s) in expected.items() if m != c)
+        n_bad = 0
+        if len(got122) != len(exp122):
+            print(f"FAIL q122: rows {len(got122)} != {len(exp122)}")
+            n_bad += 1
+        for (ga, gb, gs), (ea, eb, es) in zip(got122, exp122):
+            if (ga, gb, gs) != (ea, eb, es):
+                if n_bad < 5:
+                    print(f"FAIL q122: got ({ga},{gb},{gs}) "
+                          f"expected ({ea},{eb},{es})")
+                n_bad += 1
+        if n_bad == 0:
+            print(f"PASS q122_neardup_canonical_pairs ({len(got122)} rows)")
+        else:
+            print(f"q122: {n_bad} mismatches")
+            sys.exit(1)
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])

@@ -118,8 +118,9 @@ def gate():
             cwd=REPO, check=True, env=env)
         skip = ()
         if sf == "sf1.0":
-            # giant-component corpus: q56 checks via union-find (header note)
-            skip = ("q56_dup_clusters",)
+            # giant-component corpus: q56/q122 check via union-find
+            # (header note) — the recursive-CTE oracle is intractable there
+            skip = ("q56_dup_clusters", "q122_neardup_canonical_pairs")
             print(f"=== {sf}: q56 via cc_check ===", flush=True)
             rc |= subprocess.run(
                 [sys.executable, os.path.join(REPO, "tools/cc_check.py"),
