@@ -30,7 +30,11 @@ object Bench {
     * (ADVICE r11). q101 — whose JOB is to time training — is symmetric and
     * not listed. */
   private val trainVsApplyKeys = Seq(
-    "q104_bpe_encode", "q106_tokenizer_fertility", "q108_token_packing")
+    "q104_bpe_encode", "q106_tokenizer_fertility", "q108_token_packing",
+    // r14 (VERDICT r13 #3): q82 serves from session-cached codebooks + the
+    // encoded corpus (the persisted-index shape) while its DuckDB twin
+    // retrains coarse + PQ codebooks and re-encodes inline every run
+    "q82_ann_ivfpq")
 
   private def trainVsApplyJson: String =
     trainVsApplyKeys.map("\"" + _ + "\"").mkString("[", ",", "]")

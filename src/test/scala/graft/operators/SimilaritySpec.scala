@@ -180,6 +180,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(overlap >= 0.7, s"IVF-PQ overlap with q42 = $overlap")
   }
 
+  test("q82 session caches are pure memoization: cold (cleared) and warm " +
+      "runs are row-identical") {
+    // the r14 serving shape trains codebooks + encodes the corpus once per
+    // (session, dir); this pins that a cache hit is bit-identical to a
+    // cold retrain (the tokenizerFor/BpeSpec discipline)
+    SimilarityQueries.clearPqCodebookCache()
+    SimilarityQueries.clearQuantizedCache()
+    SimilarityQueries.clearEncodedPqCache()
+    val cold = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    val warm = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    SimilarityQueries.clearPqCodebookCache()
+    SimilarityQueries.clearQuantizedCache()
+    SimilarityQueries.clearEncodedPqCache()
+    val cold2 = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(cold == warm, "cache hit must equal the run that filled it")
+    assert(cold == cold2, "retrain after clear must reproduce the result")
+  }
+
   test("PQ codebooks clamp to min(PqK, corpus size); tiny corpora never throw") {
     import spark.implicits._
     // 3 distinct 64-dim vectors, PqK=16: every subspace trains exactly 3
