@@ -32,6 +32,10 @@ object SparkEntry {
       // the straight-line sizing math DuckDB can re-derive; the fixpoint
       // stays rows-only in q21).
       ("q121_kernel_passes" -> (Engine.kernelPassesQuery _)) +
+      // A8 TM fixpoint over the same grid: ORACLE-CHECKED (r14 — the
+      // <=12-iteration loop unrolls into generated CTE stages; only the
+      // data-dependent placement/growth loops stay rows-only in q21).
+      ("q123_tm_fixpoint" -> (Engine.tmFixpointQuery _)) +
       // B5 list pipeline over a deterministic demo run store (rows-only:
       // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
       ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
@@ -66,7 +70,7 @@ object SparkEntry {
       WebCurationQueries.all.map(_._1) ++ LineCurationQueries.all.map(_._1)),
     "graph" -> GraphQueries.all.map(_._1),
     "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list",
-      "q121_kernel_passes"),
+      "q121_kernel_passes", "q123_tm_fixpoint"),
     "multimodal" -> Seq("q38_media_meta", "q98_image_phash",
       "q99_audio_fingerprint", "q103_video_fingerprint"))
 
@@ -79,6 +83,7 @@ object SparkEntry {
       WebCurationQueries.oracle ++ LineCurationQueries.oracle ++
       GraphQueries.oracle +
       ("q121_kernel_passes" -> Engine.kernelPassesOracleSql) +
+      ("q123_tm_fixpoint" -> Engine.tmFixpointOracleSql) +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
       ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
       ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle) +

@@ -237,8 +237,11 @@ object Engine {
     * cast because [[Estimator.perTmCapMb]] truncates (.toInt) while
     * DuckDB's CAST rounds to nearest — they only agreed while the grid
     * kept node memory integral. */
-  def kernelPassesOracleSql: String = {
-    val rows = demoGrid.map { raw =>
+  /** The demo grid inlined as SQL VALUES rows (shared by the q121/q123
+    * generated oracles, built from [[demoGrid]] itself so grid and oracle
+    * cannot drift). */
+  private def demoGridValuesSql: String =
+    demoGrid.map { raw =>
       val in = Validation.applyTshirt(raw)
       s"('${in.project_name}', ${in.messages_per_second}, " +
         s"${in.avg_record_size_bytes}, ${in.num_distinct_keys}, " +
@@ -246,6 +249,9 @@ object Engine {
         s"${in.medium_statements}, ${in.complex_statements}, " +
         s"${in.number_flink_applications}, ${in.worker_node_memory_mb})"
     }.mkString(",\n    ")
+
+  def kernelPassesOracleSql: String = {
+    val rows = demoGridValuesSql
     s"""WITH grid(project_name, mps, rec_bytes, keys, lat, s, m, c, apps, node_mb) AS (VALUES
        |    $rows),
        |d AS (SELECT *,
@@ -275,6 +281,104 @@ object Engine {
        |    + 256.0 * (1.0 + 0.01 * CAST(greatest(1, pipe_raw) AS DOUBLE))
        |    ) AS BIGINT)) AS BIGINT) AS buffer_mb_1tm
        |FROM d ORDER BY project_name NULLS FIRST""".stripMargin
+  }
+
+  /** q123 output row — the kernel's A8 TM fixpoint over the demo grid. */
+  final case class TmFixpoint(
+      project_name: String,
+      nb_tm_state: Long,
+      nb_tm_cpu: Long,
+      tm_mem_mb: Long,
+      tm_count: Long,
+  )
+
+  /** Q123 — the per-TM-memory / TM-count FIXPOINT (kernel pass A8, the
+    * loop q121 left rows-only) over the demo grid, oracle-checked: the
+    * fixpoint's inputs are closed-form per row (see
+    * [[Estimator.tmFixpointPass]]) and the ≤12-iteration loop unrolls into
+    * 12 generated CTE stages (the q95/q101/q120 loop-generation
+    * discipline) — iterating past convergence is stationary, so the
+    * unrolled 12th stage IS the loop's return value on both engines. The
+    * published taskmanagers.memory_mb_each / count equal (tm_mem_mb,
+    * tm_count) whenever the orchestrator succeeds (KernelFixpointSpec pins
+    * that identity row-for-row); only the greedy placement / node-growth
+    * loops — whose iteration counts are data-dependent and whose state is
+    * a mutable per-node vector — remain oracle-invisible in q21. */
+  def tmFixpointQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(demoGrid).map { raw =>
+      val (nbTmState, nbTmCpu, p, n) = Estimator.tmFixpointPass(raw)
+      TmFixpoint(Validation.applyTshirt(raw).project_name,
+        nbTmState.toLong, nbTmCpu.toLong, p.toLong, n.toLong)
+    }.toDF().orderBy(col("project_name"))
+  }
+
+  /** The q123 oracle: grid VALUES (shared with q121), the closed-form
+    * fixpoint inputs, then 12 unrolled iteration CTEs mirroring
+    * [[Estimator.resolveTmProcessMemoryMb]] term-for-term (each double
+    * expression written in the kernel's evaluation order so IEEE results
+    * are bit-identical; the q121 width pins — HUGEINT state product,
+    * floor(node_mb) cap — carry over). */
+  def tmFixpointOracleSql: String = {
+    val rows = demoGridValuesSql
+    // one iteration: buffer from n, then p' = clamp(state/buffer), then
+    // n' = max(ceil(state/p'), nbTmCpu); stationary once converged
+    def iter(k: Int): String =
+      s"""it$k AS (
+         |  SELECT *, greatest(greatest(1, CAST(ceiling(greatest(4096.0, raw)
+         |      / CAST(p AS DOUBLE)) AS BIGINT)), nb_tm_cpu) AS n
+         |  FROM (
+         |    SELECT project_name, thr, rec_scale, pressure, lat_capped, extra,
+         |      raw, per_tm_state, cap, nb_tm_state, nb_tm_cpu,
+         |      least(greatest(4096, per_tm_state, buf), cap) AS p
+         |    FROM (SELECT *,
+         |        greatest(0, CAST(ceiling(
+         |          thr / greatest(1, n) * 1.4 * rec_scale * pressure
+         |          + 0.4 * (thr * lat_capped / greatest(1, n))
+         |          + extra) AS BIGINT)) AS buf
+         |      FROM it${k - 1}) b))""".stripMargin
+    s"""WITH grid(project_name, mps, rec_bytes, keys, lat, s, m, c, apps, node_mb) AS (VALUES
+       |    $rows),
+       |d AS (SELECT *,
+       |    CAST(mps AS DOUBLE) * rec_bytes / (1024.0 * 1024.0) AS thr,
+       |    CASE WHEN lat <= 0.5 THEN 0.32 WHEN lat <= 1.0 THEN 0.35
+       |         WHEN lat < 5.0 THEN 0.38 ELSE 0.4 END AS mm_pct,
+       |    CAST(s + m + c AS BIGINT) * apps AS pipe_raw,
+       |    CASE WHEN keys <= 10000000 THEN 1 WHEN keys <= 100000000 THEN 2
+       |         ELSE 4 END AS jm_cpu
+       |  FROM grid),
+       |base AS (SELECT *,
+       |    ceiling(CAST(CAST(keys AS HUGEINT) * (m + c) * apps * rec_bytes AS DOUBLE)
+       |      / 1048576.0) / mm_pct AS raw,
+       |    least(65536, greatest(CAST(floor(node_mb) AS BIGINT) - 512, 4096)) AS cap,
+       |    CASE WHEN lat <= 0.5 THEN 1.5 WHEN lat <= 1.0 THEN 1.2
+       |         WHEN lat < 5.0 THEN 1.1 ELSE 1.0 END AS cpu_factor,
+       |    1.0 + 0.02 * least(greatest(100, rec_bytes) / 1024.0, 64.0) AS rec_scale,
+       |    CASE WHEN lat <= 0.5 THEN 2.0 WHEN lat <= 1.0 THEN 1.5
+       |         WHEN lat < 5.0 THEN 1.15 ELSE 1.0 END AS pressure,
+       |    least(greatest(lat, 0.01), 30.0) AS lat_capped,
+       |    256.0 * (1.0 + 0.01 * CAST(greatest(1, CAST(s + m + c AS BIGINT) * apps) AS DOUBLE)) AS extra
+       |  FROM d),
+       |b2 AS (SELECT *,
+       |    greatest(1, CAST(ceiling(greatest(4096.0, raw) / 4096.0) AS BIGINT)) AS nb_tm_state,
+       |    CAST(ceiling((least(4.0, thr / (24000.0 * rec_bytes / (1024.0 * 1024.0))) * s
+       |                + least(4.0, thr / (11000.0 * rec_bytes / (1024.0 * 1024.0))) * m
+       |                + least(4.0, thr / (2500.0 * rec_bytes / (1024.0 * 1024.0))) * c)
+       |         * cpu_factor + jm_cpu) AS BIGINT) * apps AS total_cpu
+       |  FROM base),
+       |b3 AS (SELECT *,
+       |    CAST(ceiling(CAST(total_cpu - jm_cpu AS DOUBLE) / 4.0) AS BIGINT) AS nb_tm_cpu,
+       |    CAST(ceiling(greatest(4096.0, raw) / nb_tm_state) AS BIGINT) AS per_tm_state
+       |  FROM b2),
+       |it0 AS (SELECT project_name, thr, rec_scale, pressure, lat_capped, extra,
+       |    raw, per_tm_state, cap, nb_tm_state, nb_tm_cpu,
+       |    CAST(4096 AS BIGINT) AS p,
+       |    greatest(nb_tm_state, nb_tm_cpu) AS n
+       |  FROM b3),
+       |${(1 to 12).map(iter).mkString(",\n")}
+       |SELECT project_name, nb_tm_state, nb_tm_cpu,
+       |  CAST(p AS BIGINT) AS tm_mem_mb, CAST(n AS BIGINT) AS tm_count
+       |FROM it12 ORDER BY project_name NULLS FIRST""".stripMargin
   }
 
   /** SparkEntry.queries entry: run the demo grid sweep and flatten headline

@@ -408,6 +408,30 @@ object Estimator {
     assessTaskmanagerBasedOnThroughput(ctx.in.total_throughput_mb_per_sec, ctx, jmCpu)
   }
 
+  /** A8 exposed for the oracle-checked catalog entry (q123): the per-TM
+    * memory / TM-count fixpoint together with its closed-form inputs. The
+    * fixpoint never reads placement state — rawFlink, nbTmState and
+    * nbTmCpu are pure arithmetic of the validated input row (placement and
+    * node growth, the only passes that can error or mutate the node count,
+    * feed nothing here; quirk Q4's ordering matters to NODE counts, not TM
+    * counts) — so it is well-defined for every scenario, including ones
+    * whose placement later rejects. Returns (nbTmState, nbTmCpu,
+    * tmProcessMemoryMb, nbTaskManagers); the published
+    * taskmanagers.memory_mb_each/count equal the last two whenever the
+    * orchestrator succeeds (round-half-even of p*n/n is p exactly). */
+  private[graft] def tmFixpointPass(inputRaw: EstimationInput): (Int, Int, Int, Int) = {
+    val in = Validation.applyTshirt(inputRaw)
+    val ctx = new Ctx(in)
+    val thr = in.total_throughput_mb_per_sec
+    val (jmCpu, _) = assessJobmanagerSize(in.num_distinct_keys)
+    val raw = stateFlinkProcessMemoryMb(in)
+    val nbTmState = math.max(1,
+      ceilToInt(math.max(TmMemMb.toDouble, raw) / TmMemMb, "state TM count"))
+    val (nbTmCpu, _, _) = assessTaskmanagerBasedOnThroughput(thr, ctx, jmCpu)
+    val (p, n) = resolveTmProcessMemoryMb(ctx, thr, raw, nbTmState, nbTmCpu)
+    (nbTmState, nbTmCpu, p, n)
+  }
+
   private[graft] def freeMemPerNode(in: EstimationInput, jmMemory: Int): (Array[Double], Double) =
     assessFreeMemPerNode(new Ctx(Validation.applyTshirt(in)), jmMemory)
 }

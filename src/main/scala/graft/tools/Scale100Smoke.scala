@@ -79,6 +79,20 @@ object Scale100Smoke {
     race("q104_bpe_encode")(d => mat(TextQueries.q104BpeEncode(spark, d)))
     race("q109_bigram_lm")(d => mat(TextQueries.q109BigramLm(spark, d)))
     race("q116_domain_mixture")(d => mat(TextQueries.q116DomainMixture(spark, d)))
+    // learned-gate family (r14, VERDICT r13 #6): the LM-census scoring
+    // joins (per-occurrence LEFT joins on Zipf-headed gram keys) are the
+    // likeliest super-linear surprise after the pair-list contracts — the
+    // r13 smoke covered dedup/ANN/pipelines but none of these
+    race("q112_trigram_lm")(d => mat(TextQueries.q112TrigramLm(spark, d)))
+    race("q102_quality_classifier")(d =>
+      mat(WebCurationQueries.q102QualityClassifier(spark, d)))
+    race("q115_dsir_weights")(d =>
+      mat(WebCurationQueries.q115DsirWeights(spark, d)))
+    race("q118_dsir_resample")(d =>
+      mat(WebCurationQueries.q118DsirResample(spark, d)))
+    // the r14 scale-safe pair contract (VERDICT r13 #4 'done' bar: <= ~7x)
+    race("q122_canonical_pairs")(d =>
+      mat(DedupQueries.q122CanonicalPairs(spark, d)))
 
     // band-index lifecycle: build on the standing corpus, probe the
     // IncrMod arrival batch against it (the q74 split)
