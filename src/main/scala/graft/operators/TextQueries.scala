@@ -1436,6 +1436,59 @@ object TextQueries {
       .orderBy(col("round").asc, col("source").asc)
   }
 
+  /** Q124 — DoReMi iteration with PER-ROUND EXCESS REFRESH (r14, VERDICT
+    * r13 #9): where q120 iterates the exponentiated-gradient update over
+    * q116's FROZEN excess (each domain's gap to the one-shot minimum),
+    * this entry re-derives the excess EVERY round against the MOVING
+    * mixture baseline — b_t = the α_{t−1}-weighted mean of the per-domain
+    * fixed-point entropies, excess_t(d) = max(0, h_fix(d) − b_t) — so the
+    * loss signal responds to the weights exactly the way DoReMi's
+    * re-measured proxy loss does between rounds. Honest framing carried
+    * over from q120: full DoReMi RETRAINS the proxy on the new mixture
+    * each round; retraining is model fitting and out of SQL's (and a
+    * census engine's) reach, so the refresh uses the fixed per-domain
+    * entropies re-baselined by the current mixture — the
+    * bounded-arithmetic stand-in that closes the "static losses" half of
+    * the stated gap while the proxy-retrain half remains stated. Domains
+    * below the mixture baseline clamp to zero excess BEFORE the integer
+    * divide (negative DIV truncates toward zero on Spark but floors in
+    * DuckDB's `//`; the clamp keeps every divide nonnegative so both
+    * engines agree bit-for-bit). Same scale shape as q120: the census
+    * chain runs once distributed, the |domains|-row seed collects, and
+    * the [[DoremiRounds]] integer rounds run driver-side. Output adds
+    * excess_milli per (source, round) — the refreshed signal the update
+    * consumed — so the oracle checks the baseline arithmetic too. */
+  def q124DoremiRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = domainExcess(spark, dir)
+      .select(col("source"), col("h_fix"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nDom = ex.length
+    val hist = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
+    var w = ex.map { case (s, _) => s -> (if (nDom == 0) 0L else 1000000L / nDom) }.toMap
+    ex.foreach { case (s, _) => hist += ((s, 0, w(s), 0L)) }
+    for (t <- 1 to DoremiRounds) {
+      val sumW = ex.map { case (s, _) => w(s) }.sum
+      // sumW = 0 only past ~1e6 domains (the q120 zero-total contract):
+      // hold the weights and emit zero excess rather than divide by zero
+      if (sumW > 0L) {
+        val b = ex.map { case (s, h) => w(s) * h }.sum / sumW
+        val em = ex.map { case (s, h) =>
+          s -> math.max(0L, h - b) / 1000000L
+        }.toMap
+        val m = ex.map { case (s, _) => s -> w(s) * (DoremiEtaScale + em(s)) }.toMap
+        val tot = m.values.sum
+        if (tot > 0L) w = ex.map { case (s, _) => s -> m(s) * 1000000L / tot }.toMap
+        ex.foreach { case (s, _) => hist += ((s, t, w(s), em(s))) }
+      } else ex.foreach { case (s, _) => hist += ((s, t, w(s), 0L)) }
+    }
+    hist.toSeq.toDF("source", "round", "weight_ppm", "excess_milli")
+      .select(col("source"), col("round").cast("int").as("round"),
+        col("weight_ppm").cast("long").as("weight_ppm"),
+        col("excess_milli").cast("long").as("excess_milli"))
+      .orderBy(col("round").asc, col("source").asc)
+  }
+
   // ---- Q112: trigram Stupid-Backoff LM scoring ----
 
   /** Q112 — TRIGRAM Stupid Backoff (Brants et al. 2007, the full backoff
@@ -1603,6 +1656,7 @@ object TextQueries {
     "q112_trigram_lm" -> (q112TrigramLm _),
     "q116_domain_mixture" -> (q116DomainMixture _),
     "q120_doremi_iterate" -> (q120DoremiIterate _),
+    "q124_doremi_refresh" -> (q124DoremiRefresh _),
   )
 
   /** The bigram-LM oracle's training prefix (tokenize → curated slice →
@@ -1677,6 +1731,38 @@ object TextQueries {
        |SELECT * FROM ($unions) ORDER BY round, source NULLS FIRST""".stripMargin
   }
 
+  /** The q124 oracle: the q120 chain with the excess RE-DERIVED each round
+    * against the weighted mixture baseline (b_t, then clamp-before-divide)
+    * — four MATERIALIZED CTEs per round (b/e/m/w; same exponential-
+    * re-evaluation lesson as q120's scaladoc), generated by the same Scala
+    * loop that drives the engine. */
+  private def doremiRefreshOracleSql: String = {
+    val rounds = (1 to DoremiRounds).map { t =>
+      val p = t - 1
+      s"""b$t AS MATERIALIZED (SELECT (SELECT SUM(w * h_fix) FROM w$p)
+         |       // (SELECT SUM(w) FROM w$p) AS b),
+         |e$t AS MATERIALIZED (SELECT source, h_fix, w,
+         |       greatest(0, h_fix - (SELECT b FROM b$t)) // 1000000 AS em FROM w$p),
+         |m$t AS MATERIALIZED (SELECT source, h_fix, em,
+         |       w * ($DoremiEtaScale + em) AS m FROM e$t),
+         |w$t AS MATERIALIZED (SELECT source, h_fix, em,
+         |       m * 1000000 // (SELECT SUM(m) FROM m$t) AS w FROM m$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to DoremiRounds).map { t =>
+      s"SELECT source, CAST($t AS INT) AS round, CAST(w AS BIGINT) AS weight_ppm, " +
+        s"CAST(em AS BIGINT) AS excess_milli FROM w$t"
+    }.mkString(" UNION ALL ")
+    s"""WITH $domainExcessOracleCtes,
+       |w0 AS MATERIALIZED (SELECT source, h_fix,
+       |       1000000 // (SELECT n_dom FROM mn) AS w FROM ex),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT source, CAST(0 AS INT) AS round, CAST(w AS BIGINT) AS weight_ppm,
+       |    CAST(0 AS BIGINT) AS excess_milli FROM w0
+       |  UNION ALL $unions)
+       |ORDER BY round, source NULLS FIRST""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q101_bpe_train" -> bpeOracleSql(BpeRounds),
     "q104_bpe_encode" -> bpeApplyOracleSql(BpeRounds),
@@ -1700,6 +1786,7 @@ object TextQueries {
         |  CAST(CASE WHEN sx = 0 THEN 0 ELSE excess_nano * 1000 // sx END AS BIGINT) AS weight_permille
         |FROM ex ORDER BY source NULLS FIRST""".stripMargin,
     "q120_doremi_iterate" -> doremiOracleSql,
+    "q124_doremi_refresh" -> doremiRefreshOracleSql,
     "q112_trigram_lm" ->
       """WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents WHERE text IS NOT NULL),

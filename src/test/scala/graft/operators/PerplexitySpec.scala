@@ -267,4 +267,45 @@ class PerplexitySpec extends AnyFunSuite with SparkTestSession {
     (0 to TextQueries.DoremiRounds).foreach(t =>
       assert(byRound(t).values.sum <= 1000000L))
   }
+
+  test("q124 refreshed DoReMi matches a plain-Scala recomputation from the " +
+      "engine's own h_fix; the moving baseline reacts to the weights") {
+    val hfix = TextQueries.domainExcess(spark, "/root/testdata/sf0.001")
+      .select("source", "h_fix")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcs = hfix.keys.toSeq.sorted
+    var w = srcs.map(s => s -> 1000000L / srcs.length).toMap
+    val expected = scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long)]()
+    srcs.foreach(s => expected += ((s, 0, w(s), 0L)))
+    val baselines = scala.collection.mutable.ArrayBuffer[Long]()
+    for (t <- 1 to TextQueries.DoremiRounds) {
+      val sumW = srcs.map(w).sum
+      val b = srcs.map(s => w(s) * hfix(s)).sum / sumW
+      baselines += b
+      val em = srcs.map(s => s -> math.max(0L, hfix(s) - b) / 1000000L).toMap
+      val m = srcs.map(s => s -> w(s) * (TextQueries.DoremiEtaScale + em(s))).toMap
+      val tot = m.values.sum
+      w = srcs.map(s => s -> m(s) * 1000000L / tot).toMap
+      srcs.foreach(s => expected += ((s, t, w(s), em(s))))
+    }
+    val got = TextQueries.q124DoremiRefresh(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected.sortBy(p => (p._2, p._1)).toSeq)
+    // the refresh is REAL: as weight concentrates on high-entropy domains,
+    // the weighted baseline rises monotonically, so the hottest domain's
+    // refreshed excess shrinks round over round — the Group-DRO
+    // self-limiting dynamic the frozen-excess q120 cannot show
+    assert(baselines.toSeq == baselines.sorted.toSeq,
+      s"baseline must rise as weight moves to hot domains: $baselines")
+    val hot = hfix.maxBy(_._2)._1
+    val hotEm = (1 to TextQueries.DoremiRounds)
+      .map(t => got.find(r => r._1 == hot && r._2 == t).get._4)
+    assert(hotEm.zip(hotEm.tail).forall { case (a, b) => b <= a },
+      s"hot-domain refreshed excess must not rise: $hotEm")
+    // budget discipline carried over
+    val byRound = got.groupBy(_._2)
+    (0 to TextQueries.DoremiRounds).foreach(t =>
+      assert(byRound(t).map(_._3).sum <= 1000000L))
+  }
 }
