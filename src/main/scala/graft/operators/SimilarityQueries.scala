@@ -59,7 +59,12 @@ object SimilarityQueries {
     * copy per (session, corpus) serves them all. Pinned so the bench's
     * between-queries unpersist sweep cannot destroy the localCheckpoint's
     * only copy (see Materialize.materializePinned). Single-shot callers
-    * (index builders, one-off audits) stay on plain materialize. */
+    * (index builders, one-off audits) stay on plain materialize. The
+    * checkpoint MODE (local vs reliable) is fixed at cache-fill time: a
+    * session that flips `spark.graft.checkpointDir` mid-flight keeps
+    * serving the frame it filled — clear via [[clearQuantizedCache]] to
+    * re-materialize under the new mode (MaterializeSpec does exactly
+    * this). */
   private val quantizedCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 

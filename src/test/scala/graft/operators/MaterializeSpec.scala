@@ -45,7 +45,15 @@ class MaterializeSpec extends AnyFunSuite with SparkTestSession {
   // the signature-table / IVF / CC cases below
 
   test("IVF quantized frame checkpoints reliably (q42)") {
-    assertReliableParity("q42")(() => SimilarityQueries.q42IvfAnn(spark, dir))
+    // the quantized frame memoizes per (session, dir) since r14 — clear it
+    // so BOTH legs materialize fresh under their own checkpoint mode (a
+    // warm cache would serve the default-mode localCheckpoint and write
+    // nothing reliable; mode is fixed at cache-fill time by design)
+    SimilarityQueries.clearQuantizedCache()
+    try assertReliableParity("q42") { () =>
+      SimilarityQueries.clearQuantizedCache()
+      SimilarityQueries.q42IvfAnn(spark, dir)
+    } finally SimilarityQueries.clearQuantizedCache()
   }
 
   test("legacy cc conf key still switches the shared helper") {
