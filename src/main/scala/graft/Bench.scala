@@ -108,28 +108,43 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** Structured paired-baseline numbers: the rendered full-artifact JSON
+    * fragment plus the headline totals/ratios the compact stdout summary
+    * needs (the driver's tail capture is ~2 KB, so the LAST stdout line
+    * must stay under ~1 KB — VERDICT r14 #1). */
+  private[graft] case class Paired(fragment: String, sparkTotal: Double,
+      duckTotal: Double, n: Int, ratio: Double,
+      ratioExNaive: Option[Double], ratioExTva: Option[Double])
+
   /** Render the paired-baseline JSON fields from the Spark per-query
     * minima + the DuckDB twin run — shared by the forked and same-JVM
-    * paths. Carries BOTH the full paired ratio and the ex-naive ratio
-    * (declared-naive baselines excluded on BOTH sides), so cross-round
-    * reads can quote whichever matches their question without re-deriving
-    * (VERDICT r12 #3: q20 alone is ~28x and poisons the full ratio). */
-  private def pairedFieldsJson(results: Seq[(String, Double)], sfDir: String): Option[String] =
+    * paths. Carries the full paired ratio, the ex-naive ratio
+    * (declared-naive baselines excluded on BOTH sides; VERDICT r12 #3:
+    * q20 alone is ~28x and poisons the full ratio), and the ex-tva ratio
+    * (train-vs-apply-asymmetric entries excluded: their Spark side serves
+    * from session caches while the DuckDB twin retrains inline, so the
+    * pair is structurally not like-for-like — ADVICE r14). */
+  private def pairedFields(results: Seq[(String, Double)], sfDir: String): Option[Paired] =
     pairedDuckdb(sfDir).map { case (duckTotal, n, duckQueries) =>
       val pairedKeys: String => Boolean =
         if (duckQueries.nonEmpty) duckQueries.map(_._1).toSet
         else SparkEntry.oracleSql.keySet
       val sparkOracleTotal = results
         .filter { case (k, _) => pairedKeys(k) }.map(_._2).sum
-      val naive = declaredNaiveKeys.toSet
-      val sparkExNaive = results
-        .filter { case (k, _) => pairedKeys(k) && !naive(k) }.map(_._2).sum
-      val duckExNaive = duckQueries
-        .filter { case (k, _) => !naive(k) }.map(_._2).sum
-      val exNaive =
-        if (duckQueries.nonEmpty && duckExNaive > 0)
-          f""","spark_oracle_total_ex_naive":$sparkExNaive%.4f,"duckdb_total_ex_naive":$duckExNaive%.4f,"ratio_ex_naive":${sparkExNaive / duckExNaive}%.3f"""
-        else ""
+      def exRatio(excluded: Set[String]): Option[(Double, Double)] = {
+        val s = results
+          .filter { case (k, _) => pairedKeys(k) && !excluded(k) }.map(_._2).sum
+        val d = duckQueries.filter { case (k, _) => !excluded(k) }.map(_._2).sum
+        if (duckQueries.nonEmpty && d > 0) Some((s, d)) else None
+      }
+      val exNaivePair = exRatio(declaredNaiveKeys.toSet)
+      val exTvaPair = exRatio(trainVsApplyKeys.toSet)
+      val exNaive = exNaivePair.map { case (s, d) =>
+        f""","spark_oracle_total_ex_naive":$s%.4f,"duckdb_total_ex_naive":$d%.4f,"ratio_ex_naive":${s / d}%.3f"""
+      }.getOrElse("")
+      val exTva = exTvaPair.map { case (s, d) =>
+        f""","ratio_ex_tva":${s / d}%.3f"""
+      }.getOrElse("")
       val sparkByName = results.toMap
       val duckJson = duckQueries
         .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
@@ -140,8 +155,42 @@ object Bench {
         .flatMap { case (k, d) =>
           sparkByName.get(k).filter(_ => d > 0).map(s => "\"" + k + f"\":${s / d}%.3f")
         }.mkString("{", ",", "}")
-      f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f$exNaive,"duckdb_queries":$duckJson,"ratios":$ratiosJson"""
+      Paired(
+        f""","spark_oracle_total":$sparkOracleTotal%.4f,"duckdb_total":$duckTotal%.4f,"duckdb_n":$n,"ratio":${sparkOracleTotal / duckTotal}%.3f$exNaive$exTva,"duckdb_queries":$duckJson,"ratios":$ratiosJson""",
+        sparkOracleTotal, duckTotal, n, sparkOracleTotal / duckTotal,
+        exNaivePair.map { case (s, d) => s / d },
+        exTvaPair.map { case (s, d) => s / d })
     }
+
+  /** The LAST stdout line of a full bench run: a compact (<1 KB) summary
+    * the driver's ~2 KB tail capture can always hold. Five consecutive
+    * rounds of `parsed: null` traced to the full per-query line (~3.5 KB
+    * at 124 entries) being truncated mid-`ratios` (VERDICT r14 #1). The
+    * full detail line still goes to stdout FIRST (forked children and dev
+    * flows parse it) and to target/bench.json (the committed artifact);
+    * only this summary is guaranteed to be the final line. */
+  private[graft] def compactSummary(results: Seq[(String, Double)],
+      failed: Iterable[String], sf: String, loadBefore: Double,
+      loadAfter: Double, forked: Boolean, paired: Option[Paired]): String = {
+    val total = results.map(_._2).sum
+    // a handful of stable headline entries so the line still carries a
+    // non-empty queries map (the driver's documented shape) without the
+    // 124-entry payload that broke the tail capture
+    val headlineKeys = Seq("q01_scan_count", "q09_hash_agg", "q12_topk_per_group",
+      "q22_dedup_exact_hash", "q23_dedup_minhash_lsh", "q27_ann_lsh")
+    val byName = results.toMap
+    val qs = headlineKeys.flatMap(k => byName.get(k).map(v => "\"" + k + f"\":$v%.4f"))
+      .mkString("{", ",", "}")
+    // bound the failed list: a disaster run must not re-inflate the line
+    val failedSeq = failed.toSeq
+    val failedJson = failedSeq.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val pairedPart = paired.map { p =>
+      val exN = p.ratioExNaive.map(r => f""","ratio_ex_naive":$r%.3f""").getOrElse("")
+      val exT = p.ratioExTva.map(r => f""","ratio_ex_tva":$r%.3f""").getOrElse("")
+      f""","spark_oracle_total":${p.sparkTotal}%.4f,"duckdb_total":${p.duckTotal}%.4f,"duckdb_n":${p.n},"ratio":${p.ratio}%.3f$exN$exT"""
+    }.getOrElse("")
+    f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sf","n":${results.size},"queries":$qs,"failed":$failedJson,"failed_n":${failedSeq.size},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"forked":$forked$pairedPart,"detail":"target/bench.json"}"""
+  }
 
   private def loadavg(): Double =
     try java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -221,14 +270,18 @@ object Bench {
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sf = sfDir.split('/').last.stripPrefix("sf")
-    val paired = pairedFieldsJson(results, sfDir)
+    val paired = pairedFields(results, sfDir)
+    val loadAfter = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":${loadavg()}%.2f,"passes":3,"forked":true,"families":${SparkEntry.families.size},"train_vs_apply":$trainVsApplyJson,"declared_naive":$declaredNaiveJson${paired.getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"forked":true,"families":${SparkEntry.families.size},"train_vs_apply":$trainVsApplyJson,"declared_naive":$declaredNaiveJson${paired.map(_.fragment).getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), json + "\n")
     } catch { case _: Throwable => () }
+    // LAST line: compact summary under the driver's tail-capture budget
+    println(compactSummary(results, failed, sf, loadBefore, loadAfter,
+      forked = true, paired))
   }
 
   def main(args: Array[String]): Unit = {
@@ -329,15 +382,22 @@ object Bench {
     // per-query map could not be parsed (inside pairedFieldsJson)
     val paired =
       if (only.isDefined) None
-      else pairedFieldsJson(results, sfDir)
+      else pairedFields(results, sfDir)
     val loadAfter = loadavg()
     val json =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"train_vs_apply":$trainVsApplyJson,"declared_naive":$declaredNaiveJson${paired.getOrElse("")}}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sf","failed":$failedJson,"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"train_vs_apply":$trainVsApplyJson,"declared_naive":$declaredNaiveJson${paired.map(_.fragment).getOrElse("")}}"""
     println(json)
     try {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), json + "\n")
     } catch { case _: Throwable => () }
+    // LAST stdout line: compact summary under the driver's ~2 KB tail
+    // capture. Dev runs (SPARK_GRAFT_ONLY set, including forked children)
+    // skip it — their full line is already small, and the forked parent
+    // regex takes the FIRST "queries" match, which must stay the full map.
+    if (only.isEmpty)
+      println(compactSummary(results, failed, sf, loadBefore, loadAfter,
+        forked = false, paired))
     spark.stop()
   }
 }

@@ -225,18 +225,6 @@ object Engine {
     }.toDF().orderBy(col("project_name"))
   }
 
-  /** The q121 oracle: the SAME demo grid inlined as a VALUES table
-    * (generated from [[demoGrid]] itself — the BPE CTE-generation
-    * discipline, so grid and oracle cannot drift), then each non-loop
-    * pass re-derived in SQL with the kernel's exact expression shapes.
-    * Width pins (the two places DuckDB's defaults diverge from the
-    * kernel's arithmetic): the state byte product runs through HUGEINT
-    * because the kernel computes keys*(m+c)*apps*rec_bytes in BigInt —
-    * a BIGINT product would overflow/raise on grids near 2^63 where the
-    * kernel succeeds; and per_tm_cap_mb floors node_mb before the BIGINT
-    * cast because [[Estimator.perTmCapMb]] truncates (.toInt) while
-    * DuckDB's CAST rounds to nearest — they only agreed while the grid
-    * kept node memory integral. */
   /** The demo grid inlined as SQL VALUES rows (shared by the q121/q123
     * generated oracles, built from [[demoGrid]] itself so grid and oracle
     * cannot drift). */
@@ -250,6 +238,18 @@ object Engine {
         s"${in.number_flink_applications}, ${in.worker_node_memory_mb})"
     }.mkString(",\n    ")
 
+  /** The q121 oracle: the SAME demo grid inlined as a VALUES table
+    * (generated from [[demoGrid]] itself — the BPE CTE-generation
+    * discipline, so grid and oracle cannot drift), then each non-loop
+    * pass re-derived in SQL with the kernel's exact expression shapes.
+    * Width pins (the two places DuckDB's defaults diverge from the
+    * kernel's arithmetic): the state byte product runs through HUGEINT
+    * because the kernel computes keys*(m+c)*apps*rec_bytes in BigInt —
+    * a BIGINT product would overflow/raise on grids near 2^63 where the
+    * kernel succeeds; and per_tm_cap_mb floors node_mb before the BIGINT
+    * cast because [[Estimator.perTmCapMb]] truncates (.toInt) while
+    * DuckDB's CAST rounds to nearest — they only agreed while the grid
+    * kept node memory integral. */
   def kernelPassesOracleSql: String = {
     val rows = demoGridValuesSql
     s"""WITH grid(project_name, mps, rec_bytes, keys, lat, s, m, c, apps, node_mb) AS (VALUES

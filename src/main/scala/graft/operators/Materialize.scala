@@ -69,6 +69,20 @@ object Materialize {
   /** True if sweep-style cleanup must leave this RDD persisted. */
   def isPinned(id: Int): Boolean = pinnedIds.contains(id)
 
+  /** Release a frame produced by [[materializePinned]]: unpin its RDD ids
+    * and drop the checkpoint blocks (non-blocking). For cache EVICTION
+    * (ADVICE r14: an in-place corpus rewrite must be able to invalidate a
+    * pinned (session, dir) frame without leaking its blocks). Callers own
+    * the invariant that no live consumer still needs the frame — a
+    * localCheckpoint's only copy dies here. */
+  def releasePinned(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        pinnedIds.remove(l.rdd.id)
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Eagerly materialize `df`, truncating lineage. Reliable when a
     * checkpoint dir is configured, executor-local otherwise. */
   def materialize(df: DataFrame): DataFrame =

@@ -771,18 +771,35 @@ object SimilarityQueries {
     * driver-side arrays — nothing session-bound, so the bench's
     * unpersist sweep cannot invalidate it. The production analog is
     * [[buildPqIndex]]'s persisted codebooks; this cache is the in-session
-    * equivalent for catalog entries that serve repeatedly. */
+    * equivalent for catalog entries that serve repeatedly. Keyed by
+    * (session, dir) like the quantized/encoded caches (ADVICE r14: a
+    * dir-only key outlived the session and served cross-session). */
   private val trainedPqCodebooks = scala.collection.concurrent.TrieMap
-    .empty[String, (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]])]
+    .empty[(SparkSession, String), (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]])]
 
   private def pqCodebooksFor(dir: String, emb: DataFrame)
       : (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]]) =
-    trainedPqCodebooks.getOrElseUpdate(dir,
+    trainedPqCodebooks.getOrElseUpdate((emb.sparkSession, dir),
       (trainCodebook(emb, IvfCells, 1), trainPqCodebooks(emb)))
 
   /** Test hook: drop cached codebooks (the parity spec trains twice and
     * asserts the memoization is pure). */
   private[graft] def clearPqCodebookCache(): Unit = trainedPqCodebooks.clear()
+
+  /** Public invalidation path (ADVICE r14): after an in-place rewrite of a
+    * corpus dir, drop every (session, dir) cache — the pinned quantized
+    * frame, the encoded-PQ corpus, the trained codebooks — and release the
+    * pinned checkpoint blocks, so the next call re-derives from the new
+    * parquet instead of silently serving stale encodings. Also the
+    * session-teardown hook: calling it for each dir a stopped session
+    * touched frees the retained DataFrame references (the caches have no
+    * automatic eviction — deliberate, a TrieMap of ≤ a few corpus dirs —
+    * but "no eviction" must not mean "no eviction POSSIBLE"). */
+  def invalidateCorpus(spark: SparkSession, dir: String): Unit = {
+    quantizedCache.remove((spark, dir)).foreach(Materialize.releasePinned)
+    encodedPqCache.remove((spark, dir)).foreach(Materialize.releasePinned)
+    trainedPqCodebooks.remove((spark, dir))
+  }
 
   private def emptyPqResult(spark: SparkSession): DataFrame = {
     import spark.implicits._

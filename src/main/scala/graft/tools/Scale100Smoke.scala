@@ -91,7 +91,7 @@ object Scale100Smoke {
     race("q118_dsir_resample")(d =>
       mat(WebCurationQueries.q118DsirResample(spark, d)))
     // the r14 scale-safe pair contract (VERDICT r13 #4 'done' bar: <= ~7x)
-    race("q122_canonical_pairs")(d =>
+    race("q122_neardup_canonical_pairs")(d =>
       mat(DedupQueries.q122CanonicalPairs(spark, d)))
 
     // band-index lifecycle: build on the standing corpus, probe the

@@ -201,6 +201,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(cold == cold2, "retrain after clear must reproduce the result")
   }
 
+  test("invalidateCorpus evicts the (session, dir) caches and the next call " +
+      "re-derives cleanly") {
+    // ADVICE r14: the caches had clear-all test hooks but no public
+    // per-corpus invalidation — an in-place rewrite of a corpus dir would
+    // silently serve stale codebooks/encodings. This pins the eviction
+    // path end-to-end: warm → invalidate (releases the pinned checkpoint
+    // blocks) → rerun must recompute from parquet and reproduce the result,
+    // not die on a released block or serve a dangling frame.
+    val warm = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    SimilarityQueries.invalidateCorpus(spark, dir)
+    val rederived = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(warm == rederived, "post-invalidation rerun must reproduce")
+    // scoped: invalidating a dir this session never touched is a no-op
+    SimilarityQueries.invalidateCorpus(spark, "/nonexistent/dir")
+    val still = SimilarityQueries.q82IvfPqAnn(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(still == warm)
+  }
+
   test("PQ codebooks clamp to min(PqK, corpus size); tiny corpora never throw") {
     import spark.implicits._
     // 3 distinct 64-dim vectors, PqK=16: every subspace trains exactly 3
