@@ -864,6 +864,141 @@ object WebCurationQueries {
           .as("logw_nats"),
         (col("logw_sum") >= 0L).as("keep"))
 
+  // ---- Q125: DoReMi PROXY RETRAIN (per-round α-weighted census LM) ----
+
+  /** Q125 — DoReMi iteration with PER-ROUND PROXY RETRAIN (r15, VERDICT
+    * r14 #3): closes the stated q120/q124 gap. Where q124 re-baselines a
+    * FROZEN per-domain loss against the moving mixture, this entry
+    * retrains the proxy MODEL itself every round — Xie et al. 2023's
+    * actual loop with the q115 hashed-bigram bucket LM standing in for
+    * the neural proxy:
+    *
+    *  - REFERENCE (frozen, per-domain): DoReMi's excess is measured
+    *    against PER-DOMAIN reference losses ℓ_ref,d — that per-domain
+    *    normalization is what keeps heterogeneous-entropy domains
+    *    comparable (Xie et al. §3). The census instantiation of ℓ_ref,d
+    *    is the tightest achievable floor: domain d's OWN add-one bucket
+    *    LM evaluated on d. (A single full-corpus reference degenerates
+    *    here: a converged census proxy at the seed mixture ≈ that
+    *    reference, so round-1 excess is discretization noise — measured
+    *    while building this entry, not a guess.)
+    *  - PROXY at round t (retrained on the current mixture α_{t−1}): the
+    *    bucket LM of the α-weighted census SCALED TO GRAM UNITS —
+    *    c_t(b) = (Σ_d α_{t−1}(d)·c_d(b)) DIV 10⁶ — so the proxy's data
+    *    budget is one α-mixture's worth of grams (~N/|domains| at the
+    *    uniform seed) and the +1/+B smoothing bites like real
+    *    undertraining. This is the feedback edge q120/q124 stubbed: as a
+    *    domain's weight rises its counts flow into the proxy and its
+    *    loss under the proxy falls (ProxyRetrainSpec pins exactly this).
+    *  - EXCESS_t(d) = max(0, h_t(d) − h_ref(d)) in milli-nats (clamped
+    *    BEFORE the divide — the q124 negative-DIV discipline), then the
+    *    q120 multiplicative update α_t ∝ α_{t−1}·(SCALE + excess).
+    *
+    * EXACTNESS: weights are exact ppm int64s, so the weighted census is
+    * integer-exact (HUGEINT on the oracle side, BigInt here) and the
+    * DIV 10⁶ rescale keeps every ln argument an exact integer ≤ N+B —
+    * representable while N < 2⁵³ grams (≈ 9·10¹⁵; at 100 TB-corpus
+    * widths rescale the ppm basis before this bound binds). Terms are
+    * the q109 fixed-point encoding, floor((ln a − ln b)·10⁹) int64, and
+    * the driver-side ln is java.lang.StrictMath.log — verified against
+    * the Spark 4.1.2 bytecode to be THE function the executor-side `log`
+    * expression evaluates, so the driver loop and the hash-green q115
+    * executor path share one libm surface against DuckDB's ln.
+    *
+    * Scale shape: ONE distributed pass (the per-(domain, bucket) census —
+    * map-side partials, ≤ |domains|·[[QcBuckets]] rows by construction);
+    * that bounded table collects like a codebook and the
+    * [[TextQueries.DoremiRounds]] retrain+update rounds run driver-side
+    * over ≤ 20·4096 integers (the q120 ruling: a distributed loop here
+    * pays a checkpoint round-trip per round to move kilobytes). Output:
+    * (source, round, weight_ppm, h_fix, excess_milli) for rounds
+    * 0..[[TextQueries.DoremiRounds]]; round 0 carries the SEED weights
+    * and h_fix = h_ref(d), putting the frozen reference's arithmetic on
+    * its own oracle-checked rows. Eager at construction (the collect). */
+  def q125DoremiProxyRetrain(spark: SparkSession, dir: String): DataFrame =
+    doremiProxyRetrain(spark, Tables.documents(spark, dir))
+
+  /** The q125 body over ANY (source, text) frame. */
+  private[graft] def doremiProxyRetrain(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val census = docs.filter(col("text").isNotNull)
+      .select(col("source"), normalizeText(col("text")).as("t"))
+      .select(col("source"),
+        explode(graft.functions.WordNGrams(col("t"), 2)).as("gram"))
+      .select(col("source"),
+        conv(substring(md5(col("gram")), 1, QcHexChars), 16, 10)
+          .cast("int").as("b"))
+      .groupBy(col("source"), col("b")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val domains = census.map(_._1).distinct.sorted.toSeq
+    val nDom = domains.length
+    val cnt: Map[String, Array[(Int, Long)]] = census.groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(r => (r._2, r._3)) }
+    val nD: Map[String, Long] =
+      cnt.map { case (s, m) => s -> m.map(_._2).sum }
+    val B = QcBuckets.toInt
+
+    // floor((ln a − ln b)·10⁹) over exact-integer args — StrictMath.log
+    // IS Spark's `log` (see the scaladoc), the q109 integer-ln encoding
+    def termFix(a: Long, b: Long): Long =
+      math.floor((StrictMath.log(a.toDouble) -
+        StrictMath.log(b.toDouble)) * 1e9).toLong
+
+    // per-domain mean NLL (nano-nats/gram) of d's grams under the bucket
+    // LM with counts c(b) and total n — terms ≤ −1 (c(b)+1 < n+B strictly
+    // whenever n ≥ c(b)), so −Σ is positive and DIV truncation == floor
+    def hFix(c: Int => Long, n: Long): Map[String, Long] = {
+      val t = Array.tabulate(B)(b => termFix(c(b) + 1L, n + B))
+      domains.map { d =>
+        val s = cnt(d).iterator.map { case (b, k) => BigInt(k) * t(b) }.sum
+        d -> ((-s) / nD(d)).toLong
+      }.toMap
+    }
+
+    // frozen PER-DOMAIN reference: each domain's own-census LM floor
+    val href: Map[String, Long] = domains.map { d =>
+      val nd = nD(d)
+      val s = cnt(d).iterator
+        .map { case (b, k) => BigInt(k) * termFix(k + 1L, nd + B) }.sum
+      d -> ((-s) / nd).toLong
+    }.toMap
+
+    val hist =
+      scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long, Long)]()
+    var w: Map[String, Long] = domains
+      .map(_ -> (if (nDom == 0) 0L else 1000000L / nDom)).toMap
+    domains.foreach(d => hist += ((d, 0, w(d), href(d), 0L)))
+    for (t <- 1 to TextQueries.DoremiRounds) {
+      // RETRAIN: α-weighted census rescaled to gram units — accumulate
+      // exactly in BigInt ppm units (the HUGEINT twin), then DIV 10⁶ once
+      val cwB = Array.fill(B)(BigInt(0))
+      domains.foreach { d =>
+        val wd = BigInt(w(d))
+        cnt(d).foreach { case (b, k) => cwB(b) += wd * k }
+      }
+      val cp = Array.tabulate(B)(b => (cwB(b) / 1000000L).toLong)
+      val np = cp.sum
+      val h = hFix(cp(_), np)
+      val em = domains
+        .map(d => d -> math.max(0L, h(d) - href(d)) / 1000000L).toMap
+      val m = domains
+        .map(d => d -> w(d) * (TextQueries.DoremiEtaScale + em(d))).toMap
+      val tot = m.values.sum
+      // tot = 0 only past ~10⁶ domains (the q120 zero-total contract)
+      if (tot > 0L)
+        w = domains.map(d => d -> m(d) * 1000000L / tot).toMap
+      domains.foreach(d => hist += ((d, t, w(d), h(d), em(d))))
+    }
+    hist.toSeq.toDF("source", "round", "weight_ppm", "h_fix", "excess_milli")
+      .select(col("source"), col("round").cast("int").as("round"),
+        col("weight_ppm").cast("long").as("weight_ppm"),
+        col("h_fix").cast("long").as("h_fix"),
+        col("excess_milli").cast("long").as("excess_milli"))
+      .orderBy(col("round").asc, col("source").asc)
+  }
+
   // ---- Q92: URL canonicalization + canonical-family census ----
 
   // scheme+authority prefix (scheme per RFC 3986 §3.1: ALPHA then
@@ -968,6 +1103,7 @@ object WebCurationQueries {
     "q111_classifier_calibration" -> (q111ClassifierCalibration _),
     "q115_dsir_weights" -> (q115DsirWeights _),
     "q118_dsir_resample" -> (q118DsirResample _),
+    "q125_doremi_proxy_retrain" -> (q125DoremiProxyRetrain _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1095,6 +1231,7 @@ object WebCurationQueries {
          |FROM sc GROUP BY bucket ORDER BY bucket NULLS FIRST""".stripMargin,
     "q115_dsir_weights" -> dsirOracleSql,
     "q118_dsir_resample" -> dsirResampleOracleSql,
+    "q125_doremi_proxy_retrain" -> doremiRetrainOracleSql,
   )
 
   /** The hashed-bigram FEATURE prefix (normalize → word bigrams → md5
@@ -1131,6 +1268,58 @@ object WebCurationQueries {
        |SELECT doc_id, n_grams, round(CAST(logw_sum AS DOUBLE)/1000000000.0/n_grams, 6) AS logw_nats,
        |  logw_sum >= 0 AS keep
        |FROM sc ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** The q125 oracle: the whole retrain loop unrolled into generated
+    * per-round CTEs (the q123/q124 discipline — the SQL is produced from
+    * the SAME [[TextQueries.DoremiRounds]] constant the engine iterates,
+    * so round count cannot drift). Every stage is the engine's exact
+    * integer arithmetic: HUGEINT weighted censuses, DIV-10⁶ rescale,
+    * joint floor((ln a − ln b)·10⁹) terms over exact-integer arguments,
+    * clamp-before-divide excess, truncating renormalize — all operands
+    * nonnegative at each `//` so DuckDB and the driver loop agree
+    * bit-for-bit. */
+  private def doremiRetrainOracleSql: String = {
+    val rounds = (1 to TextQueries.DoremiRounds).map { t =>
+      val pw = if (t == 1) "w0" else s"w${t - 1}"
+      s"""cw$t AS MATERIALIZED (SELECT c.b, CAST(SUM(CAST(w.w AS HUGEINT) * c.cnt) // 1000000 AS BIGINT) AS cw
+         |  FROM cen c JOIN $pw w USING (source) GROUP BY c.b),
+         |np$t AS MATERIALIZED (SELECT SUM(cw) AS np FROM cw$t),
+         |tm$t AS MATERIALIZED (SELECT b, CAST(floor((ln(CAST(cw + 1 AS DOUBLE)) - ln(CAST((SELECT np FROM np$t) + $QcBuckets AS DOUBLE))) * 1000000000.0) AS BIGINT) AS term FROM cw$t),
+         |h$t AS MATERIALIZED (SELECT c.source, CAST((-SUM(CAST(c.cnt AS HUGEINT) * t.term)) // n.n_d AS BIGINT) AS h
+         |  FROM cen c JOIN tm$t t USING (b) JOIN nd n USING (source) GROUP BY c.source, n.n_d),
+         |e$t AS MATERIALIZED (SELECT h.source, h.h, CAST(GREATEST(0, h.h - r.h) // 1000000 AS BIGINT) AS em
+         |  FROM h$t h JOIN refh r USING (source)),
+         |m$t AS MATERIALIZED (SELECT w.source, CAST(w.w * (1000 + e.em) AS BIGINT) AS m, e.h, e.em
+         |  FROM $pw w JOIN e$t e USING (source)),
+         |w$t AS MATERIALIZED (SELECT source, CAST(m * 1000000 // (SELECT SUM(m) FROM m$t) AS BIGINT) AS w FROM m$t)""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to TextQueries.DoremiRounds).map { t =>
+      s"""SELECT m.source, $t AS round, w.w AS weight_ppm, m.h AS h_fix, m.em AS excess_milli
+         |FROM w$t w JOIN m$t m USING (source)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS MATERIALIZED (SELECT source,
+       |  trim(regexp_replace(regexp_replace(translate(text, '$Upper', '$Lower'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS MATERIALIZED (SELECT source, string_split(t, ' ') AS w FROM d),
+       |g AS MATERIALIZED (SELECT source, unnest(list_transform(range(len(w)-1), i -> w[i+1] || ' ' || w[i+2])) AS gram
+       |  FROM s WHERE len(w) >= 2),
+       |cen AS MATERIALIZED (SELECT source, CAST(concat('0x', substr(md5(gram), 1, $QcHexChars)) AS INT) AS b,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+       |nd AS MATERIALIZED (SELECT source, SUM(cnt) AS n_d FROM cen GROUP BY source),
+       |reft AS MATERIALIZED (SELECT c.source, c.b, c.cnt,
+       |  CAST(floor((ln(CAST(c.cnt + 1 AS DOUBLE)) - ln(CAST(n.n_d + $QcBuckets AS DOUBLE))) * 1000000000.0) AS BIGINT) AS term
+       |  FROM cen c JOIN nd n USING (source)),
+       |refh AS MATERIALIZED (SELECT r.source, CAST((-SUM(CAST(r.cnt AS HUGEINT) * r.term)) // n.n_d AS BIGINT) AS h
+       |  FROM reft r JOIN nd n USING (source) GROUP BY r.source, n.n_d),
+       |w0 AS MATERIALIZED (SELECT source, CAST(1000000 // (SELECT COUNT(*) FROM nd) AS BIGINT) AS w FROM nd),
+       |$rounds
+       |SELECT source, CAST(round AS INT) AS round, weight_ppm, h_fix, excess_milli FROM (
+       |SELECT w.source, 0 AS round, w.w AS weight_ppm, r.h AS h_fix, CAST(0 AS BIGINT) AS excess_milli
+       |FROM w0 w JOIN refh r USING (source)
+       |UNION ALL
+       |$outs)
+       |ORDER BY round, source NULLS FIRST""".stripMargin
+  }
 
   /** The q118 oracle: the shared DSIR sums plus the Gumbel key — the
     * SAME u-fold text as the engine, the same strictly-interior dyadic

@@ -90,6 +90,12 @@ object Scale100Smoke {
       mat(WebCurationQueries.q115DsirWeights(spark, d)))
     race("q118_dsir_resample")(d =>
       mat(WebCurationQueries.q118DsirResample(spark, d)))
+    // the DoReMi family's heavy half is the census chain — the loops are
+    // driver-side over bounded tables, so these two measure the real
+    // distributed cost (VERDICT r14 #5: q124 must appear in the smoke)
+    race("q124_doremi_refresh")(d => mat(TextQueries.q124DoremiRefresh(spark, d)))
+    race("q125_doremi_proxy_retrain")(d =>
+      mat(WebCurationQueries.q125DoremiProxyRetrain(spark, d)))
     // the r14 scale-safe pair contract (VERDICT r13 #4 'done' bar: <= ~7x)
     race("q122_neardup_canonical_pairs")(d =>
       mat(DedupQueries.q122CanonicalPairs(spark, d)))
