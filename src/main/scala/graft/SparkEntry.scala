@@ -51,7 +51,10 @@ object SparkEntry {
       ("q99_audio_fingerprint" -> (graft.multimodal.MultimodalOps.q99AudioFingerprint _)) +
       // Video fingerprint near-dup (r10: frame-sampled twin over the
       // GRFT multi-frame stub — per-frame envelope hash, same census).
-      ("q103_video_fingerprint" -> (graft.multimodal.MultimodalOps.q103VideoFingerprint _))
+      ("q103_video_fingerprint" -> (graft.multimodal.MultimodalOps.q103VideoFingerprint _)) +
+      // PNG perceptual near-dup (r15: q98 through a REAL compressed
+      // container — chunk walk, CRC32, Inflater, all five defilters).
+      ("q126_png_phash" -> (graft.multimodal.MultimodalOps.q126PngPhash _))
 
   /** Query keys grouped by catalog module — the per-family isolation unit
     * of Bench's forked mode (SPARK_GRAFT_FORK=1): one JVM per family kills
@@ -72,7 +75,7 @@ object SparkEntry {
     "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list",
       "q121_kernel_passes", "q123_tm_fixpoint"),
     "multimodal" -> Seq("q38_media_meta", "q98_image_phash",
-      "q99_audio_fingerprint", "q103_video_fingerprint"))
+      "q99_audio_fingerprint", "q103_video_fingerprint", "q126_png_phash"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -87,5 +90,6 @@ object SparkEntry {
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
       ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
       ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle) +
-      ("q103_video_fingerprint" -> graft.multimodal.MultimodalOps.q103Oracle)
+      ("q103_video_fingerprint" -> graft.multimodal.MultimodalOps.q103Oracle) +
+      ("q126_png_phash" -> graft.multimodal.MultimodalOps.q126Oracle)
 }

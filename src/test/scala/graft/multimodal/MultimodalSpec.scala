@@ -399,4 +399,92 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert((1L to 50L).forall(i => full(i) == 49L))
   }
+
+  test("PNG round-trip is lossless through all five row filters") {
+    // heights ≥ 5 cycle every RFC 2083 filter type (encode uses y % 5);
+    // random pixel content stresses Sub/Average/Paeth carry arithmetic
+    val rnd = new scala.util.Random(17)
+    for ((w, h) <- Seq((1, 1), (4, 5), (9, 8), (16, 7), (5, 12))) {
+      val px = new Array[Byte](w * h * 3)
+      rnd.nextBytes(px)
+      val img = MultimodalOps.decodePngPixels(MultimodalOps.encodePng(w, h, px)).get
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.toSeq == px.toSeq, s"pixels must round-trip at ${w}x$h")
+    }
+    // short payload zero-pads, long payload truncates (the encodeBmp contract)
+    val short = MultimodalOps.decodePngPixels(
+      MultimodalOps.encodePng(4, 5, Array[Byte](1, 2, 3))).get
+    assert(short.rgb.take(3).toSeq == Seq[Byte](1, 2, 3) &&
+      short.rgb.drop(3).forall(_ == 0))
+  }
+
+  test("decodePngPixels: hand-math defilter of a 1x2 Up-filtered image") {
+    // encode puts filter 0 on row 0 and filter 1 (Sub) on row 1 for h=2;
+    // verify the recon arithmetic byte by byte against RFC 2083 §6.3/6.4:
+    // row0 raw = pixels; row1 Sub with bpp=3 means first 3 bytes have
+    // left=0 (stored raw), so recon(row1) = stored + recon(left-of-3-back)
+    val px = Array[Byte](10, 20, 30, 50, 60, 70) // 1x2 RGB
+    val png = MultimodalOps.encodePng(1, 2, px)
+    val img = MultimodalOps.decodePngPixels(png).get
+    assert(img.rgb.toSeq == px.toSeq)
+    // and the dHash over a tiny PNG: 9x1 increasing luma -> all bits set,
+    // flat -> none (the dHashBands hand-math pin, through the PNG path)
+    val inc = new Array[Byte](27)
+    (0 until 9).foreach(x => (0 until 3).foreach(k => inc(x * 3 + k) = (x * 20).toByte))
+    assert(MultimodalOps.dHashBandsPng(MultimodalOps.encodePng(9, 1, inc)).get.toSeq
+      === Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF))
+    assert(MultimodalOps.dHashBandsPng(
+      MultimodalOps.encodePng(9, 1, Array.fill[Byte](27)(100.toByte))).get.toSeq
+      === Seq(0, 0, 0, 0))
+  }
+
+  test("decodePngPixels drops malformed assets instead of throwing") {
+    val good = MultimodalOps.encodePng(6, 6, Array.fill[Byte](108)(42))
+    assert(MultimodalOps.decodePngPixels(good).isDefined)
+    // flipped bit inside IDAT -> CRC mismatch -> drop
+    val flipped = good.clone()
+    flipped(good.length - 20) = (flipped(good.length - 20) ^ 0x10).toByte
+    assert(MultimodalOps.decodePngPixels(flipped).isEmpty)
+    // truncated file (IEND gone) -> drop
+    assert(MultimodalOps.decodePngPixels(
+      java.util.Arrays.copyOfRange(good, 0, good.length - 12)).isEmpty)
+    // wrong magic (a BMP) -> drop
+    assert(MultimodalOps.decodePngPixels(
+      MultimodalOps.encodeBmp(4, 4, new Array[Byte](48))).isEmpty)
+    // out-of-scope IHDR (16-bit depth) -> drop: rewrite depth + fix CRC
+    val deep = good.clone()
+    deep(8 + 8 + 8) = 16 // IHDR data byte 8 (bit depth)
+    val crc = new java.util.zip.CRC32
+    crc.update(deep, 8 + 4, 4 + 13)
+    val c = crc.getValue.toInt
+    deep(8 + 8 + 13) = (c >>> 24).toByte; deep(8 + 8 + 14) = (c >>> 16).toByte
+    deep(8 + 8 + 15) = (c >>> 8).toByte; deep(8 + 8 + 16) = c.toByte
+    assert(MultimodalOps.decodePngPixels(deep).isEmpty)
+    // hostile IHDR dims (would allocate GBs) -> drop before allocating
+    assert(MultimodalOps.decodePngPixels(
+      MultimodalOps.encodePng(1, 1, new Array[Byte](3))).isDefined)
+    // fuzz: arbitrary bytes never throw
+    val rnd = new scala.util.Random(23)
+    (0 until 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      if (junk.length >= 8) System.arraycopy(
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0,
+        junk, 0, math.min(8, junk.length))
+      MultimodalOps.decodePngPixels(junk) // must not throw
+    }
+  }
+
+  test("q126 family and near censuses are internally consistent on sf0.001") {
+    val out = MultimodalOps.q126PngPhash(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // exact families: n_exact == multiplicity of the phash; one canonical
+    val byHash = out.groupBy(_.getString(1))
+    byHash.foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(2) == rows.length))
+      assert(rows.count(_.getBoolean(3)) == 1)
+    }
+    // near partners are symmetric counts (sum is even)
+    assert(out.map(_.getLong(4)).sum % 2 == 0)
+  }
 }
