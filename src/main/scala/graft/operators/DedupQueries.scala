@@ -682,7 +682,11 @@ object DedupQueries {
     * q56 machinery ([[starEdges]] + [[resolveClusters]]), so it inherits
     * the contraction + bounded-local-finish scale path; q23/q62/q79 stay
     * in the catalog as AUDIT-ONLY deliverables (threshold calibration,
-    * estimator-vs-truth audits) per their contract caveats. */
+    * estimator-vs-truth audits) per their contract caveats. The streaming
+    * leg is [[graft.streaming.StreamingOps.ingestDropPairs]] (r15): the
+    * same (doc_a → canonical doc_b) surface emitted incrementally per
+    * ingest micro-batch, exactly-once, replay==batch pinned — this batch
+    * entry remains the family-complete nightly form. */
   def q122CanonicalPairs(spark: SparkSession, dir: String): DataFrame = {
     val pairs = starEdges(
       bands(withShinglesAndSignature(Tables.documents(spark, dir))))

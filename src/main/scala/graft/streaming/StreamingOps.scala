@@ -274,6 +274,79 @@ object StreamingOps {
       }
       .start()
 
+  // ---- q122 pair surface at ingest time (r15, VERDICT r14 #8) ----
+
+  /** The per-batch (doc_a, doc_b) DEDUP-PROVENANCE pairs of the ingest
+    * drop chain — q122's canonical-pair contract emitted incrementally, so
+    * the production pair surface exists AT INGEST TIME instead of waiting
+    * for the nightly q122 batch job. One row per arrival dropped by a
+    * dedup stage, linear in the batch by construction (the q122
+    * discipline — never the quadratic q23 pair list):
+    *  - `near_dup_index`: the arrival collided with the standing band
+    *    index; doc_b = its SMALLEST colliding corpus doc (the accepted
+    *    corpus is dedup-maintained by this very chain, so the min partner
+    *    is the family's standing representative — the q122 canonical);
+    *  - `exact_batch`: a within-batch exact copy; doc_b = the batch
+    *    family's min doc_id (the member the chain lands).
+    * An arrival failing both stages emits ONE row, the index collision
+    * (matching the chain's stage order). Contamination drops (stage 1)
+    * are a different audit surface (q66) and emit no pair. A batch
+    * transform shared by [[ingestLifecycleGrowingWithPairs]]'s
+    * foreachBatch and any nightly twin — StreamingSpec pins
+    * replay == batch. `batchBands` must be `bandDocs(batch)` (the
+    * [[cleanIngestBatchWithBands]] contract). */
+  def ingestDropPairs(batch: DataFrame, batchBands: DataFrame,
+      index: DataFrame): DataFrame = {
+    val near = graft.operators.DedupQueries.probeBands(batchBands, index)
+      .groupBy(col("new_doc"))
+      .agg(min(col("corpus_doc")).as("doc_b"))
+      .select(col("new_doc").as("doc_a"), col("doc_b"),
+        lit("near_dup_index").as("reason"))
+    val withH = batch.filter(col("text").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = withH
+      .join(withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_b")), "h")
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        lit("exact_batch").as("reason"))
+    near.unionByName(
+      exact.join(near.select(col("doc_a")), Seq("doc_a"), "left_anti"))
+  }
+
+  /** [[ingestLifecycleGrowing]] that ALSO lands the incremental q122 pair
+    * surface: each batch's dedup-drop pairs ([[ingestDropPairs]], probed
+    * against the same pre-append index state as the drop chain itself)
+    * write to `pairsPath` with the same batch-id-keyed idempotent
+    * overwrite as the shards — a replayed batch replaces exactly its own
+    * pairs partition, so the pair table is exactly-once-observable too.
+    * Consumers get q122's keep/drop provenance without scanning the
+    * corpus: the nightly q122 job remains the FAMILY-complete surface
+    * (it also pairs docs that arrived before the index existed); this is
+    * its arrival-time increment. */
+  def ingestLifecycleGrowingWithPairs(docs: DataFrame, benchGrams: DataFrame,
+      indexDir: String, path: String, pairsPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sp = batch.sparkSession
+        val index = graft.operators.DedupQueries.readNearDupIndex(sp, indexDir)
+          .filter(col("batch_id") =!= lit(batchId))
+        val bands = graft.operators.DedupQueries.bandDocs(batch).persist()
+        val kept = cleanIngestBatchWithBands(batch, bands, benchGrams, index)
+          .persist()
+        try {
+          graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
+          graft.sources.Sinks.writeBatchIdempotent(
+            ingestDropPairs(batch, bands, index), batchId, pairsPath)
+          graft.operators.DedupQueries.appendBandsToNearDupIndex(
+            bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+            indexDir, batchId)
+        } finally { kept.unpersist(); bands.unpersist() }
+      }
+      .start()
+
   // ---- scored ingest (frozen classifier + LM per micro-batch) ----
 
   /** Per-batch SCORING stage of the ingest lifecycle (VERDICT r10 #2) — a

@@ -767,6 +767,76 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSeq == Seq(90L))
   }
 
+  test("growing lifecycle with pairs: the incremental q122 surface lands " +
+      "exactly-once, replay equals the batch twin, pairs explain the drops") {
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val bench = graft.operators.TextQueries.docGrams3(
+      Seq(7L -> "held out evaluation prompt text").toDF("doc_id", "text"))
+      .select($"gram").distinct()
+    val idxDir = java.nio.file.Files.createTempDirectory("gp_idx").toString
+    DedupQueries.buildNearDupIndex(spark, corpus.toDF("doc_id", "text"), idxDir)
+
+    val fresh = "totally fresh document with new words never seen before"
+    val batch0 = Seq(StreamingSpec.Doc(30L, fresh))
+    val batch1 = Seq(
+      // near-dup of accepted doc 30 (grown index) — pair (31 -> 30)
+      StreamingSpec.Doc(31L, fresh.replace("before", "previously")),
+      StreamingSpec.Doc(32L, "independent clean arrival with other novel vocabulary"),
+      // within-batch exact copy — pair (33 -> 32, exact_batch)
+      StreamingSpec.Doc(33L, "independent clean arrival with other novel vocabulary"),
+      StreamingSpec.Doc(34L, null))
+
+    val sink = java.nio.file.Files.createTempDirectory("gp_sink").toString + "/out"
+    val pairsDir = java.nio.file.Files.createTempDirectory("gp_pairs").toString + "/pairs"
+    val ckpt = java.nio.file.Files.createTempDirectory("gp_ckpt").toString
+    val stream = MemoryStream[StreamingSpec.Doc](spark)
+    val q = StreamingOps.ingestLifecycleGrowingWithPairs(
+      stream.toDF(), bench, idxDir, sink, pairsDir, ckpt)
+    stream.addData(batch0)
+    q.processAllAvailable()
+    stream.addData(batch1)
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(sink).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(landed == Set(30L, 32L, 34L), s"kept set: $landed")
+    val pairs = spark.read.parquet(pairsDir)
+      .select($"doc_a", $"doc_b", $"reason",
+        $"batch_id".cast("long").as("batch_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // the q122 contract at ingest time: one pair per dedup-dropped doc,
+    // doc_b = its standing canonical, tagged with the stage that caught it
+    assert(pairs == Set(
+      (31L, 30L, "near_dup_index", 1L),
+      (33L, 32L, "exact_batch", 1L)), s"pairs: $pairs")
+    // every dedup-dropped arrival is explained; no kept doc appears as doc_a
+    val droppedByDedup = Set(31L, 33L)
+    assert(pairs.map(_._1) == droppedByDedup)
+    assert(pairs.map(_._1).intersect(landed).isEmpty)
+
+    // replay == batch: the batch-twin transform over batch1 against the
+    // same pre-append index state reproduces the landed pairs exactly
+    val b1 = batch1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val preIdx = DedupQueries.readNearDupIndex(spark, idxDir)
+      .filter($"batch_id" =!= 1L)
+    val twin = StreamingOps.ingestDropPairs(
+      b1, DedupQueries.bandDocs(b1), preIdx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(twin == pairs.map(p => (p._1, p._2, p._3)), s"batch twin: $twin")
+
+    // exactly-once: re-landing batch 1's pairs replaces its partition
+    graft.sources.Sinks.writeBatchIdempotent(
+      StreamingOps.ingestDropPairs(b1, DedupQueries.bandDocs(b1), preIdx),
+      1L, pairsDir)
+    val after = spark.read.parquet(pairsDir).collect().map(_.toString).sorted
+    assert(after.length == 2, s"replayed pairs must replace, not duplicate")
+  }
+
   test("train/serve split: frozen-weight scoring reproduces the fused q102 scorer") {
     import graft.operators.WebCurationQueries
     val docs = graft.operators.Tables.documents(spark, "/root/testdata/sf0.001")
