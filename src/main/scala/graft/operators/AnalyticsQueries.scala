@@ -251,7 +251,15 @@ object AnalyticsQueries {
     * census [[Materialize]]s ONCE and feeds the corpus margin, the
     * per-shard totals, and the term join; the bucket margin is ≤ 4096
     * rows (AQE broadcasts it); output is [[NumShards]] rows. Eager at
-    * build (the Materialize). */
+    * build (the Materialize).
+    *
+    * sf1.0 ruling (r15, benched alone min-of-3): 1.12 s vs DuckDB 0.31 s
+    * (3.5×) — notably BELOW the 1.54 s the r14 shared-session artifact
+    * recorded, so the r14 weak-row listing was partly cross-entry JVM
+    * pressure, not this plan. The remaining gap is the explode+census
+    * pass plus the Materialize round-trip (one bounded checkpoint write)
+    * against a single-process twin. All stages bounded as documented
+    * above. Floor at ~1.1 s absolute. */
   def q119ShardDrift(spark: SparkSession, dir: String): DataFrame = {
     val big = DecimalType(38, 0)
     val sb = Materialize.materialize(

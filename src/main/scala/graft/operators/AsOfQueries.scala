@@ -32,7 +32,17 @@ object AsOfQueries {
     * orders clicks first (is_purchase asc) so equal-instant clicks would
     * count, matching the oracle's `p.ts >= c.ts` ASOF condition. Oracle:
     * DuckDB's native ASOF LEFT JOIN — an independent implementation of the
-    * same semantics, not a mirror of this plan. */
+    * same semantics, not a mirror of this plan.
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 1.66 s vs DuckDB
+    * 0.28 s. The plan is ONE exchange + one sort + one Window over the
+    * filtered event union — the minimal as-of shape (tagging both sides
+    * into one stream turns the inequality join into a running
+    * last(ignoreNulls) sweep; an inequality SortMergeJoin would be
+    * strictly worse). The residual is
+    * the row-at-a-time Window exec over ~2M filtered events vs DuckDB's
+    * native vectorized ASOF operator. Single shuffle, partitioned by
+    * user_id — the 100 TB shape. Floor. */
   def q46AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)

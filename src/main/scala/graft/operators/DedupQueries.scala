@@ -1127,7 +1127,15 @@ object DedupQueries {
     * census-pairs 2.44–3.48 s on the same pairs of sessions (~25%);
     * same-session deltas were 3.33→2.44 and 4.06→3.48. All shuffle keys
     * are uniform hashes. (A bloom pre-filter on the self-join — the
-    * VERDICT alternative — became moot with the join itself.) */
+    * VERDICT alternative — became moot with the join itself.)
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 3.24 s vs DuckDB
+    * 1.34 s (2.4× — the closest pair in the r14 weak set, and inside the
+    * r13 ladder's 2.44–3.48 s session band above). Both engines pay the
+    * same dominant cost: hashing every [[SpanTokens]]-word span of the
+    * corpus (the explode is one row per token position). The census form
+    * above is already the measured winner over the self-join; the
+    * residual is per-span JVM hashing vs DuckDB vectorization. Floor. */
   def q76SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val census = Tables.documents(spark, dir)
       .filter(col("text").isNotNull)

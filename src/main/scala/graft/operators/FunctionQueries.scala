@@ -183,7 +183,18 @@ object FunctionQueries {
     * hash compare. The sketch pass is a 3-row result broadcast back onto
     * the scan: two cheap passes over the data, both codegen, partials
     * mergeable — the percentile path that survives 100 TB (see q43's
-    * scaladoc for why the exact path doesn't). */
+    * scaladoc for why the exact path doesn't).
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 1.32 s vs DuckDB
+    * 0.03 s — the catalog's worst ratio, and a denominator artifact: the
+    * twin's approx_quantile is a vectorized single-process t-digest. The
+    * Spark wall is (a) the sketch pass through ObjectHashAggregate —
+    * Greenwald-Khanna buffers are object-serialized, outside whole-stage
+    * codegen, a Spark engine property this entry cannot change — plus
+    * (b) the deliberate second verify pass (the entry's JOB is the
+    * audited gate, see above; the sketch alone is ~half the wall). Both
+    * passes are mergeable-partial scans that parallelize at cluster
+    * scale. Floor. */
   private val Eps = 0.005 // 5x the accuracy-1000 rank guarantee
 
   def q58ApproxPercentile(spark: SparkSession, dir: String): DataFrame = {

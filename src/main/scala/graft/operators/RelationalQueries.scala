@@ -111,7 +111,17 @@ object RelationalQueries {
     * distinct rewrite was no better, and a pre-agg repartition was worse —
     * the cost here is the single-row-group scan task, a testdata layout
     * artifact that vanishes on split-able files; see the 10x smoke where
-    * this query runs FASTER on 10x the data.) */
+    * this query runs FASTER on 10x the data.)
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 1.56 s vs DuckDB
+    * 0.12 s. The plan is the canonical two-phase distinct (partial by
+    * (keys, suppkey) → merge → final; map-side combined, no Expand, the
+    * post-partial shuffle is ~60k rows) — the wall is ~3 lineitem-pass
+    * equivalents against the same session's 0.21 s bare scan-count /
+    * 0.49 s materialized projection calibration, i.e. per-pass JVM row
+    * cost vs DuckDB's vectorized single process, not a plan defect. At
+    * cluster scale the same plan's passes parallelize across executors;
+    * nothing structural to take. */
   def q9HashAgg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
@@ -143,7 +153,16 @@ object RelationalQueries {
   /** Q12 — ranking window / per-group top-k ("Complex analytics functions",
     * considerations.html:32). row_number over (custkey) then rn<=3: at scale
     * prefer this shape over global sort; Spark pushes a per-key limit into the
-    * window when the filter is on row_number (WindowGroupLimit). */
+    * window when the filter is on row_number (WindowGroupLimit).
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 2.14 s vs DuckDB
+    * 0.28 s. The plan is already the best top-k shape Spark has:
+    * WindowGroupLimit BELOW the exchange (per-partition top-3 before any
+    * shuffle) and again above it, so the shuffle carries ≤ 3 rows per
+    * customer. The residual is the two sorts + the row-at-a-time Window
+    * exec over the broadcast-joined orders — per-pass JVM cost against
+    * the 0.49 s single-pass calibration (q09 ruling), with DuckDB
+    * clearing the same top-k in one vectorized operator. Floor. */
   def q12TopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val j = Tables.customer(spark, dir)
       .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "inner")

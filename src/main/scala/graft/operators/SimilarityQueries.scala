@@ -999,7 +999,17 @@ object SimilarityQueries {
     * the vector leg composes with the persisted IVF/PQ index instead of
     * the exact scan used here); the fusion itself stays constant-size. A
     * missing leg reports rank 0 (absent), keeping the rank columns
-    * non-null BIGINT on both engines. */
+    * non-null BIGINT on both engines.
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 1.51 s vs DuckDB
+    * 0.14 s. Two independent corpus passes (tf-idf explode+agg+top-k and
+    * the quantized dot scan) each end in a TakeOrderedAndProject, then
+    * constant-size windows/joins — i.e. the wall is two scan-limited
+    * legs at the session's ~0.5 s/pass calibration (q09 ruling) plus the
+    * lexical leg's token shuffle; no stage is corpus-quadratic or
+    * unpruned. DuckDB clears both legs in one vectorized process. The
+    * scale lever is already documented above: compose the vector leg
+    * with the persisted IVF/PQ index. Floor. */
   def q83HybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val lexTop = TextQueries.lexicalScores(spark, dir)
       .orderBy(col("score_milli").desc, col("doc_id").asc)

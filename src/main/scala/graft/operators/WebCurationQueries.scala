@@ -314,7 +314,17 @@ object WebCurationQueries {
     * projection); stage 3 shuffles ≤ partitions×K rows per domain plus one
     * broadcast-sized join back (|domains|×K rows — stage 3's shuffle moves
     * ≤ partitions×K ids per domain, buffers capped at K); stage 4 is one
-    * map-side-partial groupBy at |sources| cardinality. */
+    * map-side-partial groupBy at |sources| cardinality.
+    *
+    * sf1.0 floor ruling (r15, benched alone min-of-3): 1.95 s vs DuckDB
+    * 0.21 s. The plan is two scans (rule projection + cap side) with the
+    * cap side ending in the bounded ObjectHashAggregate top-K and a
+    * broadcast join back — no per-domain window, no corpus shuffle. The
+    * wall is the 9-regex enrichment+scrub projection evaluated over the
+    * corpus on BOTH scans (java.util.regex row-at-a-time vs DuckDB's
+    * vectorized RE2), which is the entry's declared job — the PII/URL
+    * machinery IS the operator. Pure scan-riding codegen otherwise;
+    * parallelizes by split at cluster scale. Floor. */
   /** Session flag: when true, q88's stage-2 quality gate additionally
     * requires the q102 learned classifier's keep (rules AND model — the
     * CCNet composition). Default FALSE, so the oracle-pinned q88 output
