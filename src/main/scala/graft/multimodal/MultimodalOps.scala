@@ -319,6 +319,44 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  final case class PngMeta(width: Int, height: Int, idat_bytes: Long)
+
+  /** Header-only PNG parse — the [[decodeBmpMeta]] twin for the
+    * container-sniffing meta decoder: walks the chunks verifying CRCs and
+    * structure (IHDR first, 8-bit truecolor non-interlaced, IEND present)
+    * and totals the compressed IDAT payload WITHOUT inflating it — a
+    * metadata census over a 100 TB asset column must not pay
+    * decompression. */
+  def decodePngMeta(b: Array[Byte]): Option[PngMeta] = {
+    if (b.length < 8 + 25 || !PngSig.indices.forall(i => b(i) == PngSig(i)))
+      return None
+    var off = 8
+    var width = 0; var height = 0
+    var sawIhdr = false; var sawIend = false
+    var idatBytes = 0L
+    while (off + 12 <= b.length && !sawIend) {
+      val len = getIntBE(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue.toInt != getIntBE(b, off + 8 + len)) return None
+      new String(b, off + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (sawIhdr || len != 13) return None
+          sawIhdr = true
+          width = getIntBE(b, off + 8); height = getIntBE(b, off + 12)
+          if (width <= 0 || height <= 0 || (b(off + 16) & 0xff) != 8 ||
+              (b(off + 17) & 0xff) != 2 || (b(off + 20) & 0xff) != 0)
+            return None
+        case "IDAT" => if (!sawIhdr) return None else idatBytes += len
+        case "IEND" => sawIend = true
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    if (sawIhdr && sawIend) Some(PngMeta(width, height, idatBytes)) else None
+  }
+
   /** REAL PNG decode: signature → chunk walk (length sanity + CRC32
     * verified per chunk — a flipped bit anywhere drops the asset) → IHDR
     * (8-bit truecolor, non-interlaced only; anything else is out of this
@@ -470,6 +508,10 @@ object MultimodalOps {
         else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')
           decodeWavMeta(b).map(x => DecodedReal(m.media_id, "wav", 0, 0,
             x.sample_rate, x.channels, x.n_frames, (b.length - 44).toLong))
+        else if (b.length >= 4 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+            b(2) == 'N' && b(3) == 'G')
+          decodePngMeta(b).map(x => DecodedReal(m.media_id, "png", x.width,
+            x.height, 0, 0, 1, x.idat_bytes))
         else None
       }
     }
@@ -509,6 +551,40 @@ object MultimodalOps {
             }
             Media(m.media_id, encodeBmp(newWidth, newHeight, out))
           }
+      }
+    }
+  }
+
+  /** Nearest-neighbor resize of a REAL PNG: full decode
+    * ([[decodePngPixels]] — inflate + defilter), NN-sample the RGB grid,
+    * re-encode through [[encodePng]]. The PNG twin of [[resizeBmp]],
+    * completing decode/resize/re-encode for the compressed container web
+    * corpora actually ship. Narrow mapPartitions — per-row codec work,
+    * no shuffle; malformed/out-of-scope assets drop. */
+  def resizePng(media: Dataset[Media], newWidth: Int, newHeight: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        decodePngPixels(m.content).map { img =>
+          val out = new Array[Byte](newWidth * newHeight * 3)
+          var y = 0
+          while (y < newHeight) {
+            val sy = y.toLong * img.height / newHeight
+            var x = 0
+            while (x < newWidth) {
+              val sx = x.toLong * img.width / newWidth
+              val src = ((sy * img.width + sx) * 3).toInt
+              val dst = (y * newWidth + x) * 3
+              out(dst) = img.rgb(src)
+              out(dst + 1) = img.rgb(src + 1)
+              out(dst + 2) = img.rgb(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          Media(m.media_id, encodePng(newWidth, newHeight, out))
+        }
       }
     }
   }

@@ -475,6 +475,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("resizePng NN-resamples through the real codec; sniffing meta decode " +
+      "handles all three containers") {
+    import spark.implicits._
+    // 2x2 distinct-color image upscaled 2x: each source pixel becomes a
+    // 2x2 block (NN), verified through a full decode of the re-encoded PNG
+    val px = Array[Byte](10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42)
+    val media = Seq(MultimodalOps.Media(1L, MultimodalOps.encodePng(2, 2, px))).toDS()
+    val up = MultimodalOps.resizePng(media, 4, 4).collect().head
+    val img = MultimodalOps.decodePngPixels(up.content).get
+    assert(img.width == 4 && img.height == 4)
+    def at(x: Int, y: Int) = (0 until 3).map(k => img.rgb((y * 4 + x) * 3 + k))
+    assert(at(0, 0) == at(1, 1) && at(0, 0) == Seq[Byte](10, 11, 12))
+    assert(at(3, 3) == Seq[Byte](40, 41, 42))
+    // malformed input drops (no row), never throws
+    assert(MultimodalOps.resizePng(
+      Seq(MultimodalOps.Media(2L, "junk".getBytes)).toDS(), 4, 4).count() == 0)
+
+    // the sniffing meta decoder now covers BMP + WAV + PNG
+    val mixed = Seq(
+      MultimodalOps.Media(10L, MultimodalOps.encodeBmp(4, 3, new Array[Byte](48))),
+      MultimodalOps.Media(11L, MultimodalOps.encodeWavPcm16(8000, 1, new Array[Byte](80))),
+      MultimodalOps.Media(12L, MultimodalOps.encodePng(5, 4, new Array[Byte](60))),
+      MultimodalOps.Media(13L, "GRFTnope".getBytes)).toDS()
+    val metas = MultimodalOps.decodeRealMeta(mixed).collect()
+      .map(d => d.media_id -> (d.kind, d.width, d.height)).toMap
+    assert(metas.keySet == Set(10L, 11L, 12L))
+    assert(metas(12L) == (("png", 5, 4)))
+    // meta parse never inflates but still verifies structure: a flipped
+    // IDAT bit fails the CRC and drops
+    val png = MultimodalOps.encodePng(5, 4, new Array[Byte](60))
+    val bad = png.clone(); bad(png.length - 20) = (bad(png.length - 20) ^ 1).toByte
+    assert(MultimodalOps.decodePngMeta(bad).isEmpty)
+    assert(MultimodalOps.decodePngMeta(png).exists(m => m.idat_bytes > 0))
+  }
+
   test("q126 family and near censuses are internally consistent on sf0.001") {
     val out = MultimodalOps.q126PngPhash(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
