@@ -403,16 +403,25 @@ object MultimodalOps {
       val stride = width * 3
       val raw = new Array[Byte]((stride + 1) * height)
       val inflater = new java.util.zip.Inflater()
-      inflater.setInput(idat.toByteArray)
-      var got = 0
-      while (got < raw.length && !inflater.finished()) {
-        val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
-        got += n
-      }
-      val done = inflater.finished() ||
-        inflater.inflate(new Array[Byte](1)) == 0 && inflater.needsInput()
-      inflater.end()
+      val (got, done) =
+        try {
+          inflater.setInput(idat.toByteArray)
+          var g = 0
+          var stalled = false
+          while (g < raw.length && !inflater.finished() && !stalled) {
+            val n = inflater.inflate(raw, g, raw.length - g)
+            // ZERO PROGRESS of any kind drops the asset: needsInput is a
+            // truncated stream, and a zlib header demanding a preset
+            // dictionary (FDICT) returns 0 with needsInput()==false and
+            // finished()==false FOREVER — without this guard a crafted
+            // CRC-valid PNG hangs the executor task (review r15)
+            if (n == 0) stalled = true
+            g += n
+          }
+          val d = !stalled && (inflater.finished() ||
+            inflater.inflate(new Array[Byte](1)) == 0 && inflater.needsInput())
+          (g, d)
+        } finally inflater.end() // native zlib memory freed on EVERY path
       if (got != raw.length || !done) return None
       val px = new Array[Byte](stride * height)
       var y = 0

@@ -212,6 +212,24 @@ object DedupQueries {
     flagged.drop("__cf_h")
   }
 
+  /** The (non-canonical doc → family canonical) projection of
+    * [[withCanonicalFlag]]'s skew-safe no-priority census — ONE canonical
+    * rule (min doc_id per md5(text) family) shared by the ingest drop
+    * chain's batch-dedup stage and the streaming pair surface
+    * ([[graft.streaming.StreamingOps.ingestDropPairs]]), so the doc the
+    * chain keeps and the doc_b the pair table names cannot drift
+    * (review r15). Callers pre-filter null text (the drop-stage
+    * exemption); the coalesce mirrors [[withCanonicalFlag]] verbatim. */
+  private[graft] def exactDupPairs(docs: DataFrame): DataFrame = {
+    val withH = docs.select(col("doc_id"),
+      coalesce(md5(col("text")), lit("")).as("__cf_h"))
+    withH
+      .join(withH.groupBy(col("__cf_h")).agg(min(col("doc_id")).as("canon")),
+        "__cf_h")
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), col("canon"))
+  }
+
   /** [[withCanonicalFlag]] with the form resolved from the session conf
     * ([[CanonicalSkewSafeKey]]); `"auto"` probes a doc sample's text
     * hashes — one row per sampled doc, the cheapest probe in the family. */

@@ -1299,7 +1299,7 @@ object WebCurationQueries {
          |  FROM cen c JOIN tm$t t USING (b) JOIN nd n USING (source) GROUP BY c.source, n.n_d),
          |e$t AS MATERIALIZED (SELECT h.source, h.h, CAST(GREATEST(0, h.h - r.h) // 1000000 AS BIGINT) AS em
          |  FROM h$t h JOIN refh r USING (source)),
-         |m$t AS MATERIALIZED (SELECT w.source, CAST(w.w * (1000 + e.em) AS BIGINT) AS m, e.h, e.em
+         |m$t AS MATERIALIZED (SELECT w.source, CAST(w.w * (${TextQueries.DoremiEtaScale} + e.em) AS BIGINT) AS m, e.h, e.em
          |  FROM $pw w JOIN e$t e USING (source)),
          |w$t AS MATERIALIZED (SELECT source, CAST(m * 1000000 // (SELECT SUM(m) FROM m$t) AS BIGINT) AS w FROM m$t)""".stripMargin
     }.mkString(",\n")

@@ -182,18 +182,30 @@ object StreamingOps {
     * periodic q23/q61/q56 batch job's work, not a per-micro-batch stage;
     * exact copies are the dominant real case and are exact to drop. */
   def cleanIngestBatchWithBands(batch: DataFrame, batchBands: DataFrame,
-      benchGrams: DataFrame, bandIndex: DataFrame): DataFrame = {
+      benchGrams: DataFrame, bandIndex: DataFrame): DataFrame =
+    cleanIngestBatchWithProbe(batch,
+      graft.operators.DedupQueries.probeBands(batchBands, bandIndex),
+      benchGrams)
+
+  /** The drop chain given the index-probe RESULT — the shared core: the
+    * growing-with-pairs lifecycle probes the corpus-sized index ONCE per
+    * batch and feeds the same frame to this chain and to
+    * [[ingestDropPairs]] (review r15: the probe is the documented
+    * dominant per-batch cost; computing it twice doubled it). */
+  private[graft] def cleanIngestBatchWithProbe(batch: DataFrame,
+      probed: DataFrame, benchGrams: DataFrame): DataFrame = {
     val contaminated = contaminatedDocs(batch, benchGrams)
     // the doc-level distinct subsumes pair-level dedup — no
     // dropDuplicates(new_doc, corpus_doc) stage before it
-    val dupped = graft.operators.DedupQueries.probeBands(batchBands, bandIndex)
-      .select(col("new_doc").as("doc_id")).distinct()
+    val dupped = probed.select(col("new_doc").as("doc_id")).distinct()
     // null-text arrivals are exempt (like every other drop stage): the
     // md5(text) family key would otherwise collapse ALL metadata-only
-    // docs in a batch into one "duplicate" family and drop all but one
+    // docs in a batch into one "duplicate" family and drop all but one.
+    // exactDupPairs IS withCanonicalFlag's census rule — one canonical
+    // rule shared with the pair surface (review r15)
     val batchDup = graft.operators.DedupQueries
-      .withCanonicalFlag(batch.filter(col("text").isNotNull), skewSafe = true)
-      .filter(!col("is_canonical")).select(col("doc_id"))
+      .exactDupPairs(batch.filter(col("text").isNotNull))
+      .select(col("doc_id"))
     batch
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(dupped, Seq("doc_id"), "left_anti")
@@ -279,35 +291,40 @@ object StreamingOps {
   /** The per-batch (doc_a, doc_b) DEDUP-PROVENANCE pairs of the ingest
     * drop chain — q122's canonical-pair contract emitted incrementally, so
     * the production pair surface exists AT INGEST TIME instead of waiting
-    * for the nightly q122 batch job. One row per arrival dropped by a
-    * dedup stage, linear in the batch by construction (the q122
-    * discipline — never the quadratic q23 pair list):
+    * for the nightly q122 batch job. One row per arrival a DEDUP stage
+    * flags, linear in the batch by construction (the q122 discipline —
+    * never the quadratic q23 pair list):
     *  - `near_dup_index`: the arrival collided with the standing band
     *    index; doc_b = its SMALLEST colliding corpus doc (the accepted
     *    corpus is dedup-maintained by this very chain, so the min partner
     *    is the family's standing representative — the q122 canonical);
     *  - `exact_batch`: a within-batch exact copy; doc_b = the batch
-    *    family's min doc_id (the member the chain lands).
+    *    family's min doc_id ([[graft.operators.DedupQueries.exactDupPairs]]
+    *    — the SAME census rule the chain's own batch-dedup stage keeps
+    *    by, so pair doc_b and the kept doc cannot drift; review r15).
     * An arrival failing both stages emits ONE row, the index collision
-    * (matching the chain's stage order). Contamination drops (stage 1)
-    * are a different audit surface (q66) and emit no pair. A batch
-    * transform shared by [[ingestLifecycleGrowingWithPairs]]'s
-    * foreachBatch and any nightly twin — StreamingSpec pins
-    * replay == batch. `batchBands` must be `bandDocs(batch)` (the
-    * [[cleanIngestBatchWithBands]] contract). */
-  def ingestDropPairs(batch: DataFrame, batchBands: DataFrame,
-      index: DataFrame): DataFrame = {
-    val near = graft.operators.DedupQueries.probeBands(batchBands, index)
+    * (matching the chain's stage order). PRECISE contamination semantics
+    * (review r15): the chain computes its three drop sets independently
+    * over the FULL batch, and so does this surface — an arrival stage 1
+    * also drops for contamination still carries its dedup pair (the
+    * dedup provenance is real), and a doc_b may itself be dropped by
+    * another stage (it lands only if nothing else flags it).
+    * Contamination ITSELF contributes no rows — that audit surface is
+    * q66's. A batch transform shared by
+    * [[ingestLifecycleGrowingWithPairs]]'s foreachBatch and any nightly
+    * twin — StreamingSpec pins replay == batch. `probed` must be
+    * `probeBands(bandDocs(batch), index)` (the
+    * [[cleanIngestBatchWithProbe]] contract — computed ONCE per batch
+    * and shared with the drop chain). */
+  def ingestDropPairs(batch: DataFrame, probed: DataFrame): DataFrame = {
+    val near = probed
       .groupBy(col("new_doc"))
       .agg(min(col("corpus_doc")).as("doc_b"))
       .select(col("new_doc").as("doc_a"), col("doc_b"),
         lit("near_dup_index").as("reason"))
-    val withH = batch.filter(col("text").isNotNull)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val exact = withH
-      .join(withH.groupBy(col("h")).agg(min(col("doc_id")).as("doc_b")), "h")
-      .filter(col("doc_id") =!= col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"),
+    val exact = graft.operators.DedupQueries
+      .exactDupPairs(batch.filter(col("text").isNotNull))
+      .select(col("doc_id").as("doc_a"), col("canon").as("doc_b"),
         lit("exact_batch").as("reason"))
     near.unionByName(
       exact.join(near.select(col("doc_a")), Seq("doc_a"), "left_anti"))
@@ -334,16 +351,21 @@ object StreamingOps {
         val index = graft.operators.DedupQueries.readNearDupIndex(sp, indexDir)
           .filter(col("batch_id") =!= lit(batchId))
         val bands = graft.operators.DedupQueries.bandDocs(batch).persist()
-        val kept = cleanIngestBatchWithBands(batch, bands, benchGrams, index)
+        // ONE probe of the corpus-sized index per batch (review r15: it
+        // is the documented dominant per-batch cost) — cached and shared
+        // by the drop chain and the pair surface
+        val probed = graft.operators.DedupQueries.probeBands(bands, index)
+          .persist()
+        val kept = cleanIngestBatchWithProbe(batch, probed, benchGrams)
           .persist()
         try {
           graft.sources.Sinks.writeShardedBatchIdempotent(kept, batchId, path)
           graft.sources.Sinks.writeBatchIdempotent(
-            ingestDropPairs(batch, bands, index), batchId, pairsPath)
+            ingestDropPairs(batch, probed), batchId, pairsPath)
           graft.operators.DedupQueries.appendBandsToNearDupIndex(
             bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi"),
             indexDir, batchId)
-        } finally { kept.unpersist(); bands.unpersist() }
+        } finally { kept.unpersist(); probed.unpersist(); bands.unpersist() }
       }
       .start()
 

@@ -463,6 +463,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // hostile IHDR dims (would allocate GBs) -> drop before allocating
     assert(MultimodalOps.decodePngPixels(
       MultimodalOps.encodePng(1, 1, new Array[Byte](3))).isDefined)
+    // FDICT hang (review r15): a CRC-valid PNG whose zlib header demands
+    // a preset dictionary makes Inflater return 0 with needsInput()==false
+    // and finished()==false forever — the decoder must DROP, not spin.
+    // CMF=0x78, FLG=0x20 (FDICT set; (0x7820) % 31 == 0 so the header
+    // checksum is valid), then a fake 4-byte dictionary Adler32.
+    locally {
+      val ihdr = java.util.Arrays.copyOfRange(good, 8, 8 + 25)
+      val idatData = Array[Byte](0x78, 0x20, 0, 0, 0, 1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 8) // signature
+      out.write(ihdr)
+      def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      out.write(be(idatData.length))
+      out.write("IDAT".getBytes("US-ASCII"))
+      out.write(idatData)
+      val crc = new java.util.zip.CRC32
+      crc.update("IDAT".getBytes("US-ASCII")); crc.update(idatData)
+      out.write(be(crc.getValue.toInt))
+      out.write(good, good.length - 12, 12) // IEND chunk
+      val t0 = System.nanoTime()
+      assert(MultimodalOps.decodePngPixels(out.toByteArray).isEmpty)
+      assert((System.nanoTime() - t0) / 1e9 < 5, "must drop, not spin")
+    }
     // fuzz: arbitrary bytes never throw
     val rnd = new scala.util.Random(23)
     (0 until 200).foreach { _ =>

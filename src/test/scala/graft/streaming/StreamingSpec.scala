@@ -824,17 +824,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     val b1 = batch1.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
     val preIdx = DedupQueries.readNearDupIndex(spark, idxDir)
       .filter($"batch_id" =!= 1L)
-    val twin = StreamingOps.ingestDropPairs(
-      b1, DedupQueries.bandDocs(b1), preIdx)
+    def b1Probed = DedupQueries.probeBands(DedupQueries.bandDocs(b1), preIdx)
+    val twin = StreamingOps.ingestDropPairs(b1, b1Probed)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(twin == pairs.map(p => (p._1, p._2, p._3)), s"batch twin: $twin")
 
     // exactly-once: re-landing batch 1's pairs replaces its partition
     graft.sources.Sinks.writeBatchIdempotent(
-      StreamingOps.ingestDropPairs(b1, DedupQueries.bandDocs(b1), preIdx),
-      1L, pairsDir)
+      StreamingOps.ingestDropPairs(b1, b1Probed), 1L, pairsDir)
     val after = spark.read.parquet(pairsDir).collect().map(_.toString).sorted
     assert(after.length == 2, s"replayed pairs must replace, not duplicate")
+
+    // precise contamination semantics (review r15): the drop sets are
+    // computed independently over the full batch, so a CONTAMINATED
+    // within-batch duplicate still carries its dedup pair — its dedup
+    // provenance is real even though stage 1 also drops it — and
+    // contamination itself contributes no rows
+    val contaminatedText = "held out evaluation prompt text padded with words"
+    val cb = Seq(50L -> contaminatedText, 51L -> contaminatedText)
+      .toDF("doc_id", "text")
+    val cbPairs = StreamingOps.ingestDropPairs(
+      cb, DedupQueries.probeBands(DedupQueries.bandDocs(cb), preIdx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(cbPairs == Set((51L, 50L, "exact_batch")), s"contaminated dup: $cbPairs")
+    val cbKept = StreamingOps.cleanIngestBatch(cb, bench,
+      spark.read.parquet(s"$idxDir/bands.parquet").filter($"batch_id" === -1L))
+      .select($"doc_id").collect()
+    assert(cbKept.isEmpty, "both copies are contamination-dropped")
   }
 
   test("train/serve split: frozen-weight scoring reproduces the fused q102 scorer") {
