@@ -346,7 +346,8 @@ object MultimodalOps {
           sawIhdr = true
           width = getIntBE(b, off + 8); height = getIntBE(b, off + 12)
           if (width <= 0 || height <= 0 || (b(off + 16) & 0xff) != 8 ||
-              (b(off + 17) & 0xff) != 2 || (b(off + 20) & 0xff) != 0)
+              (b(off + 17) & 0xff) != 2 || (b(off + 18) & 0xff) != 0 ||
+              (b(off + 19) & 0xff) != 0 || (b(off + 20) & 0xff) != 0)
             return None
         case "IDAT" => if (!sawIhdr) return None else idatBytes += len
         case "IEND" => sawIend = true
@@ -386,7 +387,12 @@ object MultimodalOps {
             width = getIntBE(b, off + 8); height = getIntBE(b, off + 12)
             val (depth, color, interlace) =
               (b(off + 16) & 0xff, b(off + 17) & 0xff, b(off + 20) & 0xff)
+            // compression (off+18) and filter method (off+19) must both be 0
+            // too: a CRC-valid file declaring filter-method != 0 would
+            // otherwise pass the gate and decode with filter-0 semantics —
+            // wrong pixels instead of a drop (ADVICE r15)
             if (width <= 0 || height <= 0 || depth != 8 || color != 2 ||
+                (b(off + 18) & 0xff) != 0 || (b(off + 19) & 0xff) != 0 ||
                 interlace != 0) return None
             // bound the decode buffer the way a real reader does: a
             // hostile IHDR must not allocate gigabytes
@@ -418,8 +424,17 @@ object MultimodalOps {
             if (n == 0) stalled = true
             g += n
           }
-          val d = !stalled && (inflater.finished() ||
-            inflater.inflate(new Array[Byte](1)) == 0 && inflater.needsInput())
+          // acceptance requires finished(): a stream truncated exactly at
+          // the last pixel byte (no final-block end / Adler32 trailer) must
+          // drop as malformed, not pass as well-formed (ADVICE r15). One
+          // extra 1-byte inflate lets the inflater consume the trailer when
+          // the output buffer filled up exactly at the stream end.
+          val d = !stalled && {
+            val extra =
+              if (inflater.finished()) 0
+              else inflater.inflate(new Array[Byte](1))
+            extra == 0 && inflater.finished()
+          }
           (g, d)
         } finally inflater.end() // native zlib memory freed on EVERY path
       if (got != raw.length || !done) return None

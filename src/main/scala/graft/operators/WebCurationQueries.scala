@@ -996,7 +996,10 @@ object WebCurationQueries {
       val m = domains
         .map(d => d -> w(d) * (TextQueries.DoremiEtaScale + em(d))).toMap
       val tot = m.values.sum
-      // tot = 0 only past ~10⁶ domains (the q120 zero-total contract)
+      // tot = 0 only past ~10⁶ domains (the q120 zero-total contract);
+      // the generated oracle mirrors this keep-prior-weights guard with a
+      // CASE on SUM(m), so engine and oracle share the defined behavior at
+      // the edge instead of silently diverging (ADVICE r15)
       if (tot > 0L)
         w = domains.map(d => d -> m(d) * 1000000L / tot).toMap
       domains.foreach(d => hist += ((d, t, w(d), h(d), em(d))))
@@ -1301,7 +1304,11 @@ object WebCurationQueries {
          |  FROM h$t h JOIN refh r USING (source)),
          |m$t AS MATERIALIZED (SELECT w.source, CAST(w.w * (${TextQueries.DoremiEtaScale} + e.em) AS BIGINT) AS m, e.h, e.em
          |  FROM $pw w JOIN e$t e USING (source)),
-         |w$t AS MATERIALIZED (SELECT source, CAST(m * 1000000 // (SELECT SUM(m) FROM m$t) AS BIGINT) AS w FROM m$t)""".stripMargin
+         |w$t AS MATERIALIZED (SELECT m.source,
+         |  CASE WHEN (SELECT SUM(m) FROM m$t) > 0
+         |       THEN CAST(m.m * 1000000 // GREATEST(1, (SELECT SUM(m) FROM m$t)) AS BIGINT)
+         |       ELSE w.w END AS w
+         |  FROM m$t m JOIN $pw w USING (source))""".stripMargin
     }.mkString(",\n")
     val outs = (1 to TextQueries.DoremiRounds).map { t =>
       s"""SELECT m.source, $t AS round, w.w AS weight_ppm, m.h AS h_fix, m.em AS excess_milli
