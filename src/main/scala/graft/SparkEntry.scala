@@ -36,6 +36,11 @@ object SparkEntry {
       // <=12-iteration loop unrolls into generated CTE stages; only the
       // data-dependent placement/growth loops stay rows-only in q21).
       ("q123_tm_fixpoint" -> (Engine.tmFixpointQuery _)) +
+      // A13/A14 greedy packing + node growth over the placement grid:
+      // ORACLE-CHECKED (r16 — the greedy is slot-sort-equivalent because
+      // all non-JM nodes are identical, and growth has closed forms; the
+      // last estimator math that was rows-only in q21).
+      ("q127_greedy_placement" -> (Engine.placementQuery _)) +
       // B5 list pipeline over a deterministic demo run store (rows-only:
       // file sizes/mtimes are machine-dependent; pinned by RunStoreSpec).
       ("q34_saved_runs_list" -> (Engine.savedRunsListQuery _)) +
@@ -73,7 +78,7 @@ object SparkEntry {
       WebCurationQueries.all.map(_._1) ++ LineCurationQueries.all.map(_._1)),
     "graph" -> GraphQueries.all.map(_._1),
     "engine" -> Seq("q21_estimator_sweep", "q34_saved_runs_list",
-      "q121_kernel_passes", "q123_tm_fixpoint"),
+      "q121_kernel_passes", "q123_tm_fixpoint", "q127_greedy_placement"),
     "multimodal" -> Seq("q38_media_meta", "q98_image_phash",
       "q99_audio_fingerprint", "q103_video_fingerprint", "q126_png_phash"))
 
@@ -87,6 +92,7 @@ object SparkEntry {
       GraphQueries.oracle +
       ("q121_kernel_passes" -> Engine.kernelPassesOracleSql) +
       ("q123_tm_fixpoint" -> Engine.tmFixpointOracleSql) +
+      ("q127_greedy_placement" -> Engine.placementOracleSql) +
       ("q38_media_meta" -> graft.multimodal.MultimodalOps.q38Oracle) +
       ("q98_image_phash" -> graft.multimodal.MultimodalOps.q98Oracle) +
       ("q99_audio_fingerprint" -> graft.multimodal.MultimodalOps.q99Oracle) +

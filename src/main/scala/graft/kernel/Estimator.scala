@@ -434,4 +434,51 @@ object Estimator {
 
   private[graft] def freeMemPerNode(in: EstimationInput, jmMemory: Int): (Array[Double], Double) =
     assessFreeMemPerNode(new Ctx(Validation.applyTshirt(in)), jmMemory)
+
+  /** One scenario's A13/A14 observables for the q127 oracle entry: the node
+    * count after each growth phase, the fixpoint's (P, N), and the final
+    * placement outcome (per-node allocation vector, or the reference's
+    * host-error message). */
+  private[graft] final case class PlacementTrace(
+      projectName: String,
+      n0: Int,
+      nAfterState: Int,
+      nThr: Int,
+      tmMemMb: Int,
+      tmCount: Int,
+      outcome: Either[String, (Long, Array[Int])])
+
+  /** A13 (greedy packing, estimation.py:428-457) + A14 (node growth,
+    * estimation.py:205-244) exposed for the oracle-checked catalog entry
+    * (q127) — the REAL production loops run end to end in orchestrator
+    * order (state pass grows the node count the final placement starts
+    * from; the throughput pass's count feeds only the quirk-Q1 floor), and
+    * every observable the orchestrator reads from them is returned: the
+    * grown node counts, the per-node allocation vector (whose length is
+    * input_summary.nb_worker_nodes and whose nonzero count floors
+    * total_worker_node_needed), the total memory, and the verbatim
+    * host-error message. The oracle re-derives the same values closed-form
+    * (free memory is identical on every node but node 0, so the greedy
+    * "max remaining, ties to the lowest index" order is exactly the slot
+    * sort by (free_i - (k-1)*T) DESC, node ASC, k ASC — see
+    * [[graft.engine.Engine.placementOracleSql]]).
+    *
+    * Grid rows must not error in the STATE pass (T=4096 there; every grid
+    * node holds at least one default TM by construction) — asserted loudly
+    * so a grid edit cannot silently skip the oracle's error-path rows. */
+  private[graft] def placementTrace(inputRaw: EstimationInput): PlacementTrace = {
+    val in = Validation.applyTshirt(inputRaw)
+    val ctx = new Ctx(in)
+    val thr = in.total_throughput_mb_per_sec
+    val (jmCpu, jmMemory) = assessJobmanagerSize(in.num_distinct_keys)
+    val st = assessTaskmanagerBasedOnState(ctx, jmMemory, TmMemMb)
+    val (_, nbTmState, _, rawFlink) = st.getOrElse(throw new IllegalArgumentException(
+      s"placement grid row '${in.project_name}' errors in the state pass: " +
+        st.swap.getOrElse("")))
+    val nAfterState = ctx.nbWorkerNodes
+    val (nbTmCpu, _, nThr) = assessTaskmanagerBasedOnThroughput(thr, ctx, jmCpu)
+    val (p, n) = resolveTmProcessMemoryMb(ctx, thr, rawFlink, nbTmState, nbTmCpu)
+    PlacementTrace(in.project_name, inputRaw.nb_worker_nodes, nAfterState, nThr,
+      p, n, placeTaskmanagersWithNodeGrowth(ctx, jmMemory, n, p))
+  }
 }
