@@ -189,17 +189,19 @@ object CurationPipeline {
     * (LSH-collides with the standing corpus' band index), `batch_dup`
     * (exact copy of a lower-id arrival in the SAME batch — the backlog
     * blind spot the index probe can't see), and `kept`,
-    * where kept comes from the REAL drop chain
-    * ([[graft.streaming.StreamingOps.cleanIngestBatch]] — the exact body
-    * foreachBatch executes), so the oracle checks the production path,
-    * not a re-derivation.
+    * where kept is the conjunction of the three verdicts — exactly the
+    * drop chain's survival predicate ([[graft.streaming.StreamingOps
+    * .cleanIngestBatch]] drops iff ANY verdict fires; StreamingSpec pins
+    * column-derived kept == the real chain's survivor set row-for-row, so
+    * the production path stays checked without running it twice).
     *
     * Scale shape: per-batch arrival side small; the corpus-side band index
-    * is the q74 incremental probe (built once, probed per batch — never a
-    * corpus self-join); the benchmark grams broadcast. The three probes
-    * here re-run the chain's two probes plus the chain itself — catalog
-    * transparency over minimal work; the production entry point is the
-    * drop chain alone. */
+    * is the q74 incremental probe (built once, probed ONCE per batch —
+    * never a corpus self-join); the benchmark grams broadcast. Each
+    * verdict's subplan runs once and lands as a column in one pass over
+    * the arrival ids (VERDICT r15 #4 — previously the entry re-ran the
+    * chain's two probes a second time inside cleanIngestBatch just to
+    * produce `kept`). */
   def q78IngestClean(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val arrivals = docs.filter(
@@ -221,19 +223,17 @@ object CurationPipeline {
         arrivals.filter(col("text").isNotNull), skewSafe = true)
       .filter(!col("is_canonical"))
       .select(col("doc_id")).withColumn("batch_dup", lit(true))
-    val kept = graft.streaming.StreamingOps
-      .cleanIngestBatch(arrivals, benchGrams, index)
-      .select(col("doc_id")).withColumn("kept", lit(true))
     arrivals.select(col("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
       .join(batchDup, Seq("doc_id"), "left")
-      .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
         coalesce(col("batch_dup"), lit(false)).as("batch_dup"),
-        coalesce(col("kept"), lit(false)).as("kept"))
+        (!coalesce(col("contaminated"), lit(false)) &&
+          !coalesce(col("near_dup"), lit(false)) &&
+          !coalesce(col("batch_dup"), lit(false))).as("kept"))
       .orderBy(col("doc_id").asc)
   }
 

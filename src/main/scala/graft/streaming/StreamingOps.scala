@@ -195,9 +195,9 @@ object StreamingOps {
   private[graft] def cleanIngestBatchWithProbe(batch: DataFrame,
       probed: DataFrame, benchGrams: DataFrame): DataFrame = {
     val contaminated = contaminatedDocs(batch, benchGrams)
-    // the doc-level distinct subsumes pair-level dedup — no
-    // dropDuplicates(new_doc, corpus_doc) stage before it
-    val dupped = probed.select(col("new_doc").as("doc_id")).distinct()
+    // no per-set distinct: the union-level distinct below subsumes both the
+    // probe's pair-level dedup and each set's own
+    val dupped = probed.select(col("new_doc").as("doc_id"))
     // null-text arrivals are exempt (like every other drop stage): the
     // md5(text) family key would otherwise collapse ALL metadata-only
     // docs in a batch into one "duplicate" family and drop all but one.
@@ -206,10 +206,15 @@ object StreamingOps {
     val batchDup = graft.operators.DedupQueries
       .exactDupPairs(batch.filter(col("text").isNotNull))
       .select(col("doc_id"))
-    batch
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .join(dupped, Seq("doc_id"), "left_anti")
-      .join(batchDup, Seq("doc_id"), "left_anti")
+    // ONE anti-join on the unioned drop-id set instead of three: each
+    // left_anti re-partitioned the full-width batch by doc_id, so the wide
+    // rows moved three times; the union shuffles only single-column id
+    // sets and the batch moves once (VERDICT r15 #4 — the q88
+    // single-pass-verdicts shape applied to the drop chain). Semantics
+    // unchanged: drop iff the id is in ANY of the three sets.
+    val dropIds = contaminated.select(col("doc_id"))
+      .unionByName(dupped).unionByName(batchDup).distinct()
+    batch.join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** The COMPOSED streaming ingest lifecycle, end to end (VERDICT r5 #7 /

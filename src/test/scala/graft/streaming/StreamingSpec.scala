@@ -1046,6 +1046,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       lastBatch, sink)
     assert(landed() == got, "replayed tokenized batch must not change the landed set")
   }
+
+  test("q78's column-derived kept equals the real drop chain's survivor " +
+      "set on the sf0.001 split") {
+    // q78 derives kept as !contaminated && !near_dup && !batch_dup in one
+    // pass (r16) instead of re-running cleanIngestBatch; this pin keeps the
+    // column form and the production chain from drifting apart.
+    import graft.operators.{CurationPipeline, DedupQueries, Tables, TextQueries}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val arrivals = docs.filter(
+      col("doc_id") % DedupQueries.IncrMod === DedupQueries.IncrRes)
+    val corpus = docs.filter(
+      col("doc_id") % DedupQueries.IncrMod =!= DedupQueries.IncrRes)
+    val bench = TextQueries.benchmarkGrams(docs.filter(
+      col("doc_id") % TextQueries.DecontamMod === TextQueries.DecontamRes))
+    val index = DedupQueries.bandDocs(corpus)
+    val chain = StreamingOps.cleanIngestBatch(arrivals, bench, index)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val entry = CurationPipeline.q78IngestClean(spark, dir)
+    val cols = entry.filter(col("kept"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(cols == chain,
+      s"kept column diverges from the chain: only-cols=${cols -- chain} " +
+        s"only-chain=${chain -- cols}")
+    assert(cols.nonEmpty && entry.count() > cols.size,
+      "fixture degenerate: nothing kept or nothing dropped")
+  }
 }
 
 object StreamingSpec {
