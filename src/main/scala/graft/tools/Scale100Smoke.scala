@@ -99,6 +99,20 @@ object Scale100Smoke {
     // the r14 scale-safe pair contract (VERDICT r13 #4 'done' bar: <= ~7x)
     race("q122_neardup_canonical_pairs")(d =>
       mat(DedupQueries.q122CanonicalPairs(spark, d)))
+    // multimodal family (VERDICT r15 #5): the media bytes are derived
+    // deterministically from documents, so these race on the same corpus;
+    // the interesting constant is the per-asset codec work inside the one
+    // narrow mapPartitions — q126's PNG decode (CRC walk + Inflater + five
+    // defilters per asset) is exactly the stage whose constants could
+    // shift at scale
+    race("q98_image_phash")(d =>
+      mat(graft.multimodal.MultimodalOps.q98ImagePhash(spark, d)))
+    race("q99_audio_fingerprint")(d =>
+      mat(graft.multimodal.MultimodalOps.q99AudioFingerprint(spark, d)))
+    race("q103_video_fingerprint")(d =>
+      mat(graft.multimodal.MultimodalOps.q103VideoFingerprint(spark, d)))
+    race("q126_png_phash")(d =>
+      mat(graft.multimodal.MultimodalOps.q126PngPhash(spark, d)))
 
     // band-index lifecycle: build on the standing corpus, probe the
     // IncrMod arrival batch against it (the q74 split)
