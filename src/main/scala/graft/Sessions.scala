@@ -20,8 +20,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def build(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(master)
+    // Multi-executor dry-run seam (DEPLOY.md): SPARK_GRAFT_MASTER overrides
+    // the caller's local[N] (e.g. local-cluster[2,16,8192] — separate
+    // executor JVMs, real serialization/broadcast paths, the closest a
+    // single host gets to cluster semantics); SPARK_GRAFT_EXECUTOR_CP
+    // points those executor JVMs at the application jar, which local mode
+    // never needs.
+    val effectiveMaster = sys.env.getOrElse("SPARK_GRAFT_MASTER", master)
+    var builder = SparkSession.builder()
+      .master(effectiveMaster)
       .appName(appName)
       // native expressions + optimizer rules (SparkSessionExtensions is the
       // public seam for both — SURVEY §4 custom-operator ladder)
@@ -45,7 +52,10 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CP").foreach { cp =>
+      builder = builder.config("spark.executor.extraClassPath", cp)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
