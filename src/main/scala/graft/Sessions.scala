@@ -27,6 +27,11 @@ object Sessions {
     // points those executor JVMs at the application jar, which local mode
     // never needs.
     val effectiveMaster = sys.env.getOrElse("SPARK_GRAFT_MASTER", master)
+    // loud provenance: a leftover export must not let bench/smoke numbers
+    // from a different execution mode land in artifacts unannounced
+    if (effectiveMaster != master)
+      System.err.println(
+        s"[graft] SPARK_GRAFT_MASTER override active: $effectiveMaster (caller asked for $master)")
     var builder = SparkSession.builder()
       .master(effectiveMaster)
       .appName(appName)

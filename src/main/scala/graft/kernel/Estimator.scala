@@ -466,7 +466,7 @@ object Estimator {
     * Grid rows must not error in the STATE pass (T=4096 there; every grid
     * node holds at least one default TM by construction) — asserted loudly
     * so a grid edit cannot silently skip the oracle's error-path rows. */
-  private[graft] def placementTrace(inputRaw: EstimationInput): PlacementTrace = {
+  private[graft] def placementTrace(inputRaw: EstimationInput): PlacementTrace = try {
     val in = Validation.applyTshirt(inputRaw)
     val ctx = new Ctx(in)
     val thr = in.total_throughput_mb_per_sec
@@ -480,5 +480,15 @@ object Estimator {
     val (p, n) = resolveTmProcessMemoryMb(ctx, thr, rawFlink, nbTmState, nbTmCpu)
     PlacementTrace(in.project_name, inputRaw.nb_worker_nodes, nAfterState, nThr,
       p, n, placeTaskmanagersWithNodeGrowth(ctx, jmMemory, n, p))
+  } catch {
+    // estimate() converts kernel overflow to a sizing-overflow REJECT; the
+    // trace has no (p, n) to report at that point, so it fails loudly with
+    // the grid-precondition message instead of crashing the Dataset map
+    // with a bare ArithmeticException (review r16). KernelPlacementSpec
+    // runs every grid row, so a row entering this path cannot ship.
+    case e: ArithmeticException => throw new IllegalArgumentException(
+      s"placement grid row '${inputRaw.project_name}' overflows the sizing " +
+        s"kernel (estimate() would reject it; q127 rows must stay in the " +
+        s"kernel's numeric domain): ${e.getMessage}", e)
   }
 }

@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   * (<= ~data ratio), and the raw-vs-control gap matches the
   * output-cardinality law above — i.e. q122 is corpus-linear at fixed
   * family size, and the sf10 excess is output, not plan defect.
+  * (Expect the control's rows_ratio to sit a few percent off exactly
+  * 10.0: renaming changes the md5 inputs, so each shard draws its own
+  * LSH realization and BORDERLINE near-dup band collisions differ per
+  * shard — the Jaccard structure, not the candidate draw, is what the
+  * tagging preserves. Verified at sf0.01: zero cross-shard families.)
   *
   * Usage: runMain graft.tools.FamilyScaleSmoke [outJson]
   *   SPARK_GRAFT_SF1_DIR  (default target/sf1.0)
@@ -50,25 +55,9 @@ object FamilyScaleSmoke {
 
     buildControlled(spark, sf1, ctlDir)
 
-    def cleanup(): Unit = {
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .filterNot(r => graft.operators.Materialize.isPinned(r.id))
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
-    }
-    // warmup + 2 timed, min — the Scale100Smoke discipline
-    def timed(f: => Unit): Double = {
-      f; cleanup()
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; val t = (System.nanoTime() - t0) / 1e9
-        cleanup(); t
-      }
-      ts.min
-    }
-
     def leg(dir: String): (Double, Long) = {
       var rows = 0L
-      val sec = timed {
+      val sec = SmokeHarness.timed(spark) {
         rows = DedupQueries.q122CanonicalPairs(spark, dir).count()
       }
       (sec, rows)
@@ -80,11 +69,14 @@ object FamilyScaleSmoke {
     val (tc, rc) = leg(ctlDir)
     System.err.println(f"[family] sf10 fam_ctl $tc%.2f s, $rc rows")
 
+    // max(1, rows) guards the per-row normalizations: a zero-row leg must
+    // not render Infinity/NaN into the JSON artifact (review r16)
+    def g(r: Long): Double = math.max(1L, r).toDouble
     val json =
       f"""{"metric":"q122_family_scale","data_ratio":10.0,""" +
         f""""sf1":{"sec":$t1%.3f,"rows":$r1},""" +
-        f""""sf10_raw":{"sec":$t10%.3f,"rows":$r10,"ratio":${t10 / t1}%.2f,"rows_ratio":${r10.toDouble / r1}%.2f,"sec_per_row_ratio":${(t10 / r10) / (t1 / r1)}%.2f},""" +
-        f""""sf10_fam_ctl":{"sec":$tc%.3f,"rows":$rc,"ratio":${tc / t1}%.2f,"rows_ratio":${rc.toDouble / r1}%.2f,"sec_per_row_ratio":${(tc / rc) / (t1 / r1)}%.2f}}"""
+        f""""sf10_raw":{"sec":$t10%.3f,"rows":$r10,"ratio":${t10 / t1}%.2f,"rows_ratio":${r10 / g(r1)}%.2f,"sec_per_row_ratio":${(t10 / g(r10)) / (t1 / g(r1))}%.2f},""" +
+        f""""sf10_fam_ctl":{"sec":$tc%.3f,"rows":$rc,"ratio":${tc / t1}%.2f,"rows_ratio":${rc / g(r1)}%.2f,"sec_per_row_ratio":${(tc / g(rc)) / (t1 / g(r1))}%.2f}}"""
     println(json)
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.writeString(Paths.get(out), json + "\n")
@@ -93,21 +85,25 @@ object FamilyScaleSmoke {
 
   /** The controlled corpus: ten tagged copies of the sf1.0 documents
     * table. Copy g shifts doc_id by g*10^9 and maps every whitespace
-    * token w -> w_g (copy 0 keeps the original text verbatim, so shard 0
-    * IS sf1.0); n_chars tracks the rewritten text. Idempotent: skipped
-    * when the output exists (the corpus is a pure function of sf1.0). */
+    * token w -> w_g. EVERY shard is tagged, shard 0 included: with
+    * same-length pairwise-distinct suffixes, a cross-shard token equality
+    * orig_a+T_a == orig_b+T_b forces T_a == T_b (last character), so
+    * shingle disjointness across shards holds UNCONDITIONALLY — an
+    * untagged shard 0 would re-admit collisions for original tokens that
+    * happen to end in another shard's tag (review r16). Within a shard
+    * the rename is bijective, so the family-size distribution is sf1.0's
+    * verbatim. n_chars tracks the rewritten text. Idempotent: skipped
+    * only when Spark's _SUCCESS marker exists — a crashed partial write
+    * must rebuild, not get measured (review r16). */
   private def buildControlled(spark: SparkSession, sf1: String, ctlDir: String): Unit = {
     val done = Paths.get(ctlDir, "documents.parquet")
-    if (Files.exists(done)) return
+    if (Files.exists(done.resolve("_SUCCESS"))) return
     val docs = Tables.documents(spark, sf1)
     val shards = (0 until 10).map { g =>
-      val tagged =
-        if (g == 0) docs
-        else docs.withColumn("text",
+      docs.withColumn("text",
           when(col("text").isNotNull,
             array_join(transform(split(col("text"), " "),
               w => concat(w, lit(s"_$g"))), " ")))
-      tagged
         .withColumn("doc_id", col("doc_id") + lit(g.toLong * 1000000000L))
         .withColumn("n_chars",
           when(col("text").isNotNull, length(col("text")).cast("long")))

@@ -32,22 +32,7 @@ object Scale100Smoke {
 
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def cleanup(): Unit = {
-      spark.sparkContext.getPersistentRDDs.valuesIterator
-        .filterNot(r => Materialize.isPinned(r.id))
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
-    }
-    // warmup + 2 timed, min — the bench discipline, pared down because the
-    // sf10 legs are minutes, not seconds
-    def timed(f: => Unit): Double = {
-      f; cleanup()
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime(); f; val t = (System.nanoTime() - t0) / 1e9
-        cleanup(); t
-      }
-      ts.min
-    }
+    def timed(f: => Unit): Double = SmokeHarness.timed(spark)(f)
 
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     def race(name: String)(f: String => Unit): Unit = {
