@@ -24,17 +24,17 @@ class EmptyInputSpec extends AnyFunSuite with SparkTestSession {
     out
   }
 
-  // q21/q121/q123 (estimator sweep + kernel passes + TM fixpoint) and q34
-  // (run-store listing) source their own scenario/store data, not the
-  // corpus — empty-corpus runs are identical to normal runs for them and
-  // exercised elsewhere.
+  // q21/q121/q123/q127 (estimator sweep + kernel passes + TM fixpoint +
+  // greedy placement) and q34 (run-store listing) source their own
+  // scenario/store data, not the corpus — empty-corpus runs are identical
+  // to normal runs for them and exercised elsewhere.
   // q113 emits its FIXED 6-row (kind x split pair) audit shape with zero
   // counts by design — the DuckDB oracle produces the same 6 zero rows on
   // an empty corpus, so the rows are the audit's constant frame, not
   // invented data.
   private val exempt =
     Set("q21_estimator_sweep", "q121_kernel_passes", "q123_tm_fixpoint",
-      "q34_saved_runs_list", "q113_split_leakage")
+      "q127_greedy_placement", "q34_saved_runs_list", "q113_split_leakage")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => exempt(n) }
