@@ -98,24 +98,52 @@ object GraphQueries {
 
   /** Q95 — damped PageRank over the domain link graph, [[PrIters]] exact
     * integer power iterations; emits each domain's micro-rank and its
-    * in/out-degree, hubs first. */
+    * in/out-degree, hubs first.
+    *
+    * r16 optimization (guide §1.2 step 1 — fix the distributed algorithm
+    * before anything else): the %23 edge space is BOUNDED BY CONSTRUCTION
+    * — src, dst ∈ (−23, 23) for any doc_id — so after the one distributed
+    * pass (the distinct edge census, ≤ 23·22 rows at ANY corpus scale)
+    * the whole graph is a codebook, not a corpus relation. The previous
+    * form ran [[powerIteration]]'s 5 distributed join+aggregate rounds,
+    * each through a [[Materialize]] checkpoint, to move ≤ 23 longs per
+    * round — exactly the shape the q120/q125 bounded-collect rulings
+    * retire (a checkpoint round-trip per round to move kilobytes). The
+    * iterations now run driver-side over the collected edge set with the
+    * SAME nonnegative integer arithmetic (truncating division == SQL DIV
+    * on nonnegative operands), so every rank is bit-identical; the oracle
+    * and its unrolled CTE chain are untouched. Measured at sf0.1
+    * (shared-session bench, this host): 2.08 → 0.35 s; plan goes from
+    * 6 checkpoints + 5 join rounds to ONE distinct shuffle + a 23-row
+    * local sort (plans/r16/q95_pagerank_{before,after}.txt).
+    * [[powerIteration]] itself is unchanged and stays the REAL-graph
+    * path (tools/PageRankSmoke drives it over the |V| ≥ 10⁴ doc↔domain
+    * graph, where the distributed loop is the only shape that scales). */
   def q95PageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .filter(col("text").isNotNull).select("doc_id")
-    // materialize the graph once; everything below derives from it
-    val edges = Materialize.materialize(edgesOf(docs))
-    val ranks = powerIteration(edges, PrIters)
-
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
-    ranks
-      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .join(indeg.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .select(
-        concat(lit("s"), col("node").cast("string"), lit(".example.org")).as("domain"),
-        col("r").as("rank_micro"),
-        coalesce(col("outdeg"), lit(0L)).as("out_degree"),
-        coalesce(col("ind"), lit(0L)).as("in_degree"))
+    // the ONE distributed pass: distinct (src, dst) over the corpus
+    val edges = edgesOf(docs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val nn = nodes.length.toLong
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val indeg = edges.groupBy(_._2).map { case (d, es) => d -> es.length.toLong }
+    // Scale DIV nn, r DIV outdeg, basePerN DIV nn + DampPct*c DIV 100 —
+    // all operands nonnegative, so Scala / is the executors' (and the
+    // oracle's) truncating DIV, bit for bit
+    var r: Map[Long, Long] = nodes.map(_ -> Scale / nn).toMap
+    for (_ <- 1 to PrIters) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (s, d) =>
+        sums(d) = sums.getOrElse(d, 0L) + r(s) / outdeg(s) }
+      r = nodes.map(n =>
+        n -> (BasePerN / nn + DampPct * sums.getOrElse(n, 0L) / 100)).toMap
+    }
+    nodes.toSeq
+      .map(n => (s"s$n.example.org", r(n),
+        outdeg.getOrElse(n, 0L), indeg.getOrElse(n, 0L)))
+      .toDF("domain", "rank_micro", "out_degree", "in_degree")
       .orderBy(col("rank_micro").desc, col("domain").asc)
   }
 

@@ -1333,29 +1333,64 @@ object TextQueries {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("source"),
         expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+    // r16 (guide §1.2 step 1, §2.3 "aggregate before you shuffle"): the r15
+    // form ran FOUR corpus-sized tokenize+explode passes per call — the pair
+    // census, the lazy unigram census TWICE (its `tot` aggregate and the
+    // scoring join are separate consumers), and the n_docs groupBy. All
+    // three censuses are derivable from ONE marked explode: position i of an
+    // n-token doc emits the (tokᵢ, tokᵢ₊₁) pair struct for i < n (kind 0 —
+    // exactly lmPairExpr), and position n emits a last-token marker (kind 2
+    // when the doc has ≥ 2 tokens, kind 3 for 1-token docs). From the ONE
+    // materialized (source, kind, a, b) census:
+    //   pair census  = kind 0 rows verbatim;
+    //   n_docs(src)  = Σ cnt over kind-2 rows (one marker per ≥2-token doc);
+    //   unigram c_b  = per train source, Σ over kind-0 `a` + kind-2/3
+    //                  markers — every token occurrence is either the left
+    //                  element of a pair or its doc's last token, so the sum
+    //                  is the exact occurrence census (same integers).
+    // The re-aggregations are census-sized (vocabulary-bounded), never
+    // corpus-sized. Measured at sf0.1 (shared-session bench, this host):
+    // q116 1.97 → see OPTIMIZATION_r16.md; the oracle SQL and every output
+    // integer are unchanged (PerplexitySpec's independent plain-Scala
+    // recomputation pins n_docs/n_bigrams/tsum/weights; the 4-SF gate pins
+    // the hashes).
+    val markedPairExpr = expr(
+      """transform(sequence(1, size(toks)), i ->
+        |  CASE WHEN i < size(toks) THEN
+        |    struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b, 0 AS kind)
+        |  WHEN size(toks) >= 2 THEN
+        |    struct(element_at(toks, i) AS a, CAST(NULL AS STRING) AS b, 2 AS kind)
+        |  ELSE
+        |    struct(element_at(toks, i) AS a, CAST(NULL AS STRING) AS b, 3 AS kind)
+        |  END)""".stripMargin)
+    val isTrain = replace(col("source"), lit("src"), lit("")).cast("int") < 10
     val census = Materialize.materialize(
-      toks.filter(size(col("toks")) >= 2)
-        .select(col("source"), explode(lmPairExpr).as("p"))
-        .groupBy(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+      toks.filter(size(col("toks")) >= 1)
+        .select(col("source"), explode(markedPairExpr).as("p"))
+        .groupBy(col("source"), col("p.kind").as("kind"),
+          col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt")))
+    val pairs = census.filter(col("kind") === 0)
+      .select(col("source"), col("a"), col("b"), col("cnt"))
     // training pair census re-aggregated FROM the checkpoint (docs with
     // < 2 tokens emit no pairs, so the size filters agree with
     // bigramLmCensuses by construction)
-    val cp = census
-      .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
+    val cp = pairs.filter(isTrain)
       .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("c_ab"))
     val ra = cp.groupBy(col("a")).agg(sum(col("c_ab")).as("r_a"))
     val pairTerm = cp.join(ra, Seq("a"))
       .select(col("a"), col("b"),
         (log(col("c_ab").cast("double")) - log(col("r_a").cast("double")))
           .as("t_ab"))
-    val train = toks
-      .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
-      .filter(size(col("toks")) > 0)
-    val uni = train.select(explode(col("toks")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    // unigram census from the checkpoint: kind-0 `a` occurrences + last-
+    // token markers, train sources only (identical integers to the r15
+    // explode(toks) census — see the derivation note above)
+    val uni = census.filter(isTrain)
+      .select(col("a"), col("cnt"))
+      .groupBy(col("a")).agg(sum(col("cnt")).as("c_b"))
+      .withColumnRenamed("a", "b")
     val tot = uni.agg(sum(col("c_b")).as("nn"), count(lit(1)).as("vv"))
-    val scored = census
+    val scored = pairs
       .join(pairTerm, Seq("a", "b"), "left")
       .join(uni, Seq("b"), "left")
       .crossJoin(broadcast(tot))
@@ -1363,8 +1398,8 @@ object TextQueries {
         coalesce(col("t_ab"),
           log(((coalesce(col("c_b"), lit(0L)) + lit(1L)) * lit(2L)).cast("double")) -
             log(((col("nn") + col("vv")) * lit(5L)).cast("double"))).as("term"))
-    val nd = toks.filter(size(col("toks")) >= 2)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nd = census.filter(col("kind") === 2)
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
     val agg = scored
       .groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_bigrams"),

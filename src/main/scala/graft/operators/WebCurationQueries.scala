@@ -337,12 +337,22 @@ object WebCurationQueries {
         concat(col("text"), piiSuffix, urlSuffix).as("etext"))
 
     def nHits(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0)))
-    val ruleFlagged = docs.select(
+    // r16 (guide §1.4/§2.4 — the audited two-scan shape had the 9-regex
+    // enrich+scrub projection, the entry's dominant cost by the r15 floor
+    // ruling, evaluated TWICE: once under the cap side's filter and again
+    // as the decided join's left input). Materialize pins the narrow
+    // per-doc verdict frame (6 columns, no text) so the regex projection
+    // runs ONCE and both consumers read the checkpoint — at corpus scale
+    // the checkpoint is |docs| slim rows vs a second full scan through
+    // 9 java.util.regex passes over the text. Measured at sf0.1
+    // (shared-session bench, this host): 1.42 → see OPTIMIZATION_r16.md;
+    // plan: 2 scans × regex-projection → 1 (plans/r16/q88_web_curation_*).
+    val ruleFlagged = Materialize.materialize(docs.select(
       col("doc_id"), col("source"),
       (nHits(EmailRe) + nHits(PhoneRe) + nHits(IpRe) + nHits(SsnRe) > 0).as("has_pii"),
       size(split(scrubText(col("etext")), " ")).cast("long").as("n_tokens"),
       regexp_extract(col("etext"), DomainRe, 1).as("first_domain"),
-      qualityKeep(col("text")).as("q_keep"))
+      qualityKeep(col("text")).as("q_keep")))
 
     // optional stage 2b: the learned gate (q102) composed onto the rules.
     // Unscorable-doc POLICY (ADVICE r10): classifierScores only emits a

@@ -57,26 +57,56 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     assert(ranks.distinct.length > 1, "degree-varied graph must produce varied ranks")
   }
 
-  test("q95 iterations checkpoint RELIABLY when the conf dir is set") {
+  test("powerIteration checkpoints RELIABLY when the conf dir is set") {
     // the MaterializeSpec discipline: same output in reliable mode, and
     // real checkpoint part files on disk (VERDICT r8 #3 — raw
-    // localCheckpoint here made the cluster conf a silent no-op)
+    // localCheckpoint here made the cluster conf a silent no-op).
+    // r16: q95 itself no longer iterates distributed (the %23 graph is
+    // bounded by construction and runs driver-side after one distinct
+    // census — see its scaladoc), so the reliable-checkpoint pin moves to
+    // [[GraphQueries.powerIteration]], the REAL-graph path PageRankSmoke
+    // drives, which is where restartability matters on a cluster.
+    import org.apache.spark.sql.functions._
     def partFiles(d: java.io.File): Long =
       if (d.isDirectory) d.listFiles().map(partFiles).sum
       else if (d.getName.startsWith("part-")) 1L else 0L
-    val baseline = GraphQueries.q95PageRank(spark, dir)
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    def edges = docs.select(
+        (col("doc_id") % 23).as("src"),
+        (((col("doc_id") % 19) * (col("doc_id") % 23) + col("doc_id") % 11) % 23).as("dst"))
+      .distinct().filter(col("src") =!= col("dst"))
+    val baseline = GraphQueries.powerIteration(Materialize.materialize(edges), 5)
       .collect().map(_.toString).sorted
     val ckptDir =
       java.nio.file.Files.createTempDirectory("graft_ckpt_q95").toString
     spark.conf.set(Materialize.ConfKey, ckptDir)
     try {
-      val reliable = GraphQueries.q95PageRank(spark, dir)
+      val reliable = GraphQueries.powerIteration(Materialize.materialize(edges), 5)
         .collect().map(_.toString).sorted
       assert(reliable.sameElements(baseline),
         "reliable-mode PageRank differs from default mode")
       assert(partFiles(new java.io.File(ckptDir)) > 0,
         "reliable mode must persist checkpoint part files")
     } finally spark.conf.unset(Materialize.ConfKey)
+  }
+
+  test("q95 equals the distributed powerIteration over the same edges") {
+    // the r16 driver-loop rewrite must stay bit-identical to the
+    // distributed form it replaced (both are exact integer arithmetic)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir).filter(col("text").isNotNull)
+    val edges = Materialize.materialize(docs.select(
+        (col("doc_id") % 23).as("src"),
+        (((col("doc_id") % 19) * (col("doc_id") % 23) + col("doc_id") % 11) % 23).as("dst"))
+      .distinct().filter(col("src") =!= col("dst")))
+    val dist = GraphQueries.powerIteration(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = GraphQueries.q95PageRank(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got.size === dist.size)
+    dist.foreach { case (node, rank) =>
+      assert(got(s"s$node.example.org") === rank, s"node $node")
+    }
   }
 
   test("no raw localCheckpoint outside Materialize and the timing tools") {
