@@ -1030,7 +1030,14 @@ object TextQueries {
       .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
     val tokenOcc = toks.select(col("doc_id"), explode(col("toks")).as("token"))
-    val counts = tokenOcc.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // r16: the vocab census has two consumers (the 1-row total and the
+    // scoring join), so lazy it re-ran the corpus tokenize+explode — three
+    // occurrence passes per query. The census is VOCAB-sized (unlike the
+    // q112 trigram census, where the same pin measured as a loss — see
+    // OPTIMIZATION_r16.md §1.4/§1.5), so the checkpoint is tiny and both
+    // consumers read it: 3 corpus passes → 2.
+    val counts = Materialize.materialize(
+      tokenOcc.groupBy(col("token")).agg(count(lit(1)).as("cnt")))
     val totals = counts.agg(sum(col("cnt")).as("n_corpus"))
 
     // r12: the q109 fixed-point contract — ln(cnt) is a function of the
