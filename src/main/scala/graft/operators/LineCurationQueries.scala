@@ -130,7 +130,13 @@ object LineCurationQueries {
     * One codegen'd projection over array higher-order functions — at
     * 100 TB this is scan-bound like q29/q84/q87. */
   def q90LineQuality(spark: SparkSession, dir: String): DataFrame =
-    lineQuality(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+    // r16: sort below the projection (the q84 ruling) — the raw
+    // (doc_id, text) rows range-sort first, the per-line rule projection
+    // runs once after the sort instead of twice (sampling + shuffle).
+    lineQuality(Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc))
 
   private[graft] def lineQuality(docs: DataFrame): DataFrame = {
     val lines = col("lines")
@@ -172,6 +178,12 @@ object LineCurationQueries {
     * one-row broadcast array and the rebuild is a shuffle-free projection
     * over the original line order. */
   def q91BoilerplateLines(spark: SparkSession, dir: String): DataFrame =
+    // r16 note: the q84 sort-below-projection restructure was tried here
+    // and REVERTED — the sort would sit below the boiler crossJoin, and
+    // EliminateSorts drops both orderBy and sortWithinPartitions under a
+    // join (verified on the r16 plan, which came back sortless — an
+    // order-contract break the oracle only catches when scan order
+    // diverges). The top-level sort and its sampling double-eval stay.
     boilerplateLines(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
 
   private[graft] def boilerplateLines(docs: DataFrame): DataFrame = {

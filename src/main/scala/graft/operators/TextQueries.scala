@@ -40,7 +40,12 @@ object TextQueries {
     * regex (BPE-ish) token count, mean token length, stopword ratio. One
     * narrow projection + deterministic sort. */
   def q29TextStats(spark: SparkSession, dir: String): DataFrame =
+    // r16: sort below the projection (the q84 ruling — range sampling
+    // evaluates a map-only sort child twice; sorting the raw rows first
+    // runs the split/aggregate/regex projection once, after the sort).
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc)
       .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -52,7 +57,6 @@ object TextQueries {
           size(col("w")).cast("double")).as("avg_token_len"),
         (size(expr(s"filter(w, x -> array_contains($stopArray, x))")).cast("double") /
           size(col("w")).cast("double")).as("stopword_ratio"))
-      .orderBy(col("doc_id").asc)
 
   /** Q30 — corpus census by language: doc counts, char volume, source
     * spread, mean length. Map-side partial agg into 5 groups. */
@@ -81,7 +85,11 @@ object TextQueries {
   )
 
   def q31LangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).withColumn("w", split(col("text"), " "))
+    // r16: sort below the marker-scoring projection (the q84 ruling)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id").asc)
+      .withColumn("w", split(col("text"), " "))
     val scored = LangMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
       val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
       df.withColumn(s"score_$lang", size(expr(s"filter(w, x -> array_contains($arr, x))")))
@@ -95,7 +103,6 @@ object TextQueries {
     }
     scored
       .select(col("doc_id"), col("lang").as("lang_actual"), best._2.as("lang_pred"))
-      .orderBy(col("doc_id").asc)
   }
 
   /** Q32 — JSON extraction + aggregation over events.props. from_json with

@@ -159,8 +159,30 @@ object WebCurationQueries {
     * output sort — at 100 TB this is scan-bound, exactly like q29. The
     * replacement order (email→phone→ip→ssn) is part of the contract; the
     * four patterns are mutually non-overlapping by construction. */
-  def q84PiiRedact(spark: SparkSession, dir: String): DataFrame =
-    piiRedact(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+  def q84PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    // r16: sort BELOW the regex projection. A global orderBy over a
+    // map-only child executes that child TWICE — the range partitioner's
+    // sampling pass evaluates the full projection, then the shuffle write
+    // evaluates it again (guide §7.2: duplicated subtrees) — so the 8-regex
+    // redaction ran twice per query. Sorting the (doc_id, etext) rows first
+    // (sampling then touches only the cheap enrichment concat) and
+    // projecting the regexes AFTER the sort evaluates them once; a
+    // projection preserves per-partition order, doc_id is unique, so rows
+    // and order are identical. piiRedact keeps the unsorted contract for
+    // its other consumers.
+    val docs = Tables.documents(spark, dir)
+    val e = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), withPiiText.as("etext"))
+      .orderBy(col("doc_id").asc)
+    def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
+    e.select(
+      col("doc_id"),
+      n(EmailRe).as("n_email"),
+      n(PhoneRe).as("n_phone"),
+      n(IpRe).as("n_ip"),
+      n(SsnRe).as("n_ssn"),
+      scrubText(col("etext")).as("redacted"))
+  }
 
   /** The redaction chain over any string column (no enrichment; null in →
     * null out). Replacement order email→phone→ip→ssn is part of the
@@ -266,7 +288,16 @@ object WebCurationQueries {
     * ratios are exact-integer IEEE divisions, deterministic on both sides.
     * Same scan-bound shape as q29/q84. */
   def q87QualityRules(spark: SparkSession, dir: String): DataFrame =
-    qualityRules(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+    // r16: sort below the projection (the q84 ruling — a global orderBy
+    // over a map-only child evaluates the child twice, once for range
+    // sampling and once for the shuffle; sorting the raw (doc_id, text)
+    // rows first runs the word-split/rule projection ONCE, after the
+    // sort). doc_id is unique, a projection preserves order — rows and
+    // order identical; qualityRules keeps the unsorted contract.
+    qualityRules(Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc))
 
   private[graft] def qualityRules(docs: DataFrame): DataFrame = {
     docs.filter(col("text").isNotNull)
