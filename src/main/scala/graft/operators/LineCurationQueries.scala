@@ -245,7 +245,12 @@ object LineCurationQueries {
     * page size: at 100 TB this rides the scan for free, the cheapest
     * possible shape (contrast q91, which must census across docs). */
   def q105ParaDedup(spark: SparkSession, dir: String): DataFrame =
-    paraDedup(Tables.documents(spark, dir)).orderBy(col("doc_id").asc)
+    // r16: sort below the projection (the q84 ruling) — raw rows
+    // range-sort first, the chunk/inject/dedup/md5 projection runs once.
+    paraDedup(Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc))
 
   private[graft] def paraDedup(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)

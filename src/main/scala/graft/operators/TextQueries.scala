@@ -131,7 +131,15 @@ object TextQueries {
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= GramLen)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .repartition(spark.sparkContext.defaultParallelism) // CPU-bound stage
+      // r16 (the q84 ruling, typed-map variant): the CPU-bound md5 loop
+      // used to sit UNDER the output sort, so range sampling ran it a
+      // second time. Range-repartition + per-partition sort on the raw
+      // rows FIRST (this is also the parallelism spreader the old
+      // round-robin repartition provided), then the map — Iterator.map
+      // preserves order, so the output is already globally doc_id-ordered
+      // and the trailing orderBy is gone. The hot loop now runs once.
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
@@ -159,7 +167,6 @@ object TextQueries {
         }
       }
       .toDF("doc_id", "fingerprint")
-      .orderBy(col("doc_id").asc)
   }
 
   /** Search terms for the lexical retrieval demo (plan-time literals; a
@@ -374,9 +381,14 @@ object TextQueries {
   val RepetitivePermille = 200L
 
   def q67Repetition(spark: SparkSession, dir: String): DataFrame =
+    // r16: sort below the projection (the q84 ruling) — the raw filtered
+    // rows range-sort first; the ngram/array_sort/aggregate chain runs
+    // once, above the sort, instead of twice (range sampling + shuffle).
     Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id").asc)
       .withColumn("g", array_sort(graft.functions.WordNGrams(col("text"), 2)))
       .withColumn("n_grams", size(col("g")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))
@@ -394,7 +406,6 @@ object TextQueries {
         (col("n_grams") - col("n_distinct")).as("n_repeated"), col("top_gram_n"))
       .withColumn("repetitive",
         col("n_repeated") * 1000L >= col("n_grams") * RepetitivePermille)
-      .orderBy(col("doc_id").asc)
 
   /** Q68 — BPE merge-pair census: corpus-wide adjacent character-pair
     * frequencies — one training round of byte-pair encoding, the tokenizer-
