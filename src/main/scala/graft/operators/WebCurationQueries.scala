@@ -1128,9 +1128,15 @@ object WebCurationQueries {
     * partials), one equi-rejoin — the q89 census discipline applied to
     * URLs. */
   def q92UrlCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.documents(spark, dir).filter(col("text").isNotNull)
-      .select(col("doc_id"), rawUrl.as("url_raw"))
-      .withColumn("url_canon", canonicalizeUrl(col("url_raw")))
+    // r16 (the q88 compute-once ruling): the canonicalization projection
+    // (4 regexes + splits per URL) fed three evaluations — the family
+    // census, the rejoin's left side, and the output sort's range
+    // sampling. Pinning the narrow (doc_id, url_raw, url_canon) frame
+    // runs it once; both consumers and the sort read the checkpoint.
+    val c = Materialize.materialize(
+      Tables.documents(spark, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), rawUrl.as("url_raw"))
+        .withColumn("url_canon", canonicalizeUrl(col("url_raw"))))
     val fam = c.groupBy(col("url_canon"))
       .agg(
         countDistinct(col("url_raw")).as("n_variants"),
