@@ -136,7 +136,8 @@ object LineCurationQueries {
     lineQuality(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id").asc))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc))
 
   private[graft] def lineQuality(docs: DataFrame): DataFrame = {
     val lines = col("lines")
@@ -250,7 +251,8 @@ object LineCurationQueries {
     paraDedup(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id").asc))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc))
 
   private[graft] def paraDedup(docs: DataFrame): DataFrame =
     docs.filter(col("text").isNotNull)

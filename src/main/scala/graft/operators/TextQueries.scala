@@ -45,7 +45,8 @@ object TextQueries {
     // runs the split/aggregate/regex projection once, after the sort).
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id").asc)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
       .withColumn("w", split(col("text"), " "))
       .select(
         col("doc_id"),
@@ -88,7 +89,8 @@ object TextQueries {
     // r16: sort below the marker-scoring projection (the q84 ruling)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
-      .orderBy(col("doc_id").asc)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
       .withColumn("w", split(col("text"), " "))
     val scored = LangMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
       val arr = markers.map(m => s"'$m'").mkString("array(", ", ", ")")
@@ -388,7 +390,8 @@ object TextQueries {
       .filter(col("text").isNotNull)
       .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id").asc)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
       .withColumn("g", array_sort(graft.functions.WordNGrams(col("text"), 2)))
       .withColumn("n_grams", size(col("g")).cast("long"))
       .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))

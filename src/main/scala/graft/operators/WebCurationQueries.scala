@@ -170,10 +170,20 @@ object WebCurationQueries {
     // projection preserves per-partition order, doc_id is unique, so rows
     // and order are identical. piiRedact keeps the unsorted contract for
     // its other consumers.
+    // The partition count is PINNED (repartitionByRange(defaultParallelism)
+    // + sortWithinPartitions == orderBy's physical plan with an explicit
+    // width): a plain orderBy lets AQE coalesce the range shuffle to ~one
+    // 64 MB partition, which then runs the heavy projection on 1–2 cores —
+    // measured at sf1.0 as a 1.9× REGRESSION before the pin (q84 1.6 →
+    // 3.9 s) while sf0.1's single-task scan hid it. defaultParallelism
+    // scales with the cluster, so the pin is scale-adaptive, not a local
+    // constant (the q33/q63 shard discipline). Applies to every §1.7
+    // sort-below-projection entry (q29/q31/q67/q84/q87/q90/q105).
     val docs = Tables.documents(spark, dir)
     val e = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), withPiiText.as("etext"))
-      .orderBy(col("doc_id").asc)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc)
     def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
     e.select(
       col("doc_id"),
@@ -297,7 +307,8 @@ object WebCurationQueries {
     qualityRules(Tables.documents(spark, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id").asc))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc))
 
   private[graft] def qualityRules(docs: DataFrame): DataFrame = {
     docs.filter(col("text").isNotNull)
