@@ -171,13 +171,24 @@ object Bench {
     * only this summary is guaranteed to be the final line. */
   private[graft] def compactSummary(results: Seq[(String, Double)],
       failed: Iterable[String], sf: String, loadBefore: Double,
-      loadAfter: Double, forked: Boolean, paired: Option[Paired]): String = {
+      loadAfter: Double, forked: Boolean, paired: Option[Paired],
+      cpus: Int, master: String): String = {
     val total = results.map(_._2).sum
     // a handful of stable headline entries so the line still carries a
     // non-empty queries map (the driver's documented shape) without the
-    // 124-entry payload that broke the tail capture
+    // 124-entry payload that broke the tail capture. r17 (VERDICT r16 #1):
+    // the original 6 keys are all sub-second entries no optimization round
+    // touches, so the driver's round-over-round probe measured host noise
+    // while real improvements were invisible to it — the set now ADDS the
+    // heavy, regularly-optimized entries (never removes/renames: old keys
+    // stay so cross-round comparison holds). Line budget re-checked: 14
+    // entries ≈ 0.75 KB, under the driver's ~2 KB tail capture.
     val headlineKeys = Seq("q01_scan_count", "q09_hash_agg", "q12_topk_per_group",
-      "q22_dedup_exact_hash", "q23_dedup_minhash_lsh", "q27_ann_lsh")
+      "q22_dedup_exact_hash", "q23_dedup_minhash_lsh", "q27_ann_lsh",
+      // r17 additions: the heavy / regularly-optimized set
+      "q84_pii_redact", "q88_web_curation", "q92_url_canonical",
+      "q95_pagerank", "q101_bpe_train", "q107_ann_recall",
+      "q112_trigram_lm", "q116_domain_mixture")
     val byName = results.toMap
     val qs = headlineKeys.flatMap(k => byName.get(k).map(v => "\"" + k + f"\":$v%.4f"))
       .mkString("{", ",", "}")
@@ -189,7 +200,11 @@ object Bench {
       val exT = p.ratioExTva.map(r => f""","ratio_ex_tva":$r%.3f""").getOrElse("")
       f""","spark_oracle_total":${p.sparkTotal}%.4f,"duckdb_total":${p.duckTotal}%.4f,"duckdb_n":${p.n},"ratio":${p.ratio}%.3f$exN$exT"""
     }.getOrElse("")
-    f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sf","n":${results.size},"queries":$qs,"failed":$failedJson,"failed_n":${failedSeq.size},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"forked":$forked$pairedPart,"detail":"target/bench.json"}"""
+    // cpus + effective master (VERDICT r16 #1): the driver's scaling
+    // comparison concluded `suspect_cpus_ignored` against a bench that DOES
+    // honor $SPARK_GRAFT_CPUS — echoing both makes the 8-vs-32-core legs
+    // adjudicable from the artifact alone
+    f"""{"metric":"total","value":$total%.4f,"unit":"sec","sf":"$sf","n":${results.size},"cpus":$cpus,"master":"${jsonEscape(master)}","queries":$qs,"failed":$failedJson,"failed_n":${failedSeq.size},"loadavg_before":$loadBefore%.2f,"loadavg_after":$loadAfter%.2f,"passes":3,"forked":$forked$pairedPart,"detail":"target/bench.json"}"""
   }
 
   private def loadavg(): Double =
@@ -279,9 +294,12 @@ object Bench {
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench.json"), json + "\n")
     } catch { case _: Throwable => () }
-    // LAST line: compact summary under the driver's tail-capture budget
+    // LAST line: compact summary under the driver's tail-capture budget.
+    // cpus/master echo what each child ran with (children inherit the env).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     println(compactSummary(results, failed, sf, loadBefore, loadAfter,
-      forked = true, paired))
+      forked = true, paired, cpus, master))
   }
 
   def main(args: Array[String]): Unit = {
@@ -397,7 +415,8 @@ object Bench {
     // regex takes the FIRST "queries" match, which must stay the full map.
     if (only.isEmpty)
       println(compactSummary(results, failed, sf, loadBefore, loadAfter,
-        forked = false, paired))
+        forked = false, paired, cpus,
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")))
     spark.stop()
   }
 }

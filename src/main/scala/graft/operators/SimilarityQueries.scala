@@ -81,8 +81,15 @@ object SimilarityQueries {
     * The per-query top-k is a rank window; Spark inserts WindowGroupLimit,
     * so each map partition keeps only k rows per query before the shuffle —
     * the reducer sees 20 x k x partitions rows, not the corpus. */
-  def q26KnnExact(spark: SparkSession, dir: String): DataFrame = {
-    val emb = quantized(spark, dir)
+  def q26KnnExact(spark: SparkSession, dir: String): DataFrame =
+    knnExactFrom(quantized(spark, dir))
+
+  /** The q26 body over ANY quantized (vec_id, qv) frame — q107 feeds it the
+    * session-pinned [[quantizedFor]] frame so its exact leg shares the one
+    * materialized scan with the other three legs (r17, VERDICT r16 #2);
+    * the standalone q26 entry stays on the lazy scan (its declared-naive
+    * timing must keep paying the full pass). */
+  private[graft] def knnExactFrom(emb: DataFrame): DataFrame = {
     val queries = emb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
@@ -510,8 +517,17 @@ object SimilarityQueries {
     * re-derives all four top-k sets and every recall cell bit-for-bit.
     * recall_milli is fixed-point (hits×1000 div |exact|). */
   def q107AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    // r17 (VERDICT r16 #2, guide §1.4/§6): all four legs used to re-derive
+    // the scan+quantize frame — the exact and LSH legs lazily (one parquet
+    // pass each, plus the LSH probe side), the IVF/IVFPQ legs from the
+    // session-pinned [[quantizedFor]]. Feeding every leg the SAME pinned
+    // frame leaves ZERO embedding scans in this entry's plan (the one scan
+    // lives in the pinned materialization the ANN serving family already
+    // declares); rows are identical — quantizedFor IS quantized,
+    // materialized.
+    val emb = quantizedFor(spark, dir)
     val exact = Materialize.materialize(
-      q26KnnExact(spark, dir).select(col("query_id"), col("neighbor_id")))
+      knnExactFrom(emb).select(col("query_id"), col("neighbor_id")))
     def leg(family: String, approx: DataFrame): DataFrame =
       exact.join(
           approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -523,7 +539,7 @@ object SimilarityQueries {
           col("n_hit"), expr("n_hit * 1000 div n_exact").as("recall_milli"))
     leg("ivf", q42IvfAnn(spark, dir))
       .unionAll(leg("ivfpq", q82IvfPqAnn(spark, dir)))
-      .unionAll(leg("lsh", annLshMultiTable(spark, dir, LshBits, RecallLshTables)))
+      .unionAll(leg("lsh", annLshMultiTableFrom(emb, LshBits, RecallLshTables)))
       .orderBy(col("family").asc, col("query_id").asc)
   }
 
@@ -1083,8 +1099,15 @@ object SimilarityQueries {
     * is one posexplode (L small ints per row) + the same bucket equi-join,
     * deduped per (query, neighbor) before scoring. */
   private[graft] def annLshMultiTableScored(spark: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame =
+    annLshMultiTableScoredFrom(quantized(spark, dir), bits, tables)
+
+  /** The multi-table LSH candidate stage over ANY quantized (vec_id, qv)
+    * frame — the [[knnExactFrom]] seam: q107's LSH leg feeds the pinned
+    * frame, the standalone q27-family paths stay on the lazy scan. */
+  private[graft] def annLshMultiTableScoredFrom(emb0: DataFrame,
       bits: Int, tables: Int): DataFrame = {
-    val emb = quantized(spark, dir)
+    val emb = emb0
       .withColumn("buckets", array((0 until tables).map(t =>
         intBucketColRange(t * bits, bits)): _*))
     val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
@@ -1112,6 +1135,12 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"), col("dot"))
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
+
+  /** [[annLshMultiTable]] over a caller-supplied quantized frame (the q107
+    * seam); the top-k tail is [[topKScored]]'s exact shape. */
+  private[graft] def annLshMultiTableFrom(emb: DataFrame,
+      bits: Int, tables: Int): DataFrame =
+    topKScored(annLshMultiTableScoredFrom(emb, bits, tables))
 
   def q45EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)

@@ -465,8 +465,10 @@ object TextQueries {
     * Scale shape: one corpus scan builds the vocab census; every round is
     * one vocab-sized census job + a 1-ROW collect (the argmax — the q95
     * bounded-collect discipline) + a narrow projection, with the vocab
-    * [[Materialize]]d per round exactly like `powerIteration` pins its
-    * ranks frames (lineage cut; reliable-checkpoint safe on a cluster).
+    * [[Materialize]]d every [[BpeCheckpointEvery]] rounds (bounded-depth
+    * lineage cut — ≤ 3 chained `replace` projections — so the loop stays
+    * reliable-checkpoint safe on a cluster without paying a checkpoint
+    * round-trip per round; r17, VERDICT r16 #3).
     * Like q94, the entry is EAGER at construction (the loop must run to
     * know the merges). Early-exhaustion (no pairs left) stops the loop;
     * the oracle's per-round scalar subqueries go empty at the same round,
@@ -487,6 +489,17 @@ object TextQueries {
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var exhausted = false
+    // r17 (VERDICT r16 #3, guide §2.4/§5): the r16 form Materialized the
+    // vocab after EVERY merge — 8 synchronous vocab-sized checkpoint jobs
+    // per call, one of them (after the final round) never read again. A
+    // merge is ONE narrow `replace` projection, so letting up to
+    // [[BpeCheckpointEvery]] of them chain keeps lineage bounded (≤ 3
+    // projections above the last checkpoint — still reliable-checkpoint
+    // safe on a cluster) while each round's census job re-evaluates at most
+    // 2 cheap replaces instead of paying a checkpoint round-trip per round.
+    // The data is identical at every round (same logical vocab), so merges
+    // — and the oracle hashes — are bit-for-bit unchanged.
+    var sinceCheckpoint = 0
     while (r <= rounds && !exhausted) {
       val top = vocab
         .select(col("freq"),
@@ -504,13 +517,26 @@ object TextQueries {
         val mergedEnc = pair.replace("><", "") // "<a><b>" -> "<ab>"
         merges += ((r, pair, mergedEnc.substring(1, mergedEnc.length - 1),
           top(0).getLong(1)))
-        vocab = Materialize.materialize(vocab.select(
-          replace(col("enc"), lit(pair), lit(mergedEnc)).as("enc"), col("freq")))
+        val next = vocab.select(
+          replace(col("enc"), lit(pair), lit(mergedEnc)).as("enc"), col("freq"))
+        sinceCheckpoint += 1
+        // no checkpoint after the final round: the loop exits and the
+        // frame is never read again (the r16 form paid that job for nothing)
+        vocab =
+          if (sinceCheckpoint >= BpeCheckpointEvery && r < rounds) {
+            sinceCheckpoint = 0
+            Materialize.materialize(next)
+          } else next
         r += 1
       }
     }
     merges.toSeq.toDF("step", "pair", "merged", "n").orderBy(col("step").asc)
   }
+
+  /** Merge rounds allowed to chain lazily between vocab checkpoints in
+    * [[bpeTrain]] — bounds lineage depth (cluster restartability) while
+    * cutting the per-round checkpoint round-trip (r17, VERDICT r16 #3). */
+  private val BpeCheckpointEvery = 3
 
   /** DuckDB twin of [[q101BpeTrain]], generated by the same round loop
     * (the q95 CTE-stage discipline): per round a pair census, a LIMIT 1
@@ -1190,6 +1216,17 @@ object TextQueries {
       .filter(replace(col("source"), lit("src"), lit("")).cast("int") < 10)
       .select(expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
       .filter(size(col("toks")) > 0)
+    // r17 (VERDICT r16 #4): the checkpoint-FREE marked-census fold (the
+    // domainExcess marker algebra — one explode carrying pair + unigram
+    // censuses, consumers re-aggregating the shared lazy subtree under
+    // AQE runtime stage reuse) was implemented and A/B'd benched-alone,
+    // interleaved old/new, min-of-3 fresh JVMs each: q109 1.337 → 1.544 s,
+    // q112 1.898 → 2.005 s. REJECTED — on this low-repeat synthetic corpus
+    // the marked explode (n 3-field structs/doc vs n−1 2-field pairs) plus
+    // the wider census key costs more than the separate explodes it saves,
+    // the same calculus that rejected the r16 §1.4 checkpointed fold. The
+    // two plain explodes below stay; at a Zipf-shaped 100 TB corpus the
+    // fold flips (censuses ≪ occurrences) — documented scale lever.
     val uni = train.select(explode(col("toks")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c_b"))
     val cp = train.filter(size(col("toks")) >= 2)
@@ -1610,7 +1647,13 @@ object TextQueries {
     // censuses stay LAZY although each has two consumers (margin
     // aggregate + scoring join): materializing all of them measured
     // sf1.0 7.7 -> 9.4 s (the bigramLmCensuses ruling — checkpoint
-    // round-trip costs more than the census recompute)
+    // round-trip costs more than the census recompute).
+    // r17 (VERDICT r16 #4): the checkpoint-free marked-census fold (one
+    // explode carrying trigram + first-pair + first-token markers, all
+    // lower censuses re-aggregated from the shared lazy subtree) was
+    // implemented and A/B'd benched-alone, interleaved, min-of-3 fresh
+    // JVMs: q112 1.898 → 2.005 s (q109's twin 1.337 → 1.544). REJECTED —
+    // see the ruling note in bigramLmCensuses; the separate explodes stay.
     val uni = train.select(explode(col("toks")).as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("c_c"))
     val cbg = train.filter(size(col("toks")) >= 2)

@@ -180,10 +180,17 @@ object WebCurationQueries {
     // constant (the q33/q63 shard discipline). Applies to every §1.7
     // sort-below-projection entry (q29/q31/q67/q84/q87/q90/q105).
     val docs = Tables.documents(spark, dir)
-    val e = docs.filter(col("text").isNotNull)
+    piiCensusProjection(docs.filter(col("text").isNotNull)
       .select(col("doc_id"), withPiiText.as("etext"))
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("doc_id").asc)
-      .sortWithinPartitions(col("doc_id").asc)
+      .sortWithinPartitions(col("doc_id").asc))
+  }
+
+  /** The PII census + scrub projection over a pre-arranged (doc_id, etext)
+    * frame — ONE body shared by [[q84PiiRedact]] (which sorts below it) and
+    * [[piiRedact]] (unsorted contract), so the catalog entry and the
+    * spec-tested helper cannot drift (ADVICE r16). */
+  private def piiCensusProjection(e: DataFrame): DataFrame = {
     def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
     e.select(
       col("doc_id"),
@@ -218,18 +225,9 @@ object WebCurationQueries {
 
   /** The census+redaction over any document frame (split out for reuse and
     * constructed-corpus specs). */
-  private[graft] def piiRedact(docs: DataFrame): DataFrame = {
-    val e = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), withPiiText.as("etext"))
-    def n(re: String) = size(regexp_extract_all(col("etext"), lit(re), lit(0))).cast("long")
-    e.select(
-      col("doc_id"),
-      n(EmailRe).as("n_email"),
-      n(PhoneRe).as("n_phone"),
-      n(IpRe).as("n_ip"),
-      n(SsnRe).as("n_ssn"),
-      scrubText(col("etext")).as("redacted"))
-  }
+  private[graft] def piiRedact(docs: DataFrame): DataFrame =
+    piiCensusProjection(docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), withPiiText.as("etext")))
 
   // ---- Q85: URL extraction + domain census ----
 

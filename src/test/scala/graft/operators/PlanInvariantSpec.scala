@@ -123,6 +123,42 @@ class PlanInvariantSpec extends AnyFunSuite with SparkTestSession {
       s"benchmark probe should be map-side (eval suites are small):\n$plan")
   }
 
+  /** The r16 sort-below-projection entries (OPTIMIZATION_r16.md §1.7): each
+    * evaluates its heavy projection ONCE, above a pinned-width range sort of
+    * the raw rows. Their global-order contract rests on the optimizer NOT
+    * dropping that low Sort — and the r16 q91 attempt proved EliminateSorts
+    * CAN silently drop it under a future refactor, which the oracle only
+    * catches when scan order happens to diverge. This lint is the regression
+    * guard (ADVICE r16): the physical plan must still contain a Sort sitting
+    * on a range-partitioning Exchange. */
+  private val sortBelowProjection = Seq(
+    "q29_text_stats", "q31_lang_id", "q33_fingerprint", "q67_repetition",
+    "q84_pii_redact", "q87_quality_rules", "q90_line_quality",
+    "q105_para_dedup")
+
+  sortBelowProjection.foreach { name =>
+    test(s"$name keeps its Sort above the range exchange (order contract)") {
+      import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      def unwrap(p: SparkPlan): SparkPlan = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val plan = unwrap(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan)
+      val guarded = plan.collect { case s: SortExec => s }.exists(s =>
+        s.child.collectFirst {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+        }.isDefined)
+      assert(guarded,
+        s"$name lost its Sort-over-range-Exchange (EliminateSorts hazard, " +
+          s"see the r16 q91 note):\n$plan")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => exempt(n) }
     .foreach { case (name, fn) =>
