@@ -1141,9 +1141,17 @@ object SimilarityQueries {
       .join(probes.hint("broadcast"), col("qtbl") === col("tbl") &&
         col("qbucket") === col("bucket") &&
         col("query_id") =!= col("neighbor_id"), "inner")
-      .select(col("query_id"), col("qa"), col("neighbor_id"), col("qb"))
+      // r17 (guide §2.3 shuffle fewer bytes): score BEFORE the dedup — the
+      // dot is a pure function of (qa, qb), which are unique per
+      // (query_id, neighbor_id), so rows are identical, but the dedup
+      // exchange now carries 3 longs per candidate instead of two
+      // 64-element vectors (the old shape aggregated first(qa)/first(qb)
+      // through the shuffle). A candidate pair found by k of the L tables
+      // pays k map-side dots instead of 1 — k ≤ 4 cheap codegen'd loops
+      // against ~1 KB/row of shuffle traffic.
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.DotProductLong(col("qa"), col("qb")).as("dot"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("dot", graft.functions.DotProductLong(col("qa"), col("qb")))
   }
 
   private[graft] def annLshMultiTable(spark: SparkSession, dir: String,

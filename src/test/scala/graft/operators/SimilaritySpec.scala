@@ -383,7 +383,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val dir = "/root/testdata/sf0.001"
     def candSet(tables: Int): Set[(Long, Long)] =
       SimilarityQueries.annLshMultiTableScored(spark, dir, 8, tables)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val t1 = candSet(1); val t2 = candSet(2); val t4 = candSet(4)
     // OR-amplification: each added table can only ADD candidates
     assert(t1.subsetOf(t2) && t2.subsetOf(t4), s"${t1.size}/${t2.size}/${t4.size}")
@@ -396,7 +397,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     // every pair surviving into the larger candidate set keeps its exact score
     val scored1 = SimilarityQueries.annLshMultiTableScored(spark, dir, 8, 1)
-      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(4))).toMap
+      .select("query_id", "neighbor_id", "dot")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     top1.foreach { p =>
       top4Scores.get(p).foreach(s4 => assert(s4 == scored1(p), s"score drift for $p"))
     }
